@@ -1,0 +1,105 @@
+"""Rank fusion for multi-path retrieval.
+
+Behavior parity with the reference's ``core/utils/Fusion.py:45-76``
+(``RRFusion``: reciprocal-rank-fusion score ``1/(k+rank)`` with ``k=60``,
+dedup by document content, sort descending, truncate to ``top_k``), plus a
+weighted-score variant. These host-side classes are the API surface; the
+batched on-device fusion used inside the multi-path query kernel lives in
+``rag_arc_tpu.ops.fusion_kernel`` and is oracle-tested against this code.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Dict, List, Sequence
+
+from rag_arc_tpu.utils.data_model import Document, RetrievalResult
+
+
+class FusionMethod(ABC):
+    """Combine per-path ranked result lists into one ranked list."""
+
+    @abstractmethod
+    def fuse(
+        self, results: Sequence[Sequence[RetrievalResult]], top_k: int
+    ) -> List[Document]:
+        """``results`` is one ranked list per retrieval path."""
+
+    def name(self) -> str:
+        return type(self).__name__
+
+
+class RRFusion(FusionMethod):
+    """Reciprocal-rank fusion.
+
+    score(doc) = Σ_paths 1 / (k + rank_in_path); docs are deduplicated by
+    content string (reference Fusion.py:59-61) so the same chunk surfaced
+    by dense and sparse paths accumulates both contributions.
+    """
+
+    def __init__(self, k: int = 60):
+        if k <= 0:
+            raise ValueError(f"RRF k must be positive, got {k}")
+        self.k = k
+
+    def fuse(
+        self, results: Sequence[Sequence[RetrievalResult]], top_k: int
+    ) -> List[Document]:
+        scores: Dict[str, float] = {}
+        first_seen: Dict[str, Document] = {}
+        for path in results:
+            for hit in path:
+                key = hit.document.content
+                scores[key] = scores.get(key, 0.0) + 1.0 / (self.k + hit.rank)
+                if key not in first_seen:
+                    first_seen[key] = hit.document
+        ranked = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)[:top_k]
+        fused: List[Document] = []
+        for key, score in ranked:
+            doc = first_seen[key]
+            doc = Document(content=doc.content, metadata=dict(doc.metadata), id=doc.id)
+            doc.metadata["fusion_score"] = score
+            fused.append(doc)
+        return fused
+
+
+class WeightedScoreFusion(FusionMethod):
+    """Min-max-normalize each path's scores to [0,1], then weighted sum.
+
+    Not present in the reference (which ships only RRF) but a standard
+    companion; weights default to uniform.
+    """
+
+    def __init__(self, weights: Sequence[float] | None = None):
+        self.weights = list(weights) if weights is not None else None
+
+    def fuse(
+        self, results: Sequence[Sequence[RetrievalResult]], top_k: int
+    ) -> List[Document]:
+        n_paths = len(results)
+        weights = self.weights or [1.0] * n_paths
+        if len(weights) != n_paths:
+            raise ValueError(
+                f"got {len(weights)} weights for {n_paths} retrieval paths"
+            )
+        scores: Dict[str, float] = {}
+        first_seen: Dict[str, Document] = {}
+        for w, path in zip(weights, results):
+            if not path:
+                continue
+            raw = [hit.score for hit in path]
+            lo, hi = min(raw), max(raw)
+            span = (hi - lo) or 1.0
+            for hit in path:
+                key = hit.document.content
+                norm = (hit.score - lo) / span
+                scores[key] = scores.get(key, 0.0) + w * norm
+                first_seen.setdefault(key, hit.document)
+        ranked = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)[:top_k]
+        fused = []
+        for key, score in ranked:
+            doc = first_seen[key]
+            doc = Document(content=doc.content, metadata=dict(doc.metadata), id=doc.id)
+            doc.metadata["fusion_score"] = score
+            fused.append(doc)
+        return fused
