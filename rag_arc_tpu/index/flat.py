@@ -1,0 +1,323 @@
+"""HBM-resident flat (exact) vector index.
+
+This is the TPU-native replacement for the reference's FAISS flat indexes
+(``VectorStore_Faiss.py:110-154``: IndexFlatIP / IndexFlatL2, cosine via
+``faiss.normalize_L2``). Design:
+
+- The corpus is a capacity-padded device array ``emb (capacity, dim)`` with
+  a ``valid (capacity,)`` tombstone mask and an incrementally maintained
+  ``sqnorm`` cache for the l2 metric. Capacity is static per compile;
+  growth doubles it (bounded recompilation, like amortized vectors).
+- **Adds** write power-of-two padded blocks via ``dynamic_update_slice``
+  under jit with buffer donation — no host mirror, no rebuild (the
+  reference rebuilds the whole FAISS index on delete,
+  ``VectorStore_Faiss.py:374-415``; here deletes just clear mask bits).
+- **Search** is one XLA program: score matmul on the MXU → tombstone mask →
+  ``lax.top_k``. With a mesh, rows are sharded across the ``"data"`` axis
+  (``NamedSharding(P("data", None))``), each shard computes its local
+  top-k inside ``shard_map``, and the (n_shards·k) candidate set — tiny
+  compared to the score matrix — is merged into the global top-k. The
+  merge is the only cross-chip traffic and rides ICI.
+- Query batches are padded to a small set of bucket sizes so serving
+  traffic doesn't cause recompilation storms.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_arc_tpu.ops.scoring import NEG_INF, l2_normalize, pairwise_scores
+from rag_arc_tpu.parallel.mesh import (
+    CORPUS_AXIS,
+    corpus_sharding,
+    replicated_sharding,
+    round_up,
+    row_sharding,
+    shard_count,
+)
+
+logger = logging.getLogger(__name__)
+
+ADD_BLOCK = 1024  # minimum add granularity (pads small adds up to this)
+QUERY_BUCKETS = (1, 8, 32, 128, 512)  # query-batch padding buckets
+
+
+def _pad_pow2(n: int, minimum: int) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+class DeviceFlatIndex:
+    """Exact MIPS/L2/cosine index over device-resident vectors."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        capacity: int = 4096,
+        dtype: jnp.dtype = jnp.float32,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = CORPUS_AXIS,
+    ):
+        self.dim = int(dim)
+        self.metric = metric
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        self._row_multiple = max(ADD_BLOCK, 8 * self.n_shards)
+        self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
+        self.size = 0  # high-water mark of written rows
+        self.n_deleted = 0
+        self._alloc(self.capacity)
+
+    # -- allocation / sharding --------------------------------------------
+
+    def _shardings(self):
+        if self.mesh is None:
+            return None, None, None
+        return (
+            corpus_sharding(self.mesh, self.axis_name),
+            row_sharding(self.mesh, self.axis_name),
+            replicated_sharding(self.mesh),
+        )
+
+    def _alloc(self, capacity: int) -> None:
+        emb_s, row_s, _ = self._shardings()
+        self.emb = jnp.zeros((capacity, self.dim), dtype=self.dtype)
+        self.valid = jnp.zeros((capacity,), dtype=jnp.bool_)
+        self.sqnorm = jnp.zeros((capacity,), dtype=jnp.float32)
+        if emb_s is not None:
+            self.emb = jax.device_put(self.emb, emb_s)
+            self.valid = jax.device_put(self.valid, row_s)
+            self.sqnorm = jax.device_put(self.sqnorm, row_s)
+
+    def _grow_to(self, min_capacity: int) -> None:
+        new_cap = self.capacity
+        while new_cap < min_capacity:
+            new_cap *= 2
+        new_cap = round_up(new_cap, self._row_multiple)
+        if new_cap == self.capacity:
+            return
+        logger.info("growing index capacity %d → %d", self.capacity, new_cap)
+        old_emb, old_valid, old_sqnorm = self.emb, self.valid, self.sqnorm
+        old_cap = self.capacity
+        self.capacity = new_cap
+        self._alloc(new_cap)
+        self.emb = _paste(self.emb, old_emb)
+        self.valid = _paste_1d(self.valid, old_valid)
+        self.sqnorm = _paste_1d(self.sqnorm, old_sqnorm)
+        del old_emb, old_valid, old_sqnorm, old_cap
+
+    # -- mutation ---------------------------------------------------------
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows; returns their positions (shape (n,))."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"expected (n, {self.dim}) vectors, got {vectors.shape}"
+            )
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-12)
+        sqnorm = (vectors * vectors).sum(axis=1).astype(np.float32)
+
+        start = self.size
+        padded = _pad_pow2(n, ADD_BLOCK)
+        self._grow_to(start + padded)
+        block = np.zeros((padded, self.dim), dtype=np.float32)
+        block[:n] = vectors
+        block_sq = np.zeros((padded,), dtype=np.float32)
+        block_sq[:n] = sqnorm
+
+        self.emb, self.valid, self.sqnorm = _add_block(
+            self.emb,
+            self.valid,
+            self.sqnorm,
+            jnp.asarray(block, dtype=self.dtype),
+            jnp.asarray(block_sq),
+            jnp.int32(start),
+            jnp.int32(n),
+        )
+        self.size = start + n
+        return np.arange(start, start + n, dtype=np.int64)
+
+    def mark_deleted(self, positions: np.ndarray) -> None:
+        positions = np.asarray(positions, dtype=np.int32)
+        if positions.size == 0:
+            return
+        padded = _pad_pow2(positions.size, 8)
+        block = np.full((padded,), positions[0], dtype=np.int32)
+        block[: positions.size] = positions
+        self.valid = _clear_valid(self.valid, jnp.asarray(block))
+        self.n_deleted += int(positions.size)
+
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstoned rows; returns old→new position mapping.
+
+        The reference's answer to deletes is a full index rebuild
+        (``VectorStore_Faiss.py:374-415``); here rebuilds happen only when
+        explicitly requested (or when fragmentation crosses a policy
+        threshold in the vector store layer).
+        """
+        valid = np.asarray(jax.device_get(self.valid[: self.size]))
+        emb = np.asarray(jax.device_get(self.emb[: self.size]), dtype=np.float32)
+        keep = np.nonzero(valid)[0]
+        mapping = {int(old): new for new, old in enumerate(keep)}
+        self.size = 0
+        self.n_deleted = 0
+        self._alloc(self.capacity)
+        if keep.size:
+            # rows were normalized/prepared at original add time
+            kept = emb[keep]
+            sqnorm = (kept * kept).sum(axis=1).astype(np.float32)
+            padded = _pad_pow2(keep.size, ADD_BLOCK)
+            self._grow_to(padded)
+            block = np.zeros((padded, self.dim), dtype=np.float32)
+            block[: keep.size] = kept
+            block_sq = np.zeros((padded,), dtype=np.float32)
+            block_sq[: keep.size] = sqnorm
+            self.emb, self.valid, self.sqnorm = _add_block(
+                self.emb, self.valid, self.sqnorm,
+                jnp.asarray(block, dtype=self.dtype), jnp.asarray(block_sq),
+                jnp.int32(0), jnp.int32(keep.size),
+            )
+            self.size = int(keep.size)
+        return mapping
+
+    # -- query ------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched exact top-k. Returns (scores (B, k), positions (B, k)).
+
+        Slots with no valid match carry score -inf and position -1.
+        """
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if queries.shape[1] != self.dim:
+            raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        k = int(k)
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        k_eff = min(k, self.capacity)
+        b = queries.shape[0]
+        b_pad = next((x for x in QUERY_BUCKETS if x >= b), round_up(b, 512))
+        q = np.zeros((b_pad, self.dim), dtype=np.float32)
+        q[:b] = queries
+
+        if self.mesh is not None:
+            scores, positions = self._search_sharded(jnp.asarray(q), k_eff)
+        else:
+            scores, positions = _search_single(
+                self.emb, self.valid, self.sqnorm, jnp.asarray(q), k_eff, self.metric
+            )
+        scores = np.asarray(jax.device_get(scores))[:b]
+        positions = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
+        positions = np.where(np.isneginf(scores), -1, positions)
+        if k_eff < k:  # index smaller than k: pad result
+            pad = k - k_eff
+            scores = np.concatenate(
+                [scores, np.full((b, pad), -np.inf, dtype=scores.dtype)], axis=1
+            )
+            positions = np.concatenate(
+                [positions, np.full((b, pad), -1, dtype=positions.dtype)], axis=1
+            )
+        return scores, positions
+
+    def _search_sharded(self, q: jax.Array, k: int):
+        mesh, axis = self.mesh, self.axis_name
+        local_cap = self.capacity // self.n_shards
+        metric = self.metric
+
+        def local_topk(q, emb, valid, sqnorm):
+            scores = pairwise_scores(q, emb, metric, sqnorm)
+            scores = jnp.where(valid[None, :], scores, NEG_INF)
+            s, idx = jax.lax.top_k(scores, min(k, local_cap))
+            offset = jax.lax.axis_index(axis) * local_cap
+            return s[None], (idx + offset)[None]
+
+        @partial(jax.jit, static_argnames=())
+        def run(q, emb, valid, sqnorm):
+            s_all, p_all = jax.shard_map(
+                local_topk,
+                mesh=mesh,
+                in_specs=(P(), P(axis, None), P(axis), P(axis)),
+                out_specs=(P(axis, None, None), P(axis, None, None)),
+            )(q, emb, valid, sqnorm)
+            b = q.shape[0]
+            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+            s, sel = jax.lax.top_k(s_flat, k)
+            return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+        return run(q, self.emb, self.valid, self.sqnorm)
+
+    def take(self, positions: np.ndarray) -> np.ndarray:
+        """Fetch vectors at positions (host np.float32). Used by MMR."""
+        positions = np.asarray(positions, dtype=np.int64)
+        out = jax.device_get(jnp.take(self.emb, jnp.asarray(positions), axis=0))
+        return np.asarray(out, dtype=np.float32)
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def n_active(self) -> int:
+        return self.size - self.n_deleted
+
+    def stats(self) -> Dict[str, object]:
+        return {
+            "kind": "flat",
+            "dim": self.dim,
+            "metric": self.metric,
+            "capacity": self.capacity,
+            "size": self.size,
+            "active": self.n_active,
+            "deleted": self.n_deleted,
+            "dtype": str(self.dtype),
+            "shards": self.n_shards,
+            "hbm_bytes": self.capacity * self.dim * jnp.dtype(self.dtype).itemsize,
+        }
+
+
+# -- jitted helpers (module-level so the compile cache is shared) ---------
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _add_block(emb, valid, sqnorm, block, block_sq, start, count):
+    emb = jax.lax.dynamic_update_slice(emb, block, (start, 0))
+    sqnorm = jax.lax.dynamic_update_slice(sqnorm, block_sq, (start,))
+    rows = jnp.arange(valid.shape[0], dtype=jnp.int32)
+    valid = valid | ((rows >= start) & (rows < start + count))
+    return emb, valid, sqnorm
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _clear_valid(valid, positions):
+    return valid.at[positions].set(False)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _search_single(emb, valid, sqnorm, q, k, metric):
+    scores = pairwise_scores(q, emb, metric, sqnorm)
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+@jax.jit
+def _paste(new, old):
+    return jax.lax.dynamic_update_slice(new, old, (0, 0))
+
+
+@jax.jit
+def _paste_1d(new, old):
+    return jax.lax.dynamic_update_slice(new, old, (0,))

@@ -1,0 +1,398 @@
+"""Vector store API surface + TPU-backed implementation.
+
+Surface parity with the reference's ``VectorStore`` ABC
+(``encapsulation/database/vector_db/VectorStoreBase.py:45``): add / delete /
+get_by_ids, ``search(query, search_type)``, the ``similarity_search*``
+family, MMR search, ``from_texts``/``from_documents``, ``as_retriever``,
+relevance-score normalization with out-of-range warnings
+(``VectorStoreBase.py:258-273, 372-392``), and score-threshold filtering.
+
+``TPUVectorStore`` replaces ``FaissVectorStore`` (``VectorStore_Faiss.py:65``):
+embeddings come from any ``Embeddings`` impl, vectors live in a
+``DeviceFlatIndex`` (or IVF index) in HBM — optionally sharded across a
+device mesh — and documents stay in a host ``Docstore``. Deletes tombstone
+instead of rebuilding; ``compact()`` reclaims space explicitly.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import warnings
+from abc import ABC, abstractmethod
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+from rag_arc_tpu.index.docstore import Docstore
+from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.models.embeddings import Embeddings
+from rag_arc_tpu.ops.mmr import mmr_select
+from rag_arc_tpu.utils.data_model import Document
+
+logger = logging.getLogger(__name__)
+
+_EXECUTOR: Optional[ThreadPoolExecutor] = None
+
+
+def _executor() -> ThreadPoolExecutor:
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        _EXECUTOR = ThreadPoolExecutor(max_workers=4, thread_name_prefix="vstore")
+    return _EXECUTOR
+
+
+class VectorStore(ABC):
+    """Abstract vector store: the retriever-facing contract."""
+
+    # -- abstract primitives ---------------------------------------------
+
+    @abstractmethod
+    def add_documents(
+        self, documents: Sequence[Document], ids: Optional[Sequence[str]] = None
+    ) -> List[str]: ...
+
+    @abstractmethod
+    def delete(self, ids: Sequence[str]) -> bool: ...
+
+    @abstractmethod
+    def get_by_ids(self, ids: Sequence[str]) -> List[Document]: ...
+
+    @abstractmethod
+    def similarity_search_with_score(
+        self, query: str, k: int = 4, **kwargs: Any
+    ) -> List[Tuple[Document, float]]: ...
+
+    @abstractmethod
+    def similarity_search_by_vector_with_score(
+        self, embedding: Sequence[float], k: int = 4, **kwargs: Any
+    ) -> List[Tuple[Document, float]]: ...
+
+    @abstractmethod
+    def max_marginal_relevance_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+        **kwargs: Any,
+    ) -> List[Document]: ...
+
+    # -- derived surface --------------------------------------------------
+
+    def add_texts(
+        self,
+        texts: Sequence[str],
+        metadatas: Optional[Sequence[dict]] = None,
+        ids: Optional[Sequence[str]] = None,
+    ) -> List[str]:
+        metadatas = metadatas or [{} for _ in texts]
+        if len(metadatas) != len(texts):
+            raise ValueError("texts and metadatas length mismatch")
+        docs = [
+            Document(content=t, metadata=dict(m)) for t, m in zip(texts, metadatas)
+        ]
+        return self.add_documents(docs, ids=ids)
+
+    def similarity_search(self, query: str, k: int = 4, **kwargs: Any) -> List[Document]:
+        return [doc for doc, _ in self.similarity_search_with_score(query, k, **kwargs)]
+
+    def similarity_search_by_vector(
+        self, embedding: Sequence[float], k: int = 4, **kwargs: Any
+    ) -> List[Document]:
+        return [
+            doc
+            for doc, _ in self.similarity_search_by_vector_with_score(
+                embedding, k, **kwargs
+            )
+        ]
+
+    def similarity_search_with_relevance_scores(
+        self,
+        query: str,
+        k: int = 4,
+        score_threshold: Optional[float] = None,
+        **kwargs: Any,
+    ) -> List[Tuple[Document, float]]:
+        """Scores normalized to [0, 1]; optionally filtered by threshold.
+
+        Mirrors VectorStoreBase.py:347-392 incl. the out-of-range warning
+        and the empty-result warning on threshold filtering.
+        """
+        norm = self._relevance_score_fn()
+        raw = self.similarity_search_with_score(query, k, **kwargs)
+        scored = [(doc, norm(score)) for doc, score in raw]
+        eps = 1e-5  # float32 rounding can nudge a perfect match past 1.0
+        if scored and any(s < -eps or s > 1.0 + eps for _, s in scored):
+            warnings.warn(
+                "relevance scores outside [0, 1]; check the metric/normalizer "
+                f"pairing (got {[round(s, 4) for _, s in scored]})"
+            )
+        if getattr(self, "metric", "cosine") in ("cosine", "l2"):
+            scored = [(d, min(max(s, 0.0), 1.0)) for d, s in scored]
+        if score_threshold is not None:
+            scored = [(d, s) for d, s in scored if s >= score_threshold]
+            if not scored:
+                warnings.warn(
+                    f"no documents with relevance >= {score_threshold} for query"
+                )
+        return scored
+
+    def search(self, query: str, search_type: str = "similarity", **kwargs: Any):
+        if search_type == "similarity":
+            return self.similarity_search(query, **kwargs)
+        if search_type == "similarity_score_threshold":
+            return [d for d, _ in self.similarity_search_with_relevance_scores(query, **kwargs)]
+        if search_type == "mmr":
+            return self.max_marginal_relevance_search(query, **kwargs)
+        raise ValueError(
+            f"search_type must be 'similarity', 'similarity_score_threshold' "
+            f"or 'mmr', got {search_type!r}"
+        )
+
+    def as_retriever(self, **kwargs: Any):
+        from rag_arc_tpu.retrieval.dense import VectorStoreRetriever
+
+        return VectorStoreRetriever(vectorstore=self, **kwargs)
+
+    # -- async shims ------------------------------------------------------
+
+    async def aadd_documents(self, documents, ids=None):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            _executor(), lambda: self.add_documents(documents, ids)
+        )
+
+    async def aadd_texts(self, texts, metadatas=None, ids=None):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            _executor(), lambda: self.add_texts(texts, metadatas, ids)
+        )
+
+    async def asimilarity_search(self, query: str, k: int = 4, **kwargs: Any):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            _executor(), lambda: self.similarity_search(query, k, **kwargs)
+        )
+
+    async def asimilarity_search_with_score(self, query: str, k: int = 4, **kwargs: Any):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            _executor(), lambda: self.similarity_search_with_score(query, k, **kwargs)
+        )
+
+    # -- classmethod constructors ----------------------------------------
+
+    @classmethod
+    def from_texts(
+        cls,
+        texts: Sequence[str],
+        embedding: Embeddings,
+        metadatas: Optional[Sequence[dict]] = None,
+        **kwargs: Any,
+    ) -> "VectorStore":
+        store = cls(embedding=embedding, **kwargs)  # type: ignore[call-arg]
+        store.add_texts(texts, metadatas=metadatas)
+        return store
+
+    @classmethod
+    def from_documents(
+        cls, documents: Sequence[Document], embedding: Embeddings, **kwargs: Any
+    ) -> "VectorStore":
+        store = cls(embedding=embedding, **kwargs)  # type: ignore[call-arg]
+        store.add_documents(documents)
+        return store
+
+    # -- relevance normalization ------------------------------------------
+
+    def _relevance_score_fn(self) -> Callable[[float], float]:
+        """Map raw metric scores to [0, 1] relevance (VectorStoreBase.py:258-273)."""
+        metric = getattr(self, "metric", "cosine")
+        if metric == "cosine":
+            return lambda s: (s + 1.0) / 2.0
+        if metric == "l2":
+            # index returns negative squared distance
+            return lambda s: 1.0 / (1.0 + max(0.0, -s))
+        # inner product has no bounded normalization
+        return lambda s: s
+
+
+class TPUVectorStore(VectorStore):
+    """HBM-resident vector store over a DeviceFlatIndex / IVF index."""
+
+    def __init__(
+        self,
+        embedding: Embeddings,
+        dim: Optional[int] = None,
+        metric: str = "cosine",
+        capacity: int = 4096,
+        mesh: Optional[Mesh] = None,
+        dtype: Any = None,
+        index: Optional[DeviceFlatIndex] = None,
+        compact_threshold: float = 0.5,
+    ):
+        self.embedding = embedding
+        self.metric = metric
+        self.mesh = mesh
+        self._init_capacity = capacity
+        self._dtype = dtype
+        self.docstore = Docstore()
+        self.index: Optional[DeviceFlatIndex] = index
+        self.compact_threshold = compact_threshold
+        self._dim = dim or getattr(embedding, "dim", None)
+        if index is None and self._dim is not None:
+            self._create_index(self._dim)
+
+    def _create_index(self, dim: int) -> None:
+        """Lazy index creation at first add (VectorStore_Faiss.py:172-175)."""
+        import jax.numpy as jnp
+
+        self.index = DeviceFlatIndex(
+            dim=dim,
+            metric=self.metric,
+            capacity=self._init_capacity,
+            dtype=self._dtype or jnp.float32,
+            mesh=self.mesh,
+        )
+        self._dim = dim
+
+    # -- mutation ---------------------------------------------------------
+
+    def add_documents(
+        self, documents: Sequence[Document], ids: Optional[Sequence[str]] = None
+    ) -> List[str]:
+        documents = list(documents)
+        if ids is not None:
+            if len(ids) != len(documents):
+                raise ValueError("ids and documents length mismatch")
+            for doc, doc_id in zip(documents, ids):
+                doc.id = doc_id
+        if not documents:
+            return []
+        vectors = self.embedding.encode([d.content for d in documents])
+        if self.index is None:
+            self._create_index(vectors.shape[1])
+        # overwrite semantics for duplicate ids: tombstone the old rows
+        stale = [
+            p
+            for d in documents
+            if d.id is not None and (p := self.docstore.position_of(d.id)) is not None
+        ]
+        if stale:
+            self.index.mark_deleted(np.asarray(stale))
+        positions = self.index.add(vectors)
+        return self.docstore.add(documents, positions.tolist())
+
+    def delete(self, ids: Sequence[str]) -> bool:
+        freed = self.docstore.delete(ids)
+        if not freed:
+            return False
+        self.index.mark_deleted(np.asarray(freed))
+        if (
+            self.index.size > 0
+            and self.index.n_deleted / self.index.size > self.compact_threshold
+        ):
+            self.compact()
+        return True
+
+    def compact(self) -> None:
+        mapping = self.index.compact()
+        self.docstore.reassign(mapping)
+
+    def get_by_ids(self, ids: Sequence[str]) -> List[Document]:
+        return self.docstore.get_by_ids(ids)
+
+    # -- search -----------------------------------------------------------
+
+    def _resolve(
+        self, scores: np.ndarray, positions: np.ndarray
+    ) -> List[Tuple[Document, float]]:
+        out: List[Tuple[Document, float]] = []
+        for score, pos in zip(scores, positions):
+            if pos < 0:
+                continue
+            doc = self.docstore.get_by_position(int(pos))
+            if doc is not None:
+                out.append((doc, float(score)))
+        return out
+
+    def similarity_search_with_score(
+        self, query: str, k: int = 4, **kwargs: Any
+    ) -> List[Tuple[Document, float]]:
+        vec = self.embedding.encode([query])[0]
+        return self.similarity_search_by_vector_with_score(vec, k, **kwargs)
+
+    def similarity_search_by_vector_with_score(
+        self, embedding: Sequence[float], k: int = 4, **kwargs: Any
+    ) -> List[Tuple[Document, float]]:
+        if self.index is None or self.index.n_active == 0:
+            return []
+        q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+        scores, positions = self.index.search(q, k)
+        return self._resolve(scores[0], positions[0])
+
+    def batch_similarity_search_with_score(
+        self, queries: Sequence[str], k: int = 4
+    ) -> List[List[Tuple[Document, float]]]:
+        """Batched entry: one device dispatch for many queries — the shape
+        the serving layer and multi-query rewrite feed (not in the
+        reference, which is strictly one-query-at-a-time)."""
+        if self.index is None or self.index.n_active == 0 or not queries:
+            return [[] for _ in queries]
+        vecs = self.embedding.encode(list(queries))
+        scores, positions = self.index.search(vecs, k)
+        return [self._resolve(s, p) for s, p in zip(scores, positions)]
+
+    def max_marginal_relevance_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+        **kwargs: Any,
+    ) -> List[Document]:
+        vec = np.asarray(self.embedding.encode([query])[0])
+        return self.max_marginal_relevance_search_by_vector(
+            vec, k=k, fetch_k=fetch_k, lambda_mult=lambda_mult
+        )
+
+    def max_marginal_relevance_search_by_vector(
+        self,
+        embedding: Sequence[float],
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+    ) -> List[Document]:
+        if self.index is None or self.index.n_active == 0:
+            return []
+        q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+        _, positions = self.index.search(q, fetch_k)
+        cand_pos = positions[0][positions[0] >= 0]
+        if cand_pos.size == 0:
+            return []
+        cand_vecs = self.index.take(cand_pos)
+        chosen = mmr_select(q[0], cand_vecs, k=k, lambda_mult=lambda_mult)
+        docs = []
+        for i in chosen:
+            doc = self.docstore.get_by_position(int(cand_pos[i]))
+            if doc is not None:
+                docs.append(doc)
+        return docs
+
+    # -- introspection ----------------------------------------------------
+
+    def get_vectorstore_info(self) -> Dict[str, Any]:
+        info: Dict[str, Any] = {
+            "type": type(self).__name__,
+            "metric": self.metric,
+            "num_documents": len(self.docstore),
+            "embedding": type(self.embedding).__name__,
+        }
+        if self.index is not None:
+            info["index"] = self.index.stats()
+        return info
+
+    def __len__(self) -> int:
+        return len(self.docstore)

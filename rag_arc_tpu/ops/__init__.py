@@ -1,0 +1,4 @@
+from rag_arc_tpu.ops.scoring import l2_normalize, pairwise_scores
+from rag_arc_tpu.ops.topk import masked_topk
+
+__all__ = ["l2_normalize", "pairwise_scores", "masked_topk"]

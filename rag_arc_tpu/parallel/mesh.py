@@ -1,0 +1,62 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no distributed layer at all (SURVEY.md §2.12: its only
+cross-process channels are HTTP and Bolt). Here the corpus dimension is
+sharded across chips over ICI: a 1-D ``Mesh`` with a ``"data"`` axis holds
+the index rows via ``NamedSharding(P("data", None))``; per-shard top-k
+results are merged with an all-gather. Multi-slice (DCN) layouts extend the
+same mesh with an outer axis — nothing in the index code assumes axis
+count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CORPUS_AXIS = "data"
+
+
+def default_mesh(
+    n_devices: Optional[int] = None, axis_name: str = CORPUS_AXIS
+) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} present"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def corpus_sharding(mesh: Mesh, axis_name: str = CORPUS_AXIS) -> NamedSharding:
+    """Rows sharded across the corpus axis; feature dim replicated."""
+    return NamedSharding(mesh, P(axis_name, None))
+
+
+def row_sharding(mesh: Mesh, axis_name: str = CORPUS_AXIS) -> NamedSharding:
+    """1-D array sharded across the corpus axis (e.g. validity masks)."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def shard_count(mesh: Optional[Mesh], axis_name: str = CORPUS_AXIS) -> int:
+    if mesh is None:
+        return 1
+    return mesh.shape[axis_name]
+
+
+def mesh_axis_names(mesh: Mesh) -> Sequence[str]:
+    return mesh.axis_names

@@ -1,0 +1,95 @@
+"""Dense retriever over a vector store.
+
+Parity with the reference's ``VectorStoreRetriever``
+(``core/retrieval/dense.py:13``): three search types (``similarity``,
+``similarity_score_threshold`` — threshold validated in [0, 1]
+(``dense.py:75-84``) — and ``mmr``), ``search_kwargs`` merging with
+per-call overrides, truncation to k, add/delete/get_by_ids pass-through,
+and ``get_vectorstore_info``. The batched path answers many queries in one
+device dispatch via ``TPUVectorStore.batch_similarity_search_with_score``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+from rag_arc_tpu.index.vector_store import VectorStore
+from rag_arc_tpu.retrieval.base import BaseRetriever
+from rag_arc_tpu.utils.data_model import Document
+
+SEARCH_TYPES = ("similarity", "similarity_score_threshold", "mmr")
+
+
+class VectorStoreRetriever(BaseRetriever):
+    def __init__(
+        self,
+        vectorstore: VectorStore,
+        search_type: str = "similarity",
+        search_kwargs: Optional[Dict[str, Any]] = None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name=name)
+        if search_type not in SEARCH_TYPES:
+            raise ValueError(
+                f"search_type must be one of {SEARCH_TYPES}, got {search_type!r}"
+            )
+        search_kwargs = dict(search_kwargs or {})
+        if search_type == "similarity_score_threshold":
+            threshold = search_kwargs.get("score_threshold")
+            if threshold is None:
+                raise ValueError(
+                    "similarity_score_threshold search requires a "
+                    "`score_threshold` in search_kwargs"
+                )
+            if not 0.0 <= float(threshold) <= 1.0:
+                raise ValueError(
+                    f"score_threshold must be in [0, 1], got {threshold}"
+                )
+        self.vectorstore = vectorstore
+        self.search_type = search_type
+        self.search_kwargs = search_kwargs
+
+    def _merged_kwargs(self, overrides: Dict[str, Any]) -> Dict[str, Any]:
+        merged = dict(self.search_kwargs)
+        merged.update(overrides)
+        merged.setdefault("k", 4)
+        return merged
+
+    def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
+        merged = self._merged_kwargs(kwargs)
+        k = int(merged.pop("k"))
+        if self.search_type == "similarity":
+            docs = self.vectorstore.similarity_search(query, k=k, **merged)
+        elif self.search_type == "similarity_score_threshold":
+            scored = self.vectorstore.similarity_search_with_relevance_scores(
+                query, k=k, **merged
+            )
+            docs = [d for d, _ in scored]
+        else:  # mmr
+            docs = self.vectorstore.max_marginal_relevance_search(query, k=k, **merged)
+        return docs[:k]
+
+    def _get_relevant_documents_batch(
+        self, queries: Sequence[str], **kwargs: Any
+    ) -> List[List[Document]]:
+        merged = self._merged_kwargs(kwargs)
+        k = int(merged.pop("k"))
+        batch_fn = getattr(self.vectorstore, "batch_similarity_search_with_score", None)
+        if self.search_type == "similarity" and batch_fn is not None:
+            results = batch_fn(queries, k=k)
+            return [[d for d, _ in hits][:k] for hits in results]
+        return [self._get_relevant_documents(q, k=k, **kwargs) for q in queries]
+
+    # -- pass-throughs (dense.py add/delete/get_by_ids parity) ------------
+
+    def add_documents(self, documents: Sequence[Document], **kwargs: Any) -> List[str]:
+        return self.vectorstore.add_documents(documents, **kwargs)
+
+    def delete(self, ids: Sequence[str]) -> bool:
+        return self.vectorstore.delete(ids)
+
+    def get_by_ids(self, ids: Sequence[str]) -> List[Document]:
+        return self.vectorstore.get_by_ids(ids)
+
+    def get_vectorstore_info(self) -> Dict[str, Any]:
+        return self.vectorstore.get_vectorstore_info()

@@ -8,7 +8,7 @@ before jax initializes its backends, hence the top-of-conftest placement.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+# This box's TPU bootstrap (sitecustomize) calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter startup,
+# which overrides the env var — force CPU again here, before any backend
+# initializes.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

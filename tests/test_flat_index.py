@@ -1,0 +1,163 @@
+"""DeviceFlatIndex tests: exactness vs numpy oracle, all metrics,
+tombstoning, growth, compaction, and mesh-sharded search."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.parallel.mesh import default_mesh
+
+
+def numpy_topk(queries, corpus, k, metric):
+    if metric == "cosine":
+        q = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        c = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+        scores = q @ c.T
+    elif metric == "ip":
+        scores = queries @ corpus.T
+    else:  # l2 — negative squared distance
+        scores = -(
+            (queries**2).sum(1, keepdims=True)
+            - 2 * queries @ corpus.T
+            + (corpus**2).sum(1)[None, :]
+        )
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+def test_exact_topk_matches_oracle(rng, metric):
+    corpus = rng.standard_normal((500, 32)).astype(np.float32)
+    queries = rng.standard_normal((7, 32)).astype(np.float32)
+    index = DeviceFlatIndex(dim=32, metric=metric, capacity=512)
+    index.add(corpus)
+    scores, positions = index.search(queries, k=10)
+    o_scores, o_idx = numpy_topk(queries, corpus, 10, metric)
+    # position sets must match (scores can tie); top-1 must match exactly
+    for b in range(7):
+        assert positions[b, 0] == o_idx[b, 0]
+        assert set(positions[b]) == set(o_idx[b])
+    np.testing.assert_allclose(scores, o_scores, rtol=1e-4, atol=1e-4)
+
+
+def test_incremental_adds_equal_bulk(rng):
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    bulk = DeviceFlatIndex(dim=16, capacity=512)
+    bulk.add(data)
+    inc = DeviceFlatIndex(dim=16, capacity=512)
+    for chunk in np.array_split(data, 7):
+        inc.add(chunk)
+    s1, p1 = bulk.search(q, k=5)
+    s2, p2 = inc.search(q, k=5)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_growth(rng):
+    index = DeviceFlatIndex(dim=8, capacity=1024)
+    start_cap = index.capacity
+    data = rng.standard_normal((3000, 8)).astype(np.float32)
+    pos = index.add(data)
+    assert index.capacity > start_cap
+    assert pos.tolist() == list(range(3000))
+    q = data[42:43]
+    _, positions = index.search(q, k=1)
+    assert positions[0, 0] == 42
+
+
+def test_tombstone_excludes_deleted(rng):
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    index = DeviceFlatIndex(dim=8)
+    index.add(data)
+    q = data[5:6]
+    _, p = index.search(q, k=1)
+    assert p[0, 0] == 5
+    index.mark_deleted(np.array([5]))
+    _, p = index.search(q, k=3)
+    assert 5 not in p[0]
+    assert index.n_active == 99
+
+
+def test_search_smaller_than_k(rng):
+    index = DeviceFlatIndex(dim=8)
+    index.add(rng.standard_normal((3, 8)).astype(np.float32))
+    scores, positions = index.search(rng.standard_normal((1, 8)), k=10)
+    assert positions.shape == (1, 10)
+    assert (positions[0, :3] >= 0).all()
+    assert (positions[0, 3:] == -1).all()
+    assert np.isneginf(scores[0, 3:]).all()
+
+
+def test_empty_index_returns_minus_one(rng):
+    index = DeviceFlatIndex(dim=8)
+    scores, positions = index.search(rng.standard_normal((2, 8)), k=4)
+    assert (positions == -1).all()
+
+
+def test_compact(rng):
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    index = DeviceFlatIndex(dim=8)
+    index.add(data)
+    index.mark_deleted(np.arange(0, 50, 2))  # delete even rows
+    mapping = index.compact()
+    assert index.n_active == 25
+    assert index.size == 25
+    # odd original rows survive, remapped densely
+    assert mapping == {old: new for new, old in enumerate(range(1, 50, 2))}
+    q = data[31:32]
+    _, p = index.search(q, k=1)
+    assert p[0, 0] == mapping[31]
+
+
+def test_take(rng):
+    data = rng.standard_normal((20, 8)).astype(np.float32)
+    index = DeviceFlatIndex(dim=8, metric="ip")  # ip: no normalize at add
+    index.add(data)
+    got = index.take(np.array([3, 7]))
+    np.testing.assert_allclose(got, data[[3, 7]], rtol=1e-6)
+
+
+def test_bad_inputs(rng):
+    index = DeviceFlatIndex(dim=8)
+    with pytest.raises(ValueError):
+        index.add(rng.standard_normal((3, 9)))
+    with pytest.raises(ValueError):
+        index.search(rng.standard_normal((1, 8)), k=0)
+    with pytest.raises(ValueError):
+        index.search(rng.standard_normal((1, 9)), k=1)
+    with pytest.raises(ValueError):
+        DeviceFlatIndex(dim=8, metric="hamming").search(rng.standard_normal((1, 8)), 1)
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self, rng):
+        assert len(jax.devices()) == 8, "conftest must emulate 8 CPU devices"
+        mesh = default_mesh()
+        corpus = rng.standard_normal((2000, 32)).astype(np.float32)
+        queries = rng.standard_normal((5, 32)).astype(np.float32)
+
+        single = DeviceFlatIndex(dim=32, capacity=2048)
+        single.add(corpus)
+        sharded = DeviceFlatIndex(dim=32, capacity=2048, mesh=mesh)
+        sharded.add(corpus)
+
+        s1, p1 = single.search(queries, k=10)
+        s2, p2 = sharded.search(queries, k=10)
+        for b in range(5):
+            assert set(p1[b]) == set(p2[b])
+        np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), rtol=1e-4)
+
+    def test_sharded_delete_and_grow(self, rng):
+        mesh = default_mesh()
+        index = DeviceFlatIndex(dim=16, capacity=1024, mesh=mesh)
+        data = rng.standard_normal((3000, 16)).astype(np.float32)
+        index.add(data)  # forces growth across shards
+        q = data[100:101]
+        _, p = index.search(q, k=1)
+        assert p[0, 0] == 100
+        index.mark_deleted(np.array([100]))
+        _, p = index.search(q, k=1)
+        assert p[0, 0] != 100

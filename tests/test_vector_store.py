@@ -1,0 +1,180 @@
+"""TPUVectorStore + VectorStoreRetriever end-to-end tests (CPU, fake
+embedder) — the reference's BASELINE config 1 slice."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from rag_arc_tpu.index.vector_store import TPUVectorStore
+from rag_arc_tpu.models.embeddings import HashEmbeddings
+from rag_arc_tpu.retrieval.dense import VectorStoreRetriever
+from rag_arc_tpu.utils.data_model import Document
+
+CORPUS = [
+    "the cat sat on the mat",
+    "dogs chase cats around the yard",
+    "quantum computing uses qubits for parallel computation",
+    "the stock market rallied on tech earnings",
+    "a recipe for chocolate cake with dark cocoa",
+    "tpu chips accelerate matrix multiplication for neural networks",
+    "the cat chased a mouse through the kitchen",
+    "interest rates affect bond prices inversely",
+]
+
+
+@pytest.fixture
+def store():
+    return TPUVectorStore.from_texts(CORPUS, HashEmbeddings(dim=64), capacity=64)
+
+
+class TestStore:
+    def test_similarity_search_topical(self, store):
+        docs = store.similarity_search("cat on a mat", k=2)
+        assert docs[0].content == CORPUS[0]
+
+    def test_scores_descending(self, store):
+        hits = store.similarity_search_with_score("cats and dogs", k=5)
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_by_vector(self, store):
+        vec = HashEmbeddings(dim=64).encode([CORPUS[3]])[0]
+        docs = store.similarity_search_by_vector(vec, k=1)
+        assert docs[0].content == CORPUS[3]
+
+    def test_relevance_scores_in_unit_range(self, store):
+        hits = store.similarity_search_with_relevance_scores("cat", k=4)
+        assert all(0.0 <= s <= 1.0 for _, s in hits)
+
+    def test_score_threshold_filters(self, store):
+        hits = store.similarity_search_with_relevance_scores(
+            "the cat sat on the mat", k=8, score_threshold=0.9
+        )
+        assert len(hits) >= 1
+        assert all(s >= 0.9 for _, s in hits)
+
+    def test_threshold_no_results_warns(self, store):
+        with pytest.warns(UserWarning, match="no documents"):
+            hits = store.similarity_search_with_relevance_scores(
+                "zzz qqq xxx", k=3, score_threshold=0.999
+            )
+        assert hits == []
+
+    def test_mmr_diversifies(self, store):
+        # near-duplicate corpus entries: MMR should not return both cats
+        # docs before an unrelated one when lambda is low
+        docs = store.max_marginal_relevance_search(
+            "cat", k=3, fetch_k=8, lambda_mult=0.1
+        )
+        assert len(docs) == 3
+        assert len({d.content for d in docs}) == 3
+
+    def test_search_dispatch(self, store):
+        assert store.search("cat", search_type="similarity", k=1)
+        assert store.search("cat", search_type="mmr", k=1)
+        assert store.search(
+            "cat", search_type="similarity_score_threshold", k=2, score_threshold=0.0
+        )
+        with pytest.raises(ValueError):
+            store.search("cat", search_type="bogus")
+
+    def test_add_delete_get(self, store):
+        ids = store.add_texts(["new doc about zebras"], metadatas=[{"src": "t"}])
+        assert len(store.get_by_ids(ids)) == 1
+        docs = store.similarity_search("zebras", k=1)
+        assert docs[0].content == "new doc about zebras"
+        assert store.delete(ids) is True
+        assert store.get_by_ids(ids) == []
+        docs = store.similarity_search("zebras", k=1)
+        assert docs[0].content != "new doc about zebras"
+        assert store.delete(["missing"]) is False
+
+    def test_duplicate_id_overwrites(self, store):
+        store.add_documents([Document(content="version one", id="dup")])
+        store.add_documents([Document(content="version two", id="dup")])
+        docs = store.get_by_ids(["dup"])
+        assert [d.content for d in docs] == ["version two"]
+        hits = store.similarity_search("version", k=8)
+        contents = [d.content for d in hits]
+        assert "version one" not in contents
+        assert "version two" in contents
+
+    def test_compaction_triggered(self):
+        store = TPUVectorStore(HashEmbeddings(dim=16), compact_threshold=0.4)
+        ids = store.add_texts([f"doc number {i}" for i in range(10)])
+        store.delete(ids[:6])
+        assert store.index.n_deleted == 0  # compaction ran
+        assert store.index.n_active == 4
+        assert len(store.similarity_search("doc", k=10)) == 4
+
+    def test_batch_search(self, store):
+        results = store.batch_similarity_search_with_score(
+            ["cat mat", "qubits", "chocolate cake"], k=2
+        )
+        assert len(results) == 3
+        assert results[1][0][0].content == CORPUS[2]
+        assert results[2][0][0].content == CORPUS[4]
+
+    def test_info(self, store):
+        info = store.get_vectorstore_info()
+        assert info["num_documents"] == len(CORPUS)
+        assert info["index"]["active"] == len(CORPUS)
+
+    def test_async_shims(self, store):
+        async def go():
+            docs = await store.asimilarity_search("cat", k=1)
+            ids = await store.aadd_texts(["async doc"])
+            return docs, ids
+
+        docs, ids = asyncio.run(go())
+        assert docs and len(ids) == 1
+
+
+class TestRetriever:
+    def test_invoke(self, store):
+        r = store.as_retriever(search_kwargs={"k": 2})
+        docs = r.invoke("cat on mat")
+        assert len(docs) == 2
+        assert docs[0].content == CORPUS[0]
+
+    def test_batch_invoke_single_dispatch(self, store):
+        r = VectorStoreRetriever(store, search_kwargs={"k": 1})
+        out = r.invoke_batch(["qubits computation", "chocolate cake"])
+        assert out[0][0].content == CORPUS[2]
+        assert out[1][0].content == CORPUS[4]
+
+    def test_threshold_validation(self, store):
+        with pytest.raises(ValueError, match="score_threshold"):
+            VectorStoreRetriever(store, search_type="similarity_score_threshold")
+        with pytest.raises(ValueError, match="0, 1"):
+            VectorStoreRetriever(
+                store,
+                search_type="similarity_score_threshold",
+                search_kwargs={"score_threshold": 1.5},
+            )
+
+    def test_bad_search_type(self, store):
+        with pytest.raises(ValueError):
+            VectorStoreRetriever(store, search_type="bm42")
+
+    def test_empty_query_rejected(self, store):
+        r = store.as_retriever()
+        with pytest.raises(ValueError):
+            r.invoke("  ")
+
+    def test_kwargs_merge_and_truncate(self, store):
+        r = VectorStoreRetriever(store, search_kwargs={"k": 5})
+        assert len(r.invoke("cat")) == 5
+        assert len(r.invoke("cat", k=2)) == 2
+
+    def test_mmr_retriever(self, store):
+        r = VectorStoreRetriever(
+            store, search_type="mmr", search_kwargs={"k": 2, "fetch_k": 6}
+        )
+        assert len(r.invoke("cat")) == 2
+
+    def test_async(self, store):
+        r = store.as_retriever(search_kwargs={"k": 1})
+        docs = asyncio.run(r.ainvoke("tpu chips"))
+        assert docs[0].content == CORPUS[5]
