@@ -1,0 +1,230 @@
+"""Device-resident BM25 index.
+
+Host side builds vocabulary, doc frequencies and the document-major term
+arrays (see ``rag_arc_tpu.ops.bm25``); device side answers batched queries
+with one fused scan + top-k. With a mesh, rows shard across chips exactly
+like the dense index (per-shard top-k inside ``shard_map``, ICI merge).
+
+Mutation model matches the reference's (``bm25.py:390-399``): BM25's global
+statistics (idf, avgdl) make incremental updates incorrect, so adds and
+deletes rebuild — but a rebuild here is re-tokenization + one device_put,
+not a Python re-index.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rag_arc_tpu.ops.bm25 import (
+    DOC_PAD,
+    QUERY_PAD,
+    bm25_scores_kernel,
+    bm25_topk,
+    compute_doc_weights,
+    compute_idf,
+)
+from rag_arc_tpu.parallel.mesh import CORPUS_AXIS, corpus_sharding, round_up, row_sharding, shard_count
+
+Tokenizer = Callable[[str], List[str]]
+
+
+class DeviceBM25Index:
+    """Immutable-once-built BM25 scoring structure on device."""
+
+    def __init__(
+        self,
+        k1: float = 1.5,
+        b: float = 0.75,
+        epsilon: float = 0.25,
+        qmax: int = 32,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = CORPUS_AXIS,
+    ):
+        self.k1, self.b, self.epsilon = k1, b, epsilon
+        self.qmax = qmax
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        self.n_docs = 0
+        self.vocab: Dict[str, int] = {}
+        self.avgdl = 0.0
+        self.doc_terms: Optional[jax.Array] = None
+        self.doc_weights: Optional[jax.Array] = None
+        self.valid: Optional[jax.Array] = None
+
+    def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
+        n = len(tokenized_docs)
+        self.n_docs = n
+        self.vocab = {}
+        if n == 0:
+            self.doc_terms = None
+            self.doc_weights = None
+            self.valid = None
+            self.avgdl = 0.0
+            return
+        doc_tfs: List[Dict[int, int]] = []
+        doc_len = np.zeros(n, dtype=np.float64)
+        for i, doc in enumerate(tokenized_docs):
+            tf: Dict[int, int] = {}
+            for tok in doc:
+                tid = self.vocab.setdefault(tok, len(self.vocab))
+                tf[tid] = tf.get(tid, 0) + 1
+            doc_tfs.append(tf)
+            doc_len[i] = len(doc)
+        self.avgdl = float(doc_len.mean())
+        v = len(self.vocab)
+        df = np.zeros(v, dtype=np.float64)
+        for tf in doc_tfs:
+            for tid in tf:
+                df[tid] += 1
+        idf = compute_idf(df, n, self.epsilon)  # (V,)
+
+        dmax = max((len(tf) for tf in doc_tfs), default=1)
+        dmax = round_up(max(dmax, 8), 8)
+        n_pad = round_up(n, max(8, 8 * self.n_shards))
+
+        terms = np.full((n_pad, dmax), DOC_PAD, dtype=np.int32)
+        tfs = np.zeros((n_pad, dmax), dtype=np.float32)
+        idf_slot = np.zeros((n_pad, dmax), dtype=np.float32)
+        for i, tf in enumerate(doc_tfs):
+            tids = np.fromiter(tf.keys(), dtype=np.int32, count=len(tf))
+            terms[i, : len(tf)] = tids
+            tfs[i, : len(tf)] = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
+            idf_slot[i, : len(tf)] = idf[tids]
+        doc_len_pad = np.zeros(n_pad, dtype=np.float64)
+        doc_len_pad[:n] = doc_len
+        weights = compute_doc_weights(
+            tfs, idf_slot, doc_len_pad, self.avgdl, self.k1, self.b
+        )
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = True
+
+        self.doc_terms = jnp.asarray(terms)
+        self.doc_weights = jnp.asarray(weights)
+        self.valid = jnp.asarray(valid)
+        if self.mesh is not None:
+            emb_s = corpus_sharding(self.mesh, self.axis_name)
+            row_s = row_sharding(self.mesh, self.axis_name)
+            self.doc_terms = jax.device_put(self.doc_terms, emb_s)
+            self.doc_weights = jax.device_put(self.doc_weights, emb_s)
+            self.valid = jax.device_put(self.valid, row_s)
+
+    # -- query encoding ---------------------------------------------------
+
+    def encode_queries(
+        self, tokenized_queries: Sequence[Sequence[str]]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        b = len(tokenized_queries)
+        qt = np.full((b, self.qmax), QUERY_PAD, dtype=np.int32)
+        qc = np.zeros((b, self.qmax), dtype=np.float32)
+        for i, toks in enumerate(tokenized_queries):
+            counts: Dict[int, int] = {}
+            for tok in toks:
+                tid = self.vocab.get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            # keep highest-count terms when over budget
+            items = sorted(counts.items(), key=lambda kv: -kv[1])[: self.qmax]
+            for j, (tid, c) in enumerate(items):
+                qt[i, j] = tid
+                qc[i, j] = c
+        return qt, qc
+
+    # -- search -----------------------------------------------------------
+
+    def search(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (B, k), positions (B, k)); empty slots score -inf / -1."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        b = len(tokenized_queries)
+        if self.doc_terms is None or b == 0:
+            return (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int64),
+            )
+        qt, qc = self.encode_queries(tokenized_queries)
+        b_pad = max(1, 1 << math.ceil(math.log2(b)))
+        if b_pad > b:
+            qt = np.pad(qt, ((0, b_pad - b), (0, 0)), constant_values=QUERY_PAD)
+            qc = np.pad(qc, ((0, b_pad - b), (0, 0)))
+        n_pad = self.doc_terms.shape[0]
+        k_eff = min(k, n_pad)
+        if self.mesh is not None:
+            scores, positions = self._search_sharded(
+                jnp.asarray(qt), jnp.asarray(qc), k_eff
+            )
+        else:
+            scores, positions = bm25_topk(
+                self.doc_terms, self.doc_weights, self.valid,
+                jnp.asarray(qt), jnp.asarray(qc), k_eff,
+            )
+        scores = np.asarray(jax.device_get(scores))[:b]
+        positions = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
+        positions = np.where(np.isneginf(scores), -1, positions)
+        if k_eff < k:
+            pad = k - k_eff
+            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+            positions = np.pad(positions, ((0, 0), (0, pad)), constant_values=-1)
+        return scores, positions
+
+    def _search_sharded(self, qt: jax.Array, qc: jax.Array, k: int):
+        mesh, axis = self.mesh, self.axis_name
+        local_n = self.doc_terms.shape[0] // self.n_shards
+
+        def local_topk(qt, qc, terms, weights, valid):
+            scores = bm25_scores_kernel(terms, weights, qt, qc)
+            scores = jnp.where(valid[None, :], scores, -jnp.inf)
+            s, idx = jax.lax.top_k(scores, min(k, local_n))
+            offset = jax.lax.axis_index(axis) * local_n
+            return s[None], (idx + offset)[None]
+
+        @partial(jax.jit)
+        def run(qt, qc, terms, weights, valid):
+            s_all, p_all = jax.shard_map(
+                local_topk,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis)),
+                out_specs=(P(axis, None, None), P(axis, None, None)),
+            )(qt, qc, terms, weights, valid)
+            b = qt.shape[0]
+            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+            s, sel = jax.lax.top_k(s_flat, k)
+            return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+        return run(qt, qc, self.doc_terms, self.doc_weights, self.valid)
+
+    def get_scores(self, tokenized_query: Sequence[str]) -> np.ndarray:
+        """Full dense score vector for one query (reference bm25.py
+        ``get_scores`` parity)."""
+        if self.doc_terms is None:
+            return np.zeros(0, dtype=np.float32)
+        qt, qc = self.encode_queries([tokenized_query])
+        scores = bm25_scores_kernel(
+            self.doc_terms, self.doc_weights, jnp.asarray(qt), jnp.asarray(qc)
+        )
+        out = np.asarray(jax.device_get(scores))[0][: self.n_docs]
+        return out
+
+    def stats(self) -> Dict[str, object]:
+        return {
+            "kind": "bm25",
+            "num_docs": self.n_docs,
+            "vocab_size": len(self.vocab),
+            "avgdl": self.avgdl,
+            "k1": self.k1,
+            "b": self.b,
+            "epsilon": self.epsilon,
+            "qmax": self.qmax,
+            "shards": self.n_shards,
+            "dmax": 0 if self.doc_terms is None else int(self.doc_terms.shape[1]),
+        }

@@ -1,0 +1,229 @@
+"""BM25 retriever.
+
+Surface parity with the reference's ``BM25Retriever``
+(``core/retrieval/bm25.py:30``): pluggable ``preprocess_func`` tokenizer
+(default whitespace split with a CJK warning, ``bm25.py:116-123``),
+``from_texts``/``from_documents`` constructors, ``get_scores`` /
+``get_top_k_with_scores``, add/delete with full-rebuild semantics and the
+>1000-doc rebuild warning (``bm25.py:390-399``), ``get_bm25_info``, and
+disk persistence. Scoring runs on device via ``DeviceBM25Index``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import warnings
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from jax.sharding import Mesh
+
+from rag_arc_tpu.index.bm25 import DeviceBM25Index
+from rag_arc_tpu.retrieval.base import BaseRetriever
+from rag_arc_tpu.utils.data_model import Document
+
+logger = logging.getLogger(__name__)
+
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+REBUILD_WARN_THRESHOLD = 1000
+
+
+def default_preprocess(text: str) -> List[str]:
+    """Lowercased whitespace tokenization (the reference's default)."""
+    return text.lower().split()
+
+
+class BM25Retriever(BaseRetriever):
+    def __init__(
+        self,
+        documents: Optional[Sequence[Document]] = None,
+        k: int = 4,
+        k1: float = 1.5,
+        b: float = 0.75,
+        epsilon: float = 0.25,
+        preprocess_func: Callable[[str], List[str]] = default_preprocess,
+        mesh: Optional[Mesh] = None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name=name)
+        self.k = k
+        self.preprocess_func = preprocess_func
+        self.index = DeviceBM25Index(k1=k1, b=b, epsilon=epsilon, mesh=mesh)
+        self.docs: List[Document] = []
+        self._cjk_warned = False
+        if documents:
+            self.docs = [self._ensure_id(d) for d in documents]
+            self._rebuild()
+
+    # -- constructors (bm25.py from_texts/from_documents parity) ----------
+
+    @classmethod
+    def from_texts(
+        cls,
+        texts: Sequence[str],
+        metadatas: Optional[Sequence[dict]] = None,
+        ids: Optional[Sequence[str]] = None,
+        **kwargs: Any,
+    ) -> "BM25Retriever":
+        metadatas = metadatas or [{} for _ in texts]
+        docs = [
+            Document(content=t, metadata=dict(m)) for t, m in zip(texts, metadatas)
+        ]
+        if ids is not None:
+            for d, i in zip(docs, ids):
+                d.id = i
+        return cls(documents=docs, **kwargs)
+
+    @classmethod
+    def from_documents(
+        cls, documents: Sequence[Document], **kwargs: Any
+    ) -> "BM25Retriever":
+        return cls(documents=documents, **kwargs)
+
+    # -- internals --------------------------------------------------------
+
+    @staticmethod
+    def _ensure_id(doc: Document) -> Document:
+        doc.ensure_id()
+        return doc
+
+    def _tokenize(self, text: str) -> List[str]:
+        if (
+            not self._cjk_warned
+            and self.preprocess_func is default_preprocess
+            and _CJK_RE.search(text)
+        ):
+            self._cjk_warned = True
+            warnings.warn(
+                "CJK text detected with the default whitespace tokenizer; "
+                "pass a CJK-aware preprocess_func (e.g. jieba.lcut) for "
+                "meaningful BM25 scores"
+            )
+        return self.preprocess_func(text)
+
+    def _rebuild(self) -> None:
+        tokenized = [self._tokenize(d.content) for d in self.docs]
+        self.index.build(tokenized)
+
+    # -- retrieval --------------------------------------------------------
+
+    def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
+        k = int(kwargs.get("k", self.k))
+        return [d for d, _ in self.get_top_k_with_scores(query, k)]
+
+    def _get_relevant_documents_batch(
+        self, queries: Sequence[str], **kwargs: Any
+    ) -> List[List[Document]]:
+        k = int(kwargs.get("k", self.k))
+        tokenized = [self._tokenize(q) for q in queries]
+        scores, positions = self.index.search(tokenized, k)
+        out: List[List[Document]] = []
+        for srow, prow in zip(scores, positions):
+            hits = [self.docs[int(p)] for s, p in zip(srow, prow) if p >= 0]
+            out.append(hits)
+        return out
+
+    def get_top_k_with_scores(
+        self, query: str, k: Optional[int] = None
+    ) -> List[Tuple[Document, float]]:
+        k = int(k or self.k)
+        scores, positions = self.index.search([self._tokenize(query)], k)
+        return [
+            (self.docs[int(p)], float(s))
+            for s, p in zip(scores[0], positions[0])
+            if p >= 0
+        ]
+
+    def get_scores(self, query: str):
+        """Dense score vector over all documents (bm25.py get_scores parity)."""
+        return self.index.get_scores(self._tokenize(query))
+
+    # -- mutation (rebuild semantics, bm25.py:390-399) ---------------------
+
+    def add_documents(self, documents: Sequence[Document]) -> List[str]:
+        docs = [self._ensure_id(d) for d in documents]
+        self.docs.extend(docs)
+        if len(self.docs) > REBUILD_WARN_THRESHOLD:
+            warnings.warn(
+                f"BM25 rebuild over {len(self.docs)} documents; BM25 global "
+                "statistics require a full rebuild on mutation — batch your "
+                "adds, or use the dense index for high-churn corpora"
+            )
+        self._rebuild()
+        return [d.id for d in docs]
+
+    def add_texts(
+        self, texts: Sequence[str], metadatas: Optional[Sequence[dict]] = None
+    ) -> List[str]:
+        metadatas = metadatas or [{} for _ in texts]
+        return self.add_documents(
+            [Document(content=t, metadata=dict(m)) for t, m in zip(texts, metadatas)]
+        )
+
+    def delete(self, ids: Sequence[str]) -> bool:
+        wanted = set(ids)
+        before = len(self.docs)
+        self.docs = [d for d in self.docs if d.id not in wanted]
+        if len(self.docs) == before:
+            return False
+        self._rebuild()
+        return True
+
+    # -- persistence ------------------------------------------------------
+
+    def save_to_disk(self, path: str | Path) -> None:
+        """Persist corpus + parameters as JSON; device arrays are
+        deterministically rebuilt at load (unlike the reference's dill
+        pickle of live objects, bm25.py:550-609, this format is portable
+        and versionable)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "format": "rag_arc_tpu.bm25.v1",
+            "params": {
+                "k": self.k,
+                "k1": self.index.k1,
+                "b": self.index.b,
+                "epsilon": self.index.epsilon,
+            },
+            "documents": [
+                {"content": d.content, "metadata": d.metadata, "id": d.id}
+                for d in self.docs
+            ],
+        }
+        path.write_text(json.dumps(payload, ensure_ascii=False), encoding="utf-8")
+
+    @classmethod
+    def load_from_disk(
+        cls,
+        path: str | Path,
+        preprocess_func: Callable[[str], List[str]] = default_preprocess,
+        mesh: Optional[Mesh] = None,
+    ) -> "BM25Retriever":
+        payload = json.loads(Path(path).read_text(encoding="utf-8"))
+        if payload.get("format") != "rag_arc_tpu.bm25.v1":
+            raise ValueError(f"unrecognized BM25 snapshot format in {path}")
+        params = payload["params"]
+        docs = [Document(**d) for d in payload["documents"]]
+        return cls(
+            documents=docs,
+            k=params["k"],
+            k1=params["k1"],
+            b=params["b"],
+            epsilon=params["epsilon"],
+            preprocess_func=preprocess_func,
+            mesh=mesh,
+        )
+
+    # -- introspection -----------------------------------------------------
+
+    def get_bm25_info(self) -> Dict[str, Any]:
+        info = self.index.stats()
+        info["num_documents"] = len(self.docs)
+        info["preprocess_func"] = getattr(
+            self.preprocess_func, "__name__", repr(self.preprocess_func)
+        )
+        return info

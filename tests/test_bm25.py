@@ -1,0 +1,162 @@
+"""BM25 device kernel + retriever tests, oracle-checked against a host
+re-derivation of BM25Okapi (the reference's rank_bm25 backend)."""
+
+import numpy as np
+import pytest
+
+from rag_arc_tpu.index.bm25 import DeviceBM25Index
+from rag_arc_tpu.ops.bm25 import numpy_bm25_oracle
+from rag_arc_tpu.parallel.mesh import default_mesh
+from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+from rag_arc_tpu.utils.data_model import Document
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over a sleepy canine",
+    "the stock market closed higher on tech strength",
+    "interest rates and bond yields moved in tandem",
+    "quick sorting algorithms run in n log n time",
+    "the dog barked at the quick delivery driver",
+    "foxes are members of the canine family",
+    "market volatility increased as rates rose",
+]
+
+
+def toks(s):
+    return s.lower().split()
+
+
+class TestKernelOracle:
+    @pytest.mark.parametrize(
+        "query", ["quick fox", "market rates", "the dog", "quick quick dog"]
+    )
+    def test_scores_match_oracle(self, query):
+        index = DeviceBM25Index()
+        index.build([toks(d) for d in DOCS])
+        got = index.get_scores(toks(query))
+        want = numpy_bm25_oracle([toks(d) for d in DOCS], toks(query))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_topk_order_matches_oracle(self):
+        index = DeviceBM25Index()
+        index.build([toks(d) for d in DOCS])
+        scores, positions = index.search([toks("quick fox")], k=4)
+        want = numpy_bm25_oracle([toks(d) for d in DOCS], toks("quick fox"))
+        want_order = np.argsort(-want, kind="stable")[:4]
+        assert set(positions[0]) == set(want_order)
+        assert positions[0][0] == want_order[0]
+
+    def test_random_corpus_oracle(self, rng):
+        vocab = [f"w{i}" for i in range(50)]
+        docs = [
+            [vocab[j] for j in rng.integers(0, 50, size=rng.integers(3, 30))]
+            for _ in range(200)
+        ]
+        index = DeviceBM25Index()
+        index.build(docs)
+        for _ in range(5):
+            q = [vocab[j] for j in rng.integers(0, 50, size=4)]
+            got = index.get_scores(q)
+            want = numpy_bm25_oracle(docs, q)
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_batched_search(self):
+        index = DeviceBM25Index()
+        index.build([toks(d) for d in DOCS])
+        scores, positions = index.search([toks("fox"), toks("market")], k=2)
+        assert positions.shape == (2, 2)
+        assert 2 in positions[1] or 7 in positions[1]
+
+    def test_oov_query_scores_zero(self):
+        index = DeviceBM25Index()
+        index.build([toks(d) for d in DOCS])
+        assert (index.get_scores(["zzzzz"]) == 0).all()
+
+    def test_empty_index(self):
+        index = DeviceBM25Index()
+        index.build([])
+        scores, positions = index.search([["a"]], k=3)
+        assert (positions == -1).all()
+
+    def test_sharded_matches_single(self, rng):
+        mesh = default_mesh()
+        docs = [toks(d) for d in DOCS] * 10  # 80 docs
+        single = DeviceBM25Index()
+        single.build(docs)
+        sharded = DeviceBM25Index(mesh=mesh)
+        sharded.build(docs)
+        s1, p1 = single.search([toks("quick fox"), toks("bond yields")], k=8)
+        s2, p2 = sharded.search([toks("quick fox"), toks("bond yields")], k=8)
+        np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), rtol=1e-5)
+
+
+class TestRetriever:
+    def test_from_texts_invoke(self):
+        r = BM25Retriever.from_texts(DOCS, k=2)
+        docs = r.invoke("quick brown fox")
+        assert docs[0].content == DOCS[0]
+
+    def test_top_k_with_scores_desc(self):
+        r = BM25Retriever.from_texts(DOCS)
+        hits = r.get_top_k_with_scores("fox canine", k=4)
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_batch(self):
+        r = BM25Retriever.from_texts(DOCS, k=1)
+        out = r.invoke_batch(["lazy dog", "bond yields"])
+        assert out[0][0].content == DOCS[0]
+        assert out[1][0].content == DOCS[3]
+
+    def test_add_and_delete_rebuild(self):
+        r = BM25Retriever.from_texts(DOCS[:4])
+        ids = r.add_texts(["an entirely new document about penguins"])
+        assert r.invoke("penguins", k=1)[0].content.endswith("penguins")
+        assert r.delete(ids) is True
+        assert "penguins" not in r.invoke("penguins document", k=1)[0].content
+        assert r.delete(["nope"]) is False
+
+    def test_rebuild_warning_over_threshold(self):
+        r = BM25Retriever.from_texts([f"doc {i} filler words" for i in range(1001)])
+        with pytest.warns(UserWarning, match="rebuild"):
+            r.add_texts(["one more"])
+
+    def test_cjk_warning(self):
+        with pytest.warns(UserWarning, match="CJK"):
+            BM25Retriever.from_texts(["这是中文文本测试"])
+
+    def test_custom_preprocess_no_cjk_warning(self, recwarn):
+        r = BM25Retriever.from_texts(
+            ["这是 中文 文本"], preprocess_func=lambda t: list(t.replace(" ", ""))
+        )
+        assert not any("CJK" in str(w.message) for w in recwarn.list)
+        assert r.invoke("中文", k=1)
+
+    def test_persistence_roundtrip(self, tmp_path):
+        r = BM25Retriever.from_texts(DOCS, k=3)
+        p = tmp_path / "bm25.json"
+        r.save_to_disk(p)
+        r2 = BM25Retriever.load_from_disk(p)
+        q = "quick fox"
+        np.testing.assert_allclose(r.get_scores(q), r2.get_scores(q), rtol=1e-6)
+        assert [d.content for d in r2.invoke(q)] == [d.content for d in r.invoke(q)]
+
+    def test_load_rejects_bad_format(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text('{"format": "other"}')
+        with pytest.raises(ValueError, match="format"):
+            BM25Retriever.load_from_disk(p)
+
+    def test_info(self):
+        r = BM25Retriever.from_texts(DOCS)
+        info = r.get_bm25_info()
+        assert info["num_documents"] == len(DOCS)
+        assert info["vocab_size"] > 0
+        assert info["avgdl"] > 0
+
+    def test_documents_keep_metadata(self):
+        r = BM25Retriever.from_documents(
+            [Document(content="alpha beta", metadata={"k": 1}, id="x")]
+        )
+        doc = r.invoke("alpha")[0]
+        assert doc.metadata == {"k": 1} and doc.id == "x"

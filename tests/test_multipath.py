@@ -1,0 +1,66 @@
+"""Multi-path (hybrid dense+BM25) retrieval tests — BASELINE config 2."""
+
+import pytest
+
+from rag_arc_tpu.index.vector_store import TPUVectorStore
+from rag_arc_tpu.models.embeddings import HashEmbeddings
+from rag_arc_tpu.retrieval.base import BaseRetriever
+from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+from rag_arc_tpu.retrieval.multipath import MultiPathRetriever
+from rag_arc_tpu.utils.fusion import WeightedScoreFusion
+
+CORPUS = [
+    "the cat sat on the mat",
+    "dogs chase cats around the yard",
+    "quantum computing uses qubits",
+    "stock market rallies on earnings",
+    "chocolate cake recipe with cocoa",
+    "tpu chips accelerate neural networks",
+]
+
+
+class FailingRetriever(BaseRetriever):
+    def _get_relevant_documents(self, query, **kwargs):
+        raise RuntimeError("path down")
+
+
+@pytest.fixture
+def hybrid():
+    dense = TPUVectorStore.from_texts(CORPUS, HashEmbeddings(dim=64)).as_retriever()
+    sparse = BM25Retriever.from_texts(CORPUS)
+    return MultiPathRetriever([dense, sparse], top_k=3, top_k_per_retriever=5)
+
+
+def test_hybrid_fuses_paths(hybrid):
+    docs = hybrid.invoke("cat on the mat")
+    assert docs[0].content == CORPUS[0]
+    assert "fusion_score" in docs[0].metadata
+
+
+def test_batch_hybrid(hybrid):
+    out = hybrid.invoke_batch(["qubits", "chocolate cake"])
+    assert out[0][0].content == CORPUS[2]
+    assert out[1][0].content == CORPUS[4]
+
+
+def test_failing_path_isolated(hybrid):
+    hybrid.add_retriever(FailingRetriever(name="broken"))
+    docs = hybrid.invoke("cat on the mat")
+    assert docs[0].content == CORPUS[0]  # still answers
+
+
+def test_management(hybrid):
+    assert hybrid.remove_retriever("BM25Retriever") is True
+    assert hybrid.remove_retriever("BM25Retriever") is False
+    hybrid.set_fusion_method(WeightedScoreFusion())
+    assert hybrid.get_info()["fusion"] == "WeightedScoreFusion"
+    assert hybrid.invoke("cat")  # still works with one path
+
+
+def test_requires_a_retriever():
+    with pytest.raises(ValueError):
+        MultiPathRetriever([])
+
+
+def test_k_override(hybrid):
+    assert len(hybrid.invoke("the cat dogs market", k=5)) == 5
