@@ -1,0 +1,102 @@
+"""Tokenizers for the JAX model stack.
+
+The reference delegates tokenization to HuggingFace tokenizers downloaded
+at runtime (``huggingface.py``, ``Reranker_Qwen3.py:29-39``). This
+environment is zero-egress, so the default here is a **hashing tokenizer**:
+words/punctuation are hashed into a fixed id space (the classic hashing
+trick). It is deterministic, vocabulary-free, language-agnostic, and good
+enough to exercise and benchmark every model path; production deployments
+swap in a real vocabulary through the same interface (``HFTokenizerAdapter``
+wraps any ``transformers`` tokenizer when one is locally available).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD_ID = 0
+BOS_ID = 1
+EOS_ID = 2
+UNK_ID = 3
+N_SPECIAL = 4
+
+
+class HashTokenizer:
+    """Deterministic vocabulary-free tokenizer."""
+
+    _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+    def __init__(self, vocab_size: int = 32768, max_len: int = 512):
+        if vocab_size <= N_SPECIAL:
+            raise ValueError("vocab_size must exceed the special-token count")
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self._cache: dict[str, int] = {}
+
+    def token_id(self, token: str) -> int:
+        tid = self._cache.get(token)
+        if tid is None:
+            h = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+            tid = N_SPECIAL + h % (self.vocab_size - N_SPECIAL)
+            self._cache[token] = tid
+        return tid
+
+    def encode(self, text: str, add_special: bool = True) -> List[int]:
+        ids = [self.token_id(t) for t in self._TOKEN_RE.findall(text.lower())]
+        if add_special:
+            ids = [BOS_ID] + ids[: self.max_len - 2] + [EOS_ID]
+        else:
+            ids = ids[: self.max_len]
+        return ids
+
+    def batch_encode(
+        self,
+        texts: Sequence[str],
+        pad_to: Optional[int] = None,
+        left_pad: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (ids (B, L) int32, mask (B, L) bool). ``left_pad`` matches
+        causal-LM scoring (the reranker reads last-position logits, so real
+        tokens must sit at the end — reference Reranker_Qwen3.py:29-39 uses
+        left padding for the same reason)."""
+        encoded = [self.encode(t) for t in texts]
+        longest = max((len(e) for e in encoded), default=1)
+        length = min(pad_to or longest, self.max_len)
+        length = max(length, 1)
+        ids = np.full((len(texts), length), PAD_ID, dtype=np.int32)
+        mask = np.zeros((len(texts), length), dtype=bool)
+        for i, e in enumerate(encoded):
+            e = e[:length]
+            if left_pad:
+                ids[i, length - len(e):] = e
+                mask[i, length - len(e):] = True
+            else:
+                ids[i, : len(e)] = e
+                mask[i, : len(e)] = True
+        return ids, mask
+
+
+class HFTokenizerAdapter:
+    """Adapter presenting a local ``transformers`` tokenizer through the
+    same batch_encode interface (gated: only usable when weights/vocab
+    exist on disk — this image has no network egress)."""
+
+    def __init__(self, tokenizer, max_len: int = 512):
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.vocab_size = int(tokenizer.vocab_size)
+
+    def batch_encode(self, texts, pad_to=None, left_pad=False):
+        self.tokenizer.padding_side = "left" if left_pad else "right"
+        out = self.tokenizer(
+            list(texts),
+            padding="max_length" if pad_to else True,
+            max_length=pad_to or self.max_len,
+            truncation=True,
+            return_tensors="np",
+        )
+        return out["input_ids"].astype(np.int32), out["attention_mask"].astype(bool)

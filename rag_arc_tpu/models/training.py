@@ -1,0 +1,116 @@
+"""Dual-encoder contrastive training.
+
+The reference never trains anything (it consumes pretrained torch
+checkpoints), but a TPU-native retrieval framework must be able to fit its
+own encoder — this module provides the standard InfoNCE in-batch-negatives
+objective used to train sentence embedders, as a single pjit-sharded train
+step:
+
+- mesh axes ``("dp", "tp")`` — the batch shards over ``dp``; attention QKV
+  / MLP / vocab parameters shard over ``tp`` via
+  ``rag_arc_tpu.models.encoder.param_shardings``.
+- the (B, B) similarity logits require every device to see every document
+  embedding; expressing the loss on globally-sharded arrays lets XLA insert
+  the all-gather over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_arc_tpu.models.encoder import TextEncoder, TransformerConfig, param_shardings
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def contrastive_loss(
+    params: Dict,
+    model: TextEncoder,
+    batch: Dict[str, jax.Array],
+    temperature: float = 0.05,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Symmetric InfoNCE over in-batch negatives."""
+    q = model.apply(params, batch["q_ids"], batch["q_mask"])  # (B, D) unit-norm
+    d = model.apply(params, batch["d_ids"], batch["d_mask"])
+    logits = (q @ d.T) / temperature  # (B, B)
+    labels = jnp.arange(logits.shape[0])
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    loss = 0.5 * (loss_qd.mean() + loss_dq.mean())
+    accuracy = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
+def make_train_step(model: TextEncoder, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        grad_fn = jax.value_and_grad(contrastive_loss, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, model, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(
+    model: TextEncoder,
+    params: Dict,
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_sharded_train_step(
+    model: TextEncoder,
+    optimizer: optax.GradientTransformation,
+    params: Dict,
+    mesh: Mesh,
+):
+    """jit the train step over a (dp, tp) mesh with explicit shardings.
+
+    Returns (jitted_step, shard_fn) where shard_fn places a host TrainState
+    / batch onto the mesh.
+    """
+    p_shard = param_shardings(params, mesh)
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+    replicated = NamedSharding(mesh, P())
+
+    step_fn = make_train_step(model, optimizer)
+
+    def _sharding_for_state(state: TrainState):
+        # optimizer slots mirror param shapes → shard them like the
+        # matching param; scalar slots (counts, schedules) replicate.
+        param_leaves = jax.tree_util.tree_leaves(state.params)
+        shard_leaves = jax.tree_util.tree_leaves(p_shard)
+        shape_to_shard = {}
+        for leaf, sh in zip(param_leaves, shard_leaves):
+            shape_to_shard.setdefault(leaf.shape, sh)
+
+        def assign(leaf):
+            sh = shape_to_shard.get(getattr(leaf, "shape", None))
+            return sh if sh is not None else replicated
+
+        opt_shard = jax.tree_util.tree_map(assign, state.opt_state)
+        return TrainState(p_shard, opt_shard, replicated)
+
+    def shard_state(state: TrainState) -> TrainState:
+        shardings = _sharding_for_state(state)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), state, shardings
+        )
+
+    def shard_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        return {k: jax.device_put(jnp.asarray(v), batch_sharding) for k, v in batch.items()}
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return jitted, shard_state, shard_batch

@@ -1,0 +1,126 @@
+"""Pointwise yes/no cross-encoder reranker.
+
+Semantics parity with the reference's ``Qwen3Reranker``
+(``core/rerank/Reranker_Qwen3.py:6-75``): each (query, document) pair is
+rendered into a judge prompt, run through a causal LM, and scored as
+P("yes") from a two-way log-softmax over the "yes"/"no" token logits at the
+last position; results sort descending and truncate to k.
+
+TPU redesign: instead of the reference's batch_size=8 python loop with one
+GPU forward per batch (``Reranker_Qwen3.py:57-67``), the *entire* candidate
+set is left-padded into one (N, L) batch and scored in a single fused
+device dispatch — prompt rendering and tokenization are the only host work.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_arc_tpu.models.encoder import CausalLM, TransformerConfig, init_causal_lm
+from rag_arc_tpu.models.tokenizer import HashTokenizer
+from rag_arc_tpu.rerank.base import RerankerBase
+from rag_arc_tpu.utils.data_model import Document
+
+DEFAULT_INSTRUCTION = (
+    "Given a web search query, retrieve relevant passages that answer the query"
+)
+
+PROMPT_TEMPLATE = (
+    "Judge whether the Document meets the requirements based on the Query "
+    "and the Instruct provided. Answer only \"yes\" or \"no\".\n"
+    "<Instruct>: {instruction}\n<Query>: {query}\n<Document>: {document}\n"
+    "Answer:"
+)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _score_batch(
+    model: CausalLM,
+    params: Dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    yes_id: int,
+    no_id: int,
+) -> jax.Array:
+    """P(yes) per row: 2-way log-softmax over yes/no logits at the last
+    position (rows are left-padded so the last position is the answer slot,
+    mirroring Reranker_Qwen3.py:41-49)."""
+    logits = model.apply(params, ids, mask)  # (B, L, V)
+    last = logits[:, -1, :]  # (B, V)
+    pair = jnp.stack([last[:, no_id], last[:, yes_id]], axis=-1)  # (B, 2)
+    logp = jax.nn.log_softmax(pair, axis=-1)
+    return jnp.exp(logp[:, 1])
+
+
+class CrossEncoderReranker(RerankerBase):
+    def __init__(
+        self,
+        cfg: Optional[TransformerConfig] = None,
+        params: Optional[Dict] = None,
+        tokenizer=None,
+        instruction: str = DEFAULT_INSTRUCTION,
+        max_length: int = 512,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or TransformerConfig(causal=True)
+        self.model = CausalLM(self.cfg)
+        if params is None:
+            _, params = init_causal_lm(self.cfg, seed=seed)
+        self.params = params
+        self.tokenizer = tokenizer or HashTokenizer(
+            vocab_size=self.cfg.vocab_size, max_len=min(max_length, self.cfg.max_len)
+        )
+        self.instruction = instruction
+        self.max_length = min(max_length, self.cfg.max_len)
+        self.yes_id = self.tokenizer.token_id("yes")
+        self.no_id = self.tokenizer.token_id("no")
+
+    def _render(self, query: str, document: str) -> str:
+        return PROMPT_TEMPLATE.format(
+            instruction=self.instruction, query=query, document=document
+        )
+
+    def compute_scores(
+        self, query: str, documents: Sequence[Document]
+    ) -> np.ndarray:
+        """Score every candidate in one device dispatch."""
+        if not documents:
+            return np.empty((0,), dtype=np.float32)
+        prompts = [self._render(query, d.content) for d in documents]
+        ids, mask = self.tokenizer.batch_encode(
+            prompts, pad_to=self.max_length, left_pad=True
+        )
+        n = len(prompts)
+        b_pad = 1 << math.ceil(math.log2(max(n, 1)))
+        if b_pad > n:
+            ids = np.pad(ids, ((0, b_pad - n), (0, 0)))
+            mask = np.pad(mask, ((0, b_pad - n), (0, 0)))
+        scores = _score_batch(
+            self.model,
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            self.yes_id,
+            self.no_id,
+        )
+        return np.asarray(jax.device_get(scores))[:n]
+
+    def rerank(
+        self, query: str, documents: Sequence[Document], k: Optional[int] = None, **_: Any
+    ) -> List[Document]:
+        documents = list(documents)
+        scores = self.compute_scores(query, documents)
+        order = np.argsort(-scores, kind="stable")
+        k = len(documents) if k is None else int(k)
+        out = []
+        for i in order[:k]:
+            doc = documents[int(i)]
+            doc.metadata["rerank_score"] = float(scores[int(i)])
+            out.append(doc)
+        return out

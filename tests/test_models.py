@@ -1,0 +1,231 @@
+"""Model stack tests: tokenizer, encoder, flax embeddings, reranker,
+contrastive training (incl. sharded dp×tp step on the 8-device mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from rag_arc_tpu.models.encoder import (
+    CausalLM,
+    TextEncoder,
+    TransformerConfig,
+    count_params,
+    init_causal_lm,
+    init_encoder,
+    param_shardings,
+)
+from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+from rag_arc_tpu.models.tokenizer import HashTokenizer, PAD_ID
+from rag_arc_tpu.models.training import (
+    contrastive_loss,
+    init_train_state,
+    make_sharded_train_step,
+    make_train_step,
+)
+from rag_arc_tpu.rerank.cross_encoder import CrossEncoderReranker
+from rag_arc_tpu.utils.data_model import Document
+
+TINY = TransformerConfig.tiny()
+
+
+class TestTokenizer:
+    def test_deterministic(self):
+        tok = HashTokenizer(vocab_size=1000)
+        assert tok.encode("hello world") == tok.encode("hello world")
+
+    def test_ids_in_range(self):
+        tok = HashTokenizer(vocab_size=100)
+        ids = tok.encode("some words and punctuation! 你好")
+        assert all(0 <= i < 100 for i in ids)
+
+    def test_batch_right_pad(self):
+        tok = HashTokenizer()
+        ids, mask = tok.batch_encode(["a b c", "a"])
+        assert ids.shape == mask.shape
+        assert mask[0].sum() > mask[1].sum()
+        assert ids[1, mask[1].sum():].tolist() == [PAD_ID] * (ids.shape[1] - mask[1].sum())
+
+    def test_batch_left_pad(self):
+        tok = HashTokenizer()
+        ids, mask = tok.batch_encode(["a b c", "a"], left_pad=True)
+        assert not mask[1, 0]  # padding at the front
+        assert mask[1, -1]  # content at the end
+
+    def test_truncation(self):
+        tok = HashTokenizer(max_len=8)
+        ids, _ = tok.batch_encode(["w " * 100])
+        assert ids.shape[1] == 8
+
+
+class TestEncoder:
+    def test_forward_shape_and_norm(self):
+        model, params = init_encoder(TINY)
+        ids = jnp.ones((2, 10), dtype=jnp.int32)
+        mask = jnp.ones((2, 10), dtype=bool)
+        out = model.apply(params, ids, mask)
+        assert out.shape == (2, TINY.dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-5
+        )
+
+    def test_mask_ignores_padding(self):
+        model, params = init_encoder(TINY)
+        ids = jnp.asarray([[5, 6, 7, 0, 0]], dtype=jnp.int32)
+        mask = jnp.asarray([[1, 1, 1, 0, 0]], dtype=bool)
+        ids2 = jnp.asarray([[5, 6, 7, 9, 9]], dtype=jnp.int32)  # junk in padding
+        out1 = model.apply(params, ids, mask)
+        out2 = model.apply(params, ids2, mask)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-2)
+
+    def test_causal_lm_shape(self):
+        model, params = init_causal_lm(TINY)
+        logits = model.apply(
+            params, jnp.ones((2, 6), jnp.int32), jnp.ones((2, 6), bool)
+        )
+        assert logits.shape == (2, 6, TINY.vocab_size)
+
+    def test_causality(self):
+        """Changing a future token must not change past logits."""
+        model, params = init_causal_lm(TINY)
+        mask = jnp.ones((1, 6), bool)
+        a = jnp.asarray([[4, 5, 6, 7, 8, 9]], jnp.int32)
+        b = a.at[0, 5].set(100)
+        la = model.apply(params, a, mask)
+        lb = model.apply(params, b, mask)
+        np.testing.assert_allclose(
+            np.asarray(la[0, :5]), np.asarray(lb[0, :5]), atol=1e-4
+        )
+        assert not np.allclose(np.asarray(la[0, 5]), np.asarray(lb[0, 5]), atol=1e-4)
+
+    def test_param_count_flagship_scale(self):
+        cfg = TransformerConfig(vocab_size=1024, dim=128, depth=2, heads=4, max_len=64)
+        _, params = init_encoder(cfg)
+        assert count_params(params) > 100_000
+
+
+class TestFlaxEmbeddings:
+    def test_encode_shapes_and_determinism(self):
+        emb = FlaxEncoderEmbeddings(cfg=TINY)
+        v1 = emb.encode(["hello world", "another text entirely"])
+        v2 = emb.encode(["hello world", "another text entirely"])
+        assert v1.shape == (2, TINY.dim)
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+    def test_similar_texts_closer(self):
+        emb = FlaxEncoderEmbeddings(cfg=TINY)
+        v = emb.encode(["the cat sat", "the cat sat down", "finance rates bonds"])
+        sim_close = v[0] @ v[1]
+        sim_far = v[0] @ v[2]
+        assert sim_close > sim_far
+
+    def test_empty(self):
+        emb = FlaxEncoderEmbeddings(cfg=TINY)
+        assert emb.encode([]).shape == (0, TINY.dim)
+
+    def test_embed_documents_list_api(self):
+        emb = FlaxEncoderEmbeddings(cfg=TINY)
+        out = emb.embed_documents(["a"])
+        assert isinstance(out, list) and len(out[0]) == TINY.dim
+
+    def test_end_to_end_with_store(self):
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+
+        emb = FlaxEncoderEmbeddings(cfg=TINY)
+        store = TPUVectorStore.from_texts(
+            ["alpha beta gamma", "delta epsilon zeta", "alpha beta"], emb
+        )
+        docs = store.similarity_search("alpha beta gamma", k=1)
+        assert docs[0].content == "alpha beta gamma"
+
+
+class TestReranker:
+    def test_scores_shape_and_range(self):
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        docs = [Document(content=f"doc {i}") for i in range(5)]
+        scores = rr.compute_scores("query", docs)
+        assert scores.shape == (5,)
+        assert ((scores >= 0) & (scores <= 1)).all()
+
+    def test_rerank_sorted_and_truncated(self):
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        docs = [Document(content=f"document number {i}") for i in range(6)]
+        out = rr.rerank("q", docs, k=3)
+        assert len(out) == 3
+        scores = [d.metadata["rerank_score"] for d in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_empty(self):
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        assert rr.rerank("q", []) == []
+
+
+class TestTraining:
+    def test_loss_decreases(self):
+        model, params = init_encoder(TINY, seed=0)
+        optimizer = optax.adam(1e-2)
+        state = init_train_state(model, params, optimizer)
+        step = jax.jit(make_train_step(model, optimizer))
+        rng = np.random.default_rng(0)
+        batch = {
+            "q_ids": jnp.asarray(rng.integers(4, 500, (8, 12)), jnp.int32),
+            "q_mask": jnp.ones((8, 12), bool),
+            "d_ids": jnp.asarray(rng.integers(4, 500, (8, 12)), jnp.int32),
+            "d_mask": jnp.ones((8, 12), bool),
+        }
+        _, m0 = step(state, batch)
+        for _ in range(5):
+            state, metrics = step(state, batch)
+        assert float(metrics["loss"]) < float(m0["loss"])
+
+    def test_sharded_train_step_8dev(self):
+        import optax
+
+        devices = jax.devices()
+        assert len(devices) == 8
+        mesh = Mesh(np.asarray(devices).reshape(4, 2), ("dp", "tp"))
+        model, params = init_encoder(TINY, seed=0)
+        optimizer = optax.adamw(1e-3)
+        state = init_train_state(model, params, optimizer)
+        step, shard_state, shard_batch = make_sharded_train_step(
+            model, optimizer, params, mesh
+        )
+        state = shard_state(state)
+        rng = np.random.default_rng(0)
+        batch = shard_batch(
+            {
+                "q_ids": rng.integers(4, 500, (8, 16)).astype(np.int32),
+                "q_mask": np.ones((8, 16), bool),
+                "d_ids": rng.integers(4, 500, (8, 16)).astype(np.int32),
+                "d_mask": np.ones((8, 16), bool),
+            }
+        )
+        with mesh:
+            state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_tp_shardings_cover_qkv(self):
+        mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+        _, params = init_encoder(TINY)
+        shards = param_shardings(params, mesh)
+        flat = jax.tree_util.tree_leaves_with_path(shards)
+        tp_sharded = [
+            "/".join(str(getattr(p, "key", p)) for p in path)
+            for path, s in flat
+            if "tp" in str(s.spec)
+        ]
+        assert any("qkv" in p for p in tp_sharded)
+        assert any("mlp_up" in p for p in tp_sharded)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
