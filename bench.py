@@ -1,0 +1,149 @@
+"""Benchmark harness: dense retrieval QPS on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+
+Headline: batched cosine top-10 queries over a 2M x 768 bf16 corpus
+resident in HBM on a single chip (the north-star configuration is 10M x
+768 sharded over a v5e-8; 2M/chip is the same per-chip working set).
+``vs_baseline`` is measured QPS / 10_000 — the north-star target from
+BASELINE.md (the reference publishes no numbers of its own, BASELINE.md:3).
+
+Also reported inside the same JSON object: p50 batch latency, per-query
+amortized latency, recall@10 vs an exact f32 numpy oracle on a query
+subsample, and encoder embedding throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+CORPUS_N = int(os.environ.get("BENCH_CORPUS_N", 2_000_000))
+DIM = int(os.environ.get("BENCH_DIM", 768))
+BATCH = int(os.environ.get("BENCH_BATCH", 512))
+K = 10
+N_BATCHES = int(os.environ.get("BENCH_BATCHES", 30))
+ORACLE_QUERIES = 128
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from rag_arc_tpu.index.flat import DeviceFlatIndex
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    corpus = rng.standard_normal((CORPUS_N, DIM), dtype=np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    build_host_s = time.time() - t0
+
+    index = DeviceFlatIndex(
+        dim=DIM, metric="cosine", capacity=CORPUS_N, dtype=jnp.bfloat16
+    )
+    t0 = time.time()
+    step = 1 << 17
+    for start in range(0, CORPUS_N, step):
+        index.add(corpus[start : start + step])
+    jax.block_until_ready(index.emb)
+    build_dev_s = time.time() - t0
+
+    # queries: perturbed corpus rows → recall@10 is a meaningful check
+    q_idx = rng.integers(0, CORPUS_N, size=BATCH * N_BATCHES)
+    queries = corpus[q_idx] + 0.1 * rng.standard_normal(
+        (BATCH * N_BATCHES, DIM), dtype=np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    batches = queries.reshape(N_BATCHES, BATCH, DIM)
+
+    # warmup / compile
+    index.search(batches[0], K)
+
+    times = []
+    for i in range(N_BATCHES):
+        t0 = time.time()
+        scores, positions = index.search(batches[i], K)
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    p50_batch_ms = float(np.percentile(times, 50) * 1e3)
+    qps = float(BATCH * N_BATCHES / times.sum())
+
+    # single-query latency (includes host<->device transfer; on this box
+    # that transfer rides a network tunnel, so it overstates real-silicon
+    # latency substantially)
+    index.search(batches[0][:1], K)
+    t_single = []
+    for i in range(20):
+        t0 = time.time()
+        index.search(batches[i % N_BATCHES][:1], K)
+        t_single.append(time.time() - t0)
+    p50_single_ms = float(np.percentile(t_single, 50) * 1e3)
+
+    # recall@10 vs exact f32 oracle on a subsample
+    sub = queries[:ORACLE_QUERIES]
+    _, got = index.search(sub, K)
+    exact_scores = np.empty((ORACLE_QUERIES, CORPUS_N), dtype=np.float32)
+    chunk = 1 << 18
+    for start in range(0, CORPUS_N, chunk):
+        exact_scores[:, start : start + chunk] = sub @ corpus[start : start + chunk].T
+    exact_top = np.argpartition(-exact_scores, K, axis=1)[:, :K]
+    recall = float(
+        np.mean(
+            [
+                len(set(got[i].tolist()) & set(exact_top[i].tolist())) / K
+                for i in range(ORACLE_QUERIES)
+            ]
+        )
+    )
+
+    # encoder embedding throughput (flagship config, bf16)
+    from rag_arc_tpu.models.encoder import TransformerConfig, init_encoder
+
+    cfg = TransformerConfig(vocab_size=32768, dim=768, depth=12, heads=12, max_len=512)
+    model, params = init_encoder(cfg)
+    fwd = jax.jit(model.apply)
+    ids = jnp.asarray(rng.integers(4, 32768, (64, 128)), jnp.int32)
+    mask = jnp.ones((64, 128), dtype=bool)
+    jax.block_until_ready(fwd(params, ids, mask))
+    t0 = time.time()
+    for _ in range(10):
+        out = fwd(params, ids, mask)
+    jax.block_until_ready(out)
+    docs_per_s = float(64 * 10 / (time.time() - t0))
+
+    result = {
+        "metric": "dense_retrieval_qps_top10_2Mx768_bf16_1chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 10_000.0, 3),
+        "p50_batch_ms": round(p50_batch_ms, 2),
+        "batch": BATCH,
+        "amortized_ms_per_query": round(p50_batch_ms / BATCH, 4),
+        "p50_single_query_ms_incl_tunnel": round(p50_single_ms, 2),
+        "recall_at_10_vs_f32_exact": round(recall, 4),
+        "corpus": CORPUS_N,
+        "dim": DIM,
+        "embed_docs_per_s_1chip": round(docs_per_s, 1),
+        "index_build_s": round(build_dev_s, 2),
+        "host_datagen_s": round(build_host_s, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
