@@ -234,6 +234,15 @@ class DeviceFlatIndex:
             )
         return scores, positions
 
+    def search_device(self, q: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+        """Device-to-device search: ``q`` is already a padded (B, dim)
+        device array and results stay on device. This is the serving hot
+        path — callers chain the encoder forward into this without any
+        host round trip, and pipeline batches without blocking."""
+        if self.mesh is not None:
+            return self._search_sharded(q, k)
+        return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
+
     def _search_sharded(self, q: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name
         local_cap = self.capacity // self.n_shards

@@ -1,0 +1,112 @@
+"""Multi-query rewrite retrieval.
+
+The reference reserves ``core/query_rewrite/`` as an empty stub
+(SURVEY.md §1 quirks) but names it in the BASELINE configs, so the design
+here is free: an LLM generates N query variants (structured output), the
+variants PLUS the original are answered **in one batched retrieval
+dispatch** (``invoke_batch`` — on TPU this is a single XLA program over the
+stacked query batch), and the per-variant rankings are fused with RRF,
+deduplicating documents that multiple phrasings surface.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, List, Optional, Sequence
+
+from pydantic import BaseModel, Field
+
+from rag_arc_tpu.llm.base import LLMBase
+from rag_arc_tpu.retrieval.base import BaseRetriever
+from rag_arc_tpu.utils.data_model import Document, RetrievalResult
+from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion
+
+logger = logging.getLogger(__name__)
+
+REWRITE_PROMPT = (
+    "You rewrite search queries. Generate {n} alternative phrasings of the "
+    "user's query that could surface different relevant documents: use "
+    "synonyms, different specificity levels, and decomposition of compound "
+    "questions. Return only the rewritten queries.\n\nQuery: {query}"
+)
+
+
+class QueryVariants(BaseModel):
+    queries: List[str] = Field(description="alternative phrasings of the query")
+
+
+class MultiQueryRewriter:
+    """LLM-backed query expansion."""
+
+    def __init__(
+        self,
+        llm: LLMBase,
+        n_variants: int = 3,
+        prompt_template: str = REWRITE_PROMPT,
+    ):
+        self.llm = llm
+        self.n_variants = n_variants
+        self.prompt_template = prompt_template
+
+    def rewrite(self, query: str) -> List[str]:
+        """Returns up to n_variants distinct non-empty rewrites (never the
+        original, never duplicates). LLM failure degrades to no variants."""
+        prompt = self.prompt_template.format(n=self.n_variants, query=query)
+        try:
+            out = self.llm.parse_chat(
+                [{"role": "user", "content": prompt}], QueryVariants
+            )
+        except Exception as exc:  # noqa: BLE001 — rewrite is best-effort
+            logger.warning("query rewrite failed (%s); using original only", exc)
+            return []
+        seen = {query.strip().lower()}
+        variants = []
+        for q in out.queries:
+            q = q.strip()
+            if q and q.lower() not in seen:
+                seen.add(q.lower())
+                variants.append(q)
+            if len(variants) >= self.n_variants:
+                break
+        return variants
+
+
+class RewriteRetriever(BaseRetriever):
+    """Retriever wrapper: rewrite → one batched dispatch → fused ranking."""
+
+    def __init__(
+        self,
+        retriever: BaseRetriever,
+        rewriter: MultiQueryRewriter,
+        fusion_method: Optional[FusionMethod] = None,
+        top_k: int = 10,
+        k_per_query: int = 20,
+        include_original: bool = True,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name=name)
+        self.retriever = retriever
+        self.rewriter = rewriter
+        self.fusion_method = fusion_method or RRFusion()
+        self.top_k = top_k
+        self.k_per_query = k_per_query
+        self.include_original = include_original
+
+    def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
+        top_k = int(kwargs.get("k", self.top_k))
+        queries = self.rewriter.rewrite(query)
+        if self.include_original or not queries:
+            queries = [query] + queries
+        per_query = self.retriever.invoke_batch(queries, k=self.k_per_query)
+        paths = [
+            [
+                RetrievalResult(document=doc, score=0.0, rank=rank, source=f"q{qi}")
+                for rank, doc in enumerate(docs)
+            ]
+            for qi, docs in enumerate(per_query)
+        ]
+        return self.fusion_method.fuse(paths, top_k)
+
+    def last_variants(self, query: str) -> List[str]:
+        """Expose the rewrites for observability/debugging."""
+        return self.rewriter.rewrite(query)
