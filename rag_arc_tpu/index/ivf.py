@@ -1,0 +1,310 @@
+"""HBM-resident IVF (inverted-file) index.
+
+TPU replacement for FAISS ``IndexIVFFlat`` (``VectorStore_Faiss.py:110-148``,
+nlist=100 default, auto-train semantics). Layout: cluster lists are a
+*padded dense tensor* ``lists (nlist, Lmax, dim)`` with validity mask and
+global-position tensor — no variable-length postings, so probing is pure
+gather + einsum + top-k with static shapes:
+
+  centroid scores (B, nlist) → top-nprobe clusters → gather
+  (B, nprobe, Lmax, dim) → score → masked top-k over the probed slots.
+
+Trade-off note (measured, see bench): at large query batch the flat
+matmul amortizes corpus reads across the batch and is usually *faster*
+than IVF's per-query gathers on TPU — IVF wins for small-batch/low-latency
+traffic and for corpora whose flat scan exceeds the compute budget. Recall
+follows nprobe/nlist exactly as in FAISS.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_arc_tpu.ops.kmeans import kmeans
+from rag_arc_tpu.ops.scoring import NEG_INF, l2_normalize
+from rag_arc_tpu.parallel.mesh import round_up
+
+logger = logging.getLogger(__name__)
+
+SUB_BATCH = 32  # probe gather memory = SUB_BATCH * nprobe * Lmax * dim
+
+
+class DeviceIVFIndex:
+    def __init__(
+        self,
+        dim: int,
+        nlist: int = 100,
+        nprobe: int = 8,
+        metric: str = "cosine",
+        dtype=jnp.float32,
+    ):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+        self.metric = metric
+        self.dtype = dtype
+        self.size = 0
+        self.n_deleted = 0
+        self.lmax = 0
+        self.centroids: Optional[jax.Array] = None
+        self.lists: Optional[jax.Array] = None
+        self.sqnorm: Optional[jax.Array] = None
+        self.valid: Optional[jax.Array] = None
+        self.pos: Optional[jax.Array] = None
+        # host-side slot bookkeeping
+        self._fill = np.zeros(nlist, dtype=np.int64)
+        self._pos_to_loc: Dict[int, Tuple[int, int]] = {}
+
+    # -- build -------------------------------------------------------------
+
+    @classmethod
+    def from_vectors(
+        cls,
+        vectors: np.ndarray,
+        nlist: int = 100,
+        nprobe: int = 8,
+        metric: str = "cosine",
+        dtype=jnp.float32,
+        train_iters: int = 10,
+        seed: int = 0,
+    ) -> "DeviceIVFIndex":
+        vectors = np.asarray(vectors, dtype=np.float32)
+        index = cls(
+            dim=vectors.shape[1], nlist=nlist, nprobe=nprobe, metric=metric, dtype=dtype
+        )
+        index._train_and_fill(vectors, train_iters, seed)
+        return index
+
+    def _prep(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if self.metric == "cosine":
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
+            )
+        return vectors
+
+    def _train_and_fill(self, vectors: np.ndarray, train_iters: int, seed: int) -> None:
+        vectors = self._prep(vectors)
+        n = vectors.shape[0]
+        if n < self.nlist:
+            raise ValueError(
+                f"IVF needs >= nlist ({self.nlist}) training vectors, got {n}"
+            )
+        centroids, assign = kmeans(
+            vectors, self.nlist, n_iters=train_iters, seed=seed
+        )
+        counts = np.bincount(assign, minlength=self.nlist)
+        self.lmax = round_up(max(int(counts.max()), 8) * 2, 8)  # headroom for adds
+        lists = np.zeros((self.nlist, self.lmax, self.dim), dtype=np.float32)
+        sqnorm = np.zeros((self.nlist, self.lmax), dtype=np.float32)
+        valid = np.zeros((self.nlist, self.lmax), dtype=bool)
+        pos = np.full((self.nlist, self.lmax), -1, dtype=np.int32)
+        self._fill = np.zeros(self.nlist, dtype=np.int64)
+        for i in range(n):
+            cluster = int(assign[i])
+            slot = int(self._fill[cluster])
+            lists[cluster, slot] = vectors[i]
+            sqnorm[cluster, slot] = float(vectors[i] @ vectors[i])
+            valid[cluster, slot] = True
+            pos[cluster, slot] = i
+            self._pos_to_loc[i] = (cluster, slot)
+            self._fill[cluster] += 1
+        self.centroids = jnp.asarray(centroids)
+        self.lists = jnp.asarray(lists, dtype=self.dtype)
+        self.sqnorm = jnp.asarray(sqnorm)
+        self.valid = jnp.asarray(valid)
+        self.pos = jnp.asarray(pos)
+        self.size = n
+
+    # -- mutation ------------------------------------------------------------
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        if self.centroids is None:
+            raise RuntimeError("IVF index is untrained; build with from_vectors")
+        vectors = self._prep(vectors)
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        c = np.asarray(jax.device_get(self.centroids))
+        scores = vectors @ c.T
+        if self.metric == "l2":
+            scores = 2 * scores - (c * c).sum(1)[None, :]
+        assign = np.argmax(scores, axis=1)
+        if (self._fill[np.unique(assign)] + np.bincount(assign, minlength=self.nlist)[np.unique(assign)]).max() > self.lmax:
+            self._grow_lmax()
+        # host-side packing of updates, one device_put per add call
+        lists = np.array(jax.device_get(self.lists), dtype=np.float32)
+        sqnorm = np.array(jax.device_get(self.sqnorm))
+        valid = np.array(jax.device_get(self.valid))
+        pos = np.array(jax.device_get(self.pos))
+        positions = np.arange(self.size, self.size + n, dtype=np.int64)
+        for i in range(n):
+            cluster = int(assign[i])
+            if self._fill[cluster] >= self.lmax:
+                # regrow mid-add (rare)
+                self.lists = jnp.asarray(lists, dtype=self.dtype)
+                self.sqnorm = jnp.asarray(sqnorm)
+                self.valid = jnp.asarray(valid)
+                self.pos = jnp.asarray(pos)
+                self._grow_lmax()
+                lists = np.array(jax.device_get(self.lists), dtype=np.float32)
+                sqnorm = np.array(jax.device_get(self.sqnorm))
+                valid = np.array(jax.device_get(self.valid))
+                pos = np.array(jax.device_get(self.pos))
+            slot = int(self._fill[cluster])
+            lists[cluster, slot] = vectors[i]
+            sqnorm[cluster, slot] = float(vectors[i] @ vectors[i])
+            valid[cluster, slot] = True
+            pos[cluster, slot] = int(positions[i])
+            self._pos_to_loc[int(positions[i])] = (cluster, slot)
+            self._fill[cluster] += 1
+        self.lists = jnp.asarray(lists, dtype=self.dtype)
+        self.sqnorm = jnp.asarray(sqnorm)
+        self.valid = jnp.asarray(valid)
+        self.pos = jnp.asarray(pos)
+        self.size += n
+        return positions
+
+    def _grow_lmax(self) -> None:
+        new_lmax = self.lmax * 2
+        logger.info("growing IVF list capacity %d → %d", self.lmax, new_lmax)
+        pad = new_lmax - self.lmax
+        self.lists = jnp.pad(self.lists, ((0, 0), (0, pad), (0, 0)))
+        self.sqnorm = jnp.pad(self.sqnorm, ((0, 0), (0, pad)))
+        self.valid = jnp.pad(self.valid, ((0, 0), (0, pad)))
+        self.pos = jnp.pad(self.pos, ((0, 0), (0, pad)), constant_values=-1)
+        self.lmax = new_lmax
+
+    def mark_deleted(self, positions: np.ndarray) -> None:
+        locs = [self._pos_to_loc[int(p)] for p in positions if int(p) in self._pos_to_loc]
+        if not locs:
+            return
+        clusters = jnp.asarray([c for c, _ in locs])
+        slots = jnp.asarray([s for _, s in locs])
+        self.valid = self.valid.at[clusters, slots].set(False)
+        self.n_deleted += len(locs)
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.centroids is None or self.size == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int64),
+            )
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if queries.shape[1] != self.dim:
+            raise ValueError(f"query dim {queries.shape[1]} != {self.dim}")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        k_eff = min(k, nprobe * self.lmax)
+        all_scores, all_pos = [], []
+        for start in range(0, queries.shape[0], SUB_BATCH):
+            sub = queries[start : start + SUB_BATCH]
+            pad = SUB_BATCH - sub.shape[0]
+            if pad:
+                sub = np.pad(sub, ((0, pad), (0, 0)))
+            s, p = _ivf_search(
+                self.centroids,
+                self.lists,
+                self.sqnorm,
+                self.valid,
+                self.pos,
+                jnp.asarray(sub),
+                k_eff,
+                nprobe,
+                self.metric,
+            )
+            s = np.asarray(jax.device_get(s))
+            p = np.asarray(jax.device_get(p)).astype(np.int64)
+            if pad:
+                s, p = s[:-pad], p[:-pad]
+            all_scores.append(s)
+            all_pos.append(p)
+        scores = np.concatenate(all_scores)
+        positions = np.concatenate(all_pos)
+        positions = np.where(np.isneginf(scores), -1, positions)
+        if k_eff < k:
+            scores = np.pad(
+                scores, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            positions = np.pad(
+                positions, ((0, 0), (0, k - k_eff)), constant_values=-1
+            )
+        return scores, positions
+
+    def take(self, positions: np.ndarray) -> np.ndarray:
+        locs = [self._pos_to_loc[int(p)] for p in positions]
+        clusters = jnp.asarray([c for c, _ in locs])
+        slots = jnp.asarray([s for _, s in locs])
+        out = jax.device_get(self.lists[clusters, slots])
+        return np.asarray(out, dtype=np.float32)
+
+    # -- introspection ----------------------------------------------------------
+
+    @property
+    def n_active(self) -> int:
+        return self.size - self.n_deleted
+
+    def stats(self) -> Dict[str, object]:
+        fill = self._fill
+        return {
+            "kind": "ivf",
+            "dim": self.dim,
+            "metric": self.metric,
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "lmax": self.lmax,
+            "size": self.size,
+            "active": self.n_active,
+            "deleted": self.n_deleted,
+            "list_fill_mean": float(fill.mean()) if self.size else 0.0,
+            "list_fill_max": int(fill.max()) if self.size else 0,
+            "hbm_bytes": 0
+            if self.lists is None
+            else self.nlist * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize,
+        }
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def _ivf_search(centroids, lists, sqnorm, valid, pos, q, k, nprobe, metric):
+    if metric == "cosine":
+        q = l2_normalize(q)
+    cross = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        c_scores = 2.0 * cross - c_sq[None, :]
+    else:
+        c_scores = cross
+    _, probe = jax.lax.top_k(c_scores, nprobe)  # (B, nprobe)
+
+    sub_lists = lists[probe]  # (B, nprobe, Lmax, d)
+    sub_valid = valid[probe]
+    sub_pos = pos[probe]
+    scores = jnp.einsum(
+        "bd,bpld->bpl",
+        q.astype(lists.dtype),
+        sub_lists,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        sub_sq = sqnorm[probe]
+        q_sq = jnp.sum(q * q, axis=1)
+        scores = -(q_sq[:, None, None] - 2.0 * scores + sub_sq)
+    scores = jnp.where(sub_valid, scores, NEG_INF)
+    b = q.shape[0]
+    flat = scores.reshape(b, -1)
+    s, idx = jax.lax.top_k(flat, k)
+    p = jnp.take_along_axis(sub_pos.reshape(b, -1), idx, axis=-1)
+    return s, p

@@ -232,7 +232,13 @@ class TPUVectorStore(VectorStore):
         dtype: Any = None,
         index: Optional[DeviceFlatIndex] = None,
         compact_threshold: float = 0.5,
+        index_type: str = "flat",
+        nlist: int = 100,
+        nprobe: int = 8,
+        train_threshold: Optional[int] = None,
     ):
+        if index_type not in ("flat", "ivf"):
+            raise ValueError(f"index_type must be 'flat' or 'ivf', got {index_type!r}")
         self.embedding = embedding
         self.metric = metric
         self.mesh = mesh
@@ -241,6 +247,12 @@ class TPUVectorStore(VectorStore):
         self.docstore = Docstore()
         self.index: Optional[DeviceFlatIndex] = index
         self.compact_threshold = compact_threshold
+        self.index_type = index_type
+        self.nlist = nlist
+        self.nprobe = nprobe
+        # FAISS-parity auto-train point (VectorStore_Faiss.py:181-184):
+        # rows accumulate in a flat index until the IVF can be trained
+        self.train_threshold = train_threshold or max(100, nlist)
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
             self._create_index(self._dim)
@@ -283,7 +295,39 @@ class TPUVectorStore(VectorStore):
         if stale:
             self.index.mark_deleted(np.asarray(stale))
         positions = self.index.add(vectors)
+        self._maybe_train_ivf()
         return self.docstore.add(documents, positions.tolist())
+
+    def _maybe_train_ivf(self) -> None:
+        """Convert the staging flat index to IVF once enough rows exist
+        (auto-train semantics). Positions are preserved 1:1, so the
+        docstore mapping carries over; tombstones re-apply."""
+        if (
+            self.index_type != "ivf"
+            or not isinstance(self.index, DeviceFlatIndex)
+            or self.index.size < self.train_threshold
+        ):
+            return
+        import jax
+
+        from rag_arc_tpu.index.ivf import DeviceIVFIndex
+
+        flat = self.index
+        vectors = np.asarray(
+            jax.device_get(flat.emb[: flat.size]), dtype=np.float32
+        )
+        valid = np.asarray(jax.device_get(flat.valid[: flat.size]))
+        logger.info(
+            "training IVF (nlist=%d) over %d rows", self.nlist, flat.size
+        )
+        ivf = DeviceIVFIndex.from_vectors(
+            vectors, nlist=self.nlist, nprobe=self.nprobe, metric=self.metric
+        )
+        dead = np.nonzero(~valid)[0]
+        if dead.size:
+            ivf.mark_deleted(dead)
+            ivf.n_deleted = flat.n_deleted
+        self.index = ivf
 
     def delete(self, ids: Sequence[str]) -> bool:
         freed = self.docstore.delete(ids)
@@ -291,7 +335,8 @@ class TPUVectorStore(VectorStore):
             return False
         self.index.mark_deleted(np.asarray(freed))
         if (
-            self.index.size > 0
+            isinstance(self.index, DeviceFlatIndex)
+            and self.index.size > 0
             and self.index.n_deleted / self.index.size > self.compact_threshold
         ):
             self.compact()

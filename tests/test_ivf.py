@@ -1,0 +1,169 @@
+"""IVF index tests: k-means, recall vs flat oracle, nprobe behavior,
+mutation, and vector-store auto-train conversion."""
+
+import numpy as np
+import pytest
+
+from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.index.ivf import DeviceIVFIndex
+from rag_arc_tpu.index.vector_store import TPUVectorStore
+from rag_arc_tpu.models.embeddings import HashEmbeddings
+from rag_arc_tpu.ops.kmeans import kmeans
+
+
+def clustered_corpus(rng, n_clusters=16, per=100, dim=32, spread=0.05):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 3
+    rows = np.concatenate(
+        [
+            c + spread * rng.standard_normal((per, dim)).astype(np.float32)
+            for c in centers
+        ]
+    )
+    return rows, centers
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=8, per=50)
+        centroids, assign = kmeans(data, n_clusters=8, n_iters=15, seed=1)
+        assert centroids.shape == (8, 32)
+        # points in the same true cluster land in the same learned cluster
+        for c in range(8):
+            block = assign[c * 50 : (c + 1) * 50]
+            assert (block == block[0]).mean() > 0.9
+
+    def test_deterministic(self, rng):
+        data, _ = clustered_corpus(rng)
+        c1, a1 = kmeans(data, 8, seed=3)
+        c2, a2 = kmeans(data, 8, seed=3)
+        np.testing.assert_array_equal(a1, a2)
+
+    def test_too_few_points(self, rng):
+        with pytest.raises(ValueError):
+            kmeans(rng.standard_normal((4, 8)).astype(np.float32), n_clusters=10)
+
+
+class TestIVF:
+    @pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+    def test_high_recall_vs_flat(self, rng, metric):
+        data, _ = clustered_corpus(rng, n_clusters=16, per=100)
+        queries = data[rng.integers(0, len(data), 32)] + 0.01 * rng.standard_normal(
+            (32, 32)
+        ).astype(np.float32)
+        flat = DeviceFlatIndex(dim=32, metric=metric, capacity=2048)
+        flat.add(data)
+        ivf = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=4, metric=metric, seed=0
+        )
+        _, exact = flat.search(queries, 10)
+        _, approx = ivf.search(queries, 10)
+        recall = np.mean(
+            [
+                len(set(exact[i]) & set(approx[i])) / 10
+                for i in range(len(queries))
+            ]
+        )
+        assert recall > 0.9, f"recall {recall} too low for {metric}"
+
+    def test_nprobe_monotonic_recall(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=32, per=50, spread=1.0)
+        queries = rng.standard_normal((16, 32)).astype(np.float32)
+        flat = DeviceFlatIndex(dim=32, capacity=2048)
+        flat.add(data)
+        _, exact = flat.search(queries, 10)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=32, nprobe=1)
+
+        def recall(npb):
+            _, got = ivf.search(queries, 10, nprobe=npb)
+            return np.mean(
+                [len(set(exact[i]) & set(got[i])) / 10 for i in range(16)]
+            )
+
+        r1, r8, r32 = recall(1), recall(8), recall(32)
+        assert r1 <= r8 + 1e-9 <= r32 + 2e-9
+        assert r32 > 0.999  # nprobe == nlist ⇒ exhaustive ⇒ exact
+
+    def test_add_after_training(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=8, per=30)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=8, nprobe=8)
+        new = data[3:4] + 0.001
+        positions = ivf.add(new)
+        assert positions[0] == len(data)
+        # the new row and its near-identical source must own the top-2
+        _, got = ivf.search(new, 2)
+        assert set(got[0]) == {3, positions[0]}
+
+    def test_delete(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=4, per=30)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=4, nprobe=4)
+        q = data[7:8]
+        _, got = ivf.search(q, 1)
+        assert got[0, 0] == 7
+        ivf.mark_deleted(np.array([7]))
+        _, got = ivf.search(q, 1)
+        assert got[0, 0] != 7
+        assert ivf.n_active == len(data) - 1
+
+    def test_take(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=4, per=10)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=4, metric="ip")
+        got = ivf.take(np.array([5, 17]))
+        np.testing.assert_allclose(got, data[[5, 17]], rtol=1e-5)
+
+    def test_stats(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=4, per=10)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=4)
+        s = ivf.stats()
+        assert s["kind"] == "ivf" and s["size"] == 40 and s["nlist"] == 4
+
+    def test_untrained_add_raises(self):
+        with pytest.raises(RuntimeError, match="untrained"):
+            DeviceIVFIndex(dim=8).add(np.zeros((1, 8), np.float32))
+
+
+class TestStoreAutoTrain:
+    def test_flat_until_threshold_then_ivf(self):
+        store = TPUVectorStore(
+            HashEmbeddings(dim=32),
+            index_type="ivf",
+            nlist=8,
+            nprobe=8,
+            train_threshold=20,
+        )
+        store.add_texts([f"early doc {i} alpha" for i in range(10)])
+        assert isinstance(store.index, DeviceFlatIndex)
+        hits = store.similarity_search("early doc 3 alpha", k=1)
+        assert hits[0].content == "early doc 3 alpha"
+        store.add_texts([f"later doc {i} beta" for i in range(15)])
+        assert store.index.stats()["kind"] == "ivf"
+        # docstore positions survived the conversion
+        hits = store.similarity_search("early doc 3 alpha", k=1)
+        assert hits[0].content == "early doc 3 alpha"
+        hits = store.similarity_search("later doc 7 beta", k=1)
+        assert hits[0].content == "later doc 7 beta"
+
+    def test_tombstones_survive_conversion(self):
+        store = TPUVectorStore(
+            HashEmbeddings(dim=32),
+            index_type="ivf",
+            nlist=8,
+            train_threshold=20,
+        )
+        ids = store.add_texts([f"doc number {i}" for i in range(10)])
+        store.delete([ids[4]])
+        store.add_texts([f"more docs {i}" for i in range(12)])
+        assert store.index.stats()["kind"] == "ivf"
+        contents = [d.content for d in store.similarity_search("doc number 4", k=22)]
+        assert "doc number 4" not in contents
+
+    def test_bad_index_type(self):
+        with pytest.raises(ValueError):
+            TPUVectorStore(HashEmbeddings(dim=8), index_type="hnsw")
+
+    def test_mmr_works_on_ivf(self):
+        store = TPUVectorStore(
+            HashEmbeddings(dim=32), index_type="ivf", nlist=4, train_threshold=8
+        )
+        store.add_texts([f"topic {i} words here" for i in range(12)])
+        docs = store.max_marginal_relevance_search("topic 3", k=2, fetch_k=6)
+        assert len(docs) == 2
