@@ -215,12 +215,7 @@ class DeviceFlatIndex:
         q = np.zeros((b_pad, self.dim), dtype=np.float32)
         q[:b] = queries
 
-        if self.mesh is not None:
-            scores, positions = self._search_sharded(jnp.asarray(q), k_eff)
-        else:
-            scores, positions = _search_single(
-                self.emb, self.valid, self.sqnorm, jnp.asarray(q), k_eff, self.metric
-            )
+        scores, positions = self.search_device(jnp.asarray(q), k_eff)
         scores = np.asarray(jax.device_get(scores))[:b]
         positions = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
         positions = np.where(np.isneginf(scores), -1, positions)
@@ -234,14 +229,48 @@ class DeviceFlatIndex:
             )
         return scores, positions
 
+    # direct-path peak memory budget for the (B, N) score matrix; beyond
+    # this the chunked/fused paths kick in
+    SCORE_BYTES_BUDGET = 1 << 30
+
+    def _tile_n(self) -> int:
+        """Largest power-of-two multiple of ADD_BLOCK that divides capacity,
+        capped at 256k rows (keeps Pallas tiles / scan chunks aligned)."""
+        m = self.capacity // ADD_BLOCK
+        tile = ADD_BLOCK
+        while m % 2 == 0 and tile < (1 << 18):
+            m //= 2
+            tile *= 2
+        return tile
+
     def search_device(self, q: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
         """Device-to-device search: ``q`` is already a padded (B, dim)
         device array and results stay on device. This is the serving hot
         path — callers chain the encoder forward into this without any
-        host round trip, and pipeline batches without blocking."""
+        host round trip, and pipeline batches without blocking.
+
+        Path selection: mesh → per-shard top-k + merge; TPU with a large
+        score matrix → fused Pallas kernel (no (B, N) materialization);
+        large score matrix elsewhere → chunked scan; else direct matmul.
+        """
         if self.mesh is not None:
             return self._search_sharded(q, k)
-        return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
+        score_bytes = 4 * q.shape[0] * self.capacity
+        if score_bytes <= self.SCORE_BYTES_BUDGET:
+            return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
+        if jax.default_backend() in ("tpu", "axon"):
+            from rag_arc_tpu.ops.fused_mips import fused_mips_topk
+
+            return fused_mips_topk(
+                q, self.emb, self.valid, self.sqnorm, k,
+                tile_n=min(self._tile_n(), 1024), metric=self.metric,
+            )
+        from rag_arc_tpu.ops.topk import masked_topk_chunked
+
+        return masked_topk_chunked(
+            q, self.emb, self.valid, self.sqnorm, k,
+            metric=self.metric, chunk=self._tile_n(),
+        )
 
     def _search_sharded(self, q: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name

@@ -1,0 +1,136 @@
+"""Vector-store persistence.
+
+Parity with the reference's ``save_local``/``load_local``
+(``VectorStore_Faiss.py:432-482``: ``faiss.write_index`` + pickled
+docstore sidecar) — redesigned as a directory of plain artifacts instead
+of pickles: a JSON manifest, JSON docstore, and ``.npy`` arrays for the
+device state (flat: embeddings + validity; IVF: centroids + padded lists +
+bookkeeping). Arrays re-shard onto whatever mesh the loading process uses,
+so a checkpoint written single-chip restores onto an 8-chip mesh.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.index.ivf import DeviceIVFIndex
+from rag_arc_tpu.index.vector_store import TPUVectorStore
+from rag_arc_tpu.models.embeddings import Embeddings
+from rag_arc_tpu.utils.data_model import Document
+
+FORMAT = "rag_arc_tpu.store.v1"
+
+
+def save_store(store: TPUVectorStore, path: str | Path) -> Path:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    index = store.index
+    docstore_rows = []
+    for doc_id, doc in store.docstore.items():
+        docstore_rows.append(
+            {
+                "id": doc_id,
+                "content": doc.content,
+                "metadata": doc.metadata,
+                "position": store.docstore.position_of(doc_id),
+            }
+        )
+    (path / "docstore.json").write_text(
+        json.dumps(docstore_rows, ensure_ascii=False), encoding="utf-8"
+    )
+    manifest: Dict[str, Any] = {
+        "format": FORMAT,
+        "metric": store.metric,
+        "index_type": store.index_type,
+        "dim": store._dim,
+        "nlist": store.nlist,
+        "nprobe": store.nprobe,
+        "train_threshold": store.train_threshold,
+        "index_kind": None if index is None else index.stats()["kind"],
+    }
+    if isinstance(index, DeviceFlatIndex):
+        np.save(path / "emb.npy", np.asarray(jax.device_get(index.emb[: index.size]), dtype=np.float32))
+        np.save(path / "valid.npy", np.asarray(jax.device_get(index.valid[: index.size])))
+        manifest["size"] = index.size
+    elif isinstance(index, DeviceIVFIndex):
+        np.save(path / "centroids.npy", np.asarray(jax.device_get(index.centroids)))
+        np.save(path / "lists.npy", np.asarray(jax.device_get(index.lists), dtype=np.float32))
+        np.save(path / "sqnorm.npy", np.asarray(jax.device_get(index.sqnorm)))
+        np.save(path / "valid.npy", np.asarray(jax.device_get(index.valid)))
+        np.save(path / "pos.npy", np.asarray(jax.device_get(index.pos)))
+        np.save(path / "fill.npy", index._fill)
+        manifest.update(
+            {"size": index.size, "lmax": index.lmax, "n_deleted": index.n_deleted}
+        )
+    (path / "manifest.json").write_text(json.dumps(manifest), encoding="utf-8")
+    return path
+
+
+def load_store(
+    path: str | Path, embedding: Embeddings, mesh=None, dtype=None
+) -> TPUVectorStore:
+    import jax.numpy as jnp
+
+    path = Path(path)
+    manifest = json.loads((path / "manifest.json").read_text(encoding="utf-8"))
+    if manifest.get("format") != FORMAT:
+        raise ValueError(f"unrecognized store snapshot format in {path}")
+    store = TPUVectorStore(
+        embedding=embedding,
+        dim=manifest["dim"],
+        metric=manifest["metric"],
+        mesh=mesh,
+        dtype=dtype,
+        index_type=manifest["index_type"],
+        nlist=manifest["nlist"],
+        nprobe=manifest["nprobe"],
+        train_threshold=manifest["train_threshold"],
+    )
+    kind = manifest.get("index_kind")
+    if kind == "flat":
+        emb = np.load(path / "emb.npy")
+        valid = np.load(path / "valid.npy")
+        if emb.size:
+            # saved rows already went through add-time preprocessing
+            # (cosine rows are unit-norm, so re-adding is a no-op transform)
+            store.index.add(emb)
+            dead = np.nonzero(~valid)[0]
+            if dead.size:
+                store.index.mark_deleted(dead)
+    elif kind == "ivf":
+        index = DeviceIVFIndex(
+            dim=manifest["dim"],
+            nlist=manifest["nlist"],
+            nprobe=manifest["nprobe"],
+            metric=manifest["metric"],
+        )
+        index.centroids = jnp.asarray(np.load(path / "centroids.npy"))
+        index.lists = jnp.asarray(np.load(path / "lists.npy"))
+        index.sqnorm = jnp.asarray(np.load(path / "sqnorm.npy"))
+        index.valid = jnp.asarray(np.load(path / "valid.npy"))
+        index.pos = jnp.asarray(np.load(path / "pos.npy"))
+        index._fill = np.load(path / "fill.npy")
+        index.size = manifest["size"]
+        index.lmax = manifest["lmax"]
+        index.n_deleted = manifest["n_deleted"]
+        pos_host = np.asarray(jax.device_get(index.pos))
+        for cluster in range(index.nlist):
+            for slot in range(int(index._fill[cluster])):
+                p = int(pos_host[cluster, slot])
+                if p >= 0:
+                    index._pos_to_loc[p] = (cluster, slot)
+        store.index = index
+    # docstore
+    rows = json.loads((path / "docstore.json").read_text(encoding="utf-8"))
+    docs = [
+        Document(content=r["content"], metadata=r["metadata"], id=r["id"])
+        for r in rows
+    ]
+    store.docstore.add(docs, [r["position"] for r in rows])
+    return store

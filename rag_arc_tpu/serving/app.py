@@ -1,0 +1,128 @@
+"""HTTP serving frontend.
+
+The reference intended a FastAPI layer but left it an empty stub
+(``api/main.py``, 0 bytes). This is that layer: a threaded stdlib HTTP
+server over a registry-built ``RagPipeline``.
+
+Endpoints:
+  POST /query   {"query": str, "k": int?}        → {"documents": [...]}
+  POST /batch   {"queries": [str], "k": int?}    → {"results": [[...]]}
+  POST /add     {"texts": [str], "metadatas"?}   → {"ids": [...]}
+  GET  /health                                    → {"status": "ok", ...}
+  GET  /stats                                     → pipeline + batcher stats
+
+Run: ``python -m rag_arc_tpu.serving.app --config pipeline.json [--port N]``
+where the JSON validates against ``PipelineConfig``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from rag_arc_tpu.framework.registry import Register
+from rag_arc_tpu.serving.configs import PipelineConfig
+from rag_arc_tpu.serving.pipeline import RagPipeline
+from rag_arc_tpu.utils.data_model import Document
+
+logger = logging.getLogger(__name__)
+
+
+def _doc_json(doc: Document) -> Dict[str, Any]:
+    return {"id": doc.id, "content": doc.content, "metadata": doc.metadata}
+
+
+class RagRequestHandler(BaseHTTPRequestHandler):
+    pipeline: RagPipeline  # class attribute installed by make_server
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("http: " + fmt, *args)
+
+    def _send(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> Dict[str, Any]:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length) or b"{}")
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/health":
+            self._send(200, {"status": "ok", **self.pipeline.stats()["stages"]})
+        elif self.path == "/stats":
+            self._send(200, self.pipeline.stats())
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        try:
+            payload = self._read_json()
+            if self.path == "/query":
+                query = payload.get("query", "")
+                docs = self.pipeline.query(query, k=payload.get("k"))
+                self._send(200, {"documents": [_doc_json(d) for d in docs]})
+            elif self.path == "/batch":
+                results = self.pipeline.query_batch(
+                    payload.get("queries", []), k=payload.get("k")
+                )
+                self._send(
+                    200,
+                    {"results": [[_doc_json(d) for d in docs] for docs in results]},
+                )
+            elif self.path == "/add":
+                retriever = self.pipeline.retriever
+                add = getattr(retriever, "add_documents", None)
+                if add is None:
+                    self._send(400, {"error": "retriever does not support adds"})
+                    return
+                docs = [
+                    Document(content=t, metadata=dict(m))
+                    for t, m in zip(
+                        payload["texts"],
+                        payload.get("metadatas") or [{}] * len(payload["texts"]),
+                    )
+                ]
+                ids = add(docs)
+                self._send(200, {"ids": ids})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+        except Exception as exc:  # noqa: BLE001 — HTTP boundary
+            logger.exception("request failed")
+            self._send(500, {"error": str(exc)})
+
+
+def make_server(pipeline: RagPipeline, port: int = 0) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (RagRequestHandler,), {"pipeline": pipeline})
+    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+
+
+def serve_forever(pipeline: RagPipeline, port: int) -> None:
+    server = make_server(pipeline, port)
+    logger.info("serving on :%d", server.server_port)
+    server.serve_forever()
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description="rag_arc_tpu serving frontend")
+    ap.add_argument("--config", required=True, help="PipelineConfig JSON path")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    registrator = Register()
+    pipeline = registrator.register(args.config, "pipeline", PipelineConfig)
+    if pipeline is None:
+        return 1
+    serve_forever(pipeline, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

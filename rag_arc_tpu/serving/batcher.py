@@ -1,0 +1,103 @@
+"""Adaptive query micro-batching.
+
+The TPU answers a 512-query batch in barely more time than a single query
+(one score matmul amortizes the corpus read across the batch — see
+bench.py), so serving throughput hinges on coalescing concurrent requests
+into one dispatch. ``QueryBatcher`` holds each request up to
+``max_wait_ms`` or until ``max_batch`` requests accumulate, whichever
+comes first, then answers the whole batch with one call. Latency cost is
+bounded by the wait window; throughput approaches the device's batched
+QPS. (SURVEY.md §7 "throughput vs latency batching" hard part.)
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Pending:
+    query: str
+    kwargs: tuple
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[BaseException] = None
+
+
+class QueryBatcher:
+    """Thread-safe request coalescer around a batched answer function."""
+
+    def __init__(
+        self,
+        batch_fn: Callable[[Sequence[str]], List[Any]],
+        max_batch: int = 128,
+        max_wait_ms: float = 3.0,
+    ):
+        self.batch_fn = batch_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._lock = threading.Lock()
+        self._queue: List[_Pending] = []
+        self._flusher: Optional[threading.Timer] = None
+        self.stats: Dict[str, float] = {
+            "requests": 0,
+            "batches": 0,
+            "max_batch_seen": 0,
+        }
+
+    def submit(self, query: str, **kwargs: Any) -> Any:
+        """Blocking: returns this query's result when its batch completes."""
+        pending = _Pending(query=query, kwargs=tuple(sorted(kwargs.items())))
+        with self._lock:
+            self._queue.append(pending)
+            self.stats["requests"] += 1
+            if len(self._queue) >= self.max_batch:
+                self._flush_locked()
+            elif self._flusher is None:
+                self._flusher = threading.Timer(self.max_wait_s, self._flush_timer)
+                self._flusher.daemon = True
+                self._flusher.start()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def _flush_timer(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if self._flusher is not None:
+            self._flusher.cancel()
+            self._flusher = None
+        batch, self._queue = self._queue, []
+        if not batch:
+            return
+        self.stats["batches"] += 1
+        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(batch))
+        threading.Thread(target=self._run_batch, args=(batch,), daemon=True).start()
+
+    def _run_batch(self, batch: List[_Pending]) -> None:
+        # group by kwargs signature so mixed-parameter requests stay correct
+        groups: Dict[tuple, List[_Pending]] = {}
+        for p in batch:
+            groups.setdefault(p.kwargs, []).append(p)
+        for kwargs_sig, group in groups.items():
+            try:
+                results = self.batch_fn(
+                    [p.query for p in group], **dict(kwargs_sig)
+                )
+                for p, r in zip(group, results):
+                    p.result = r
+            except BaseException as exc:  # noqa: BLE001 — propagate per request
+                for p in group:
+                    p.error = exc
+            finally:
+                for p in group:
+                    p.event.set()

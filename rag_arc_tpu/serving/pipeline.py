@@ -1,0 +1,115 @@
+"""End-to-end RAG query pipeline.
+
+Composes the stages the reference wires manually in examples: optional
+multi-query rewrite → (batched) retrieval → optional cross-encoder rerank →
+top-k documents. All concurrent callers share a ``QueryBatcher`` so the
+device sees few large dispatches. This is the object the HTTP app serves
+and the registry builds from a ``PipelineConfig``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+from rag_arc_tpu.rerank.base import RerankerBase
+from rag_arc_tpu.retrieval.base import BaseRetriever
+from rag_arc_tpu.retrieval.rewrite import MultiQueryRewriter
+from rag_arc_tpu.serving.batcher import QueryBatcher
+from rag_arc_tpu.utils.data_model import Document
+from rag_arc_tpu.utils.fusion import RRFusion
+
+logger = logging.getLogger(__name__)
+
+
+class RagPipeline:
+    def __init__(
+        self,
+        retriever: BaseRetriever,
+        reranker: Optional[RerankerBase] = None,
+        rewriter: Optional[MultiQueryRewriter] = None,
+        top_k: int = 10,
+        recall_k: int = 100,
+        batch_max: int = 128,
+        batch_wait_ms: float = 3.0,
+    ):
+        self.retriever = retriever
+        self.reranker = reranker
+        self.rewriter = rewriter
+        self.top_k = top_k
+        self.recall_k = recall_k
+        self.fusion = RRFusion()
+        self.batcher = QueryBatcher(
+            self._answer_batch, max_batch=batch_max, max_wait_ms=batch_wait_ms
+        )
+        self.metrics: Dict[str, float] = {"queries": 0, "total_ms": 0.0}
+
+    # -- core --------------------------------------------------------------
+
+    def _answer_batch(self, queries: Sequence[str], k: Optional[int] = None) -> List[List[Document]]:
+        k = k or self.top_k
+        t0 = time.time()
+        if self.rewriter is not None:
+            # expand every query, answer ALL variants in one dispatch, fuse
+            # per original query
+            expanded: List[str] = []
+            spans: List[tuple[int, int]] = []
+            for q in queries:
+                variants = [q] + self.rewriter.rewrite(q)
+                spans.append((len(expanded), len(expanded) + len(variants)))
+                expanded.extend(variants)
+            per_variant = self.retriever.invoke_batch(
+                expanded, k=self.recall_k if self.reranker else k
+            )
+            candidates = []
+            for lo, hi in spans:
+                from rag_arc_tpu.utils.data_model import RetrievalResult
+
+                paths = [
+                    [
+                        RetrievalResult(document=d, score=0.0, rank=r, source=f"v{i}")
+                        for r, d in enumerate(per_variant[i])
+                    ]
+                    for i in range(lo, hi)
+                ]
+                candidates.append(
+                    self.fusion.fuse(paths, self.recall_k if self.reranker else k)
+                )
+        else:
+            candidates = self.retriever.invoke_batch(
+                queries, k=self.recall_k if self.reranker else k
+            )
+        if self.reranker is not None:
+            candidates = [
+                self.reranker.rerank(q, docs, k=k)
+                for q, docs in zip(queries, candidates)
+            ]
+        out = [docs[:k] for docs in candidates]
+        elapsed = (time.time() - t0) * 1e3
+        self.metrics["queries"] += len(queries)
+        self.metrics["total_ms"] += elapsed
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def query(self, query: str, k: Optional[int] = None) -> List[Document]:
+        """Single query through the shared batcher (thread-safe)."""
+        return self.batcher.submit(query, k=k)
+
+    def query_batch(self, queries: Sequence[str], k: Optional[int] = None) -> List[List[Document]]:
+        """Direct batched entry (bypasses the micro-batcher)."""
+        return self._answer_batch(queries, k=k)
+
+    def stats(self) -> Dict[str, Any]:
+        q = max(self.metrics["queries"], 1)
+        return {
+            "queries": self.metrics["queries"],
+            "mean_ms_per_query": self.metrics["total_ms"] / q,
+            "batcher": dict(self.batcher.stats),
+            "stages": {
+                "rewrite": self.rewriter is not None,
+                "rerank": self.reranker is not None,
+                "retriever": self.retriever.name,
+            },
+        }

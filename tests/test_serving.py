@@ -1,0 +1,245 @@
+"""Serving layer tests: batcher coalescing, persistence round-trips,
+registry-built pipelines, and the HTTP app end-to-end."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rag_arc_tpu.index.persistence import load_store, save_store
+from rag_arc_tpu.index.vector_store import TPUVectorStore
+from rag_arc_tpu.models.embeddings import HashEmbeddings
+from rag_arc_tpu.serving.app import make_server
+from rag_arc_tpu.serving.batcher import QueryBatcher
+from rag_arc_tpu.serving.configs import PipelineConfig
+from rag_arc_tpu.serving.pipeline import RagPipeline
+
+CORPUS = [
+    "the cat sat on the mat",
+    "dogs chase cats in yards",
+    "qubits power quantum computing",
+    "bond yields rose on inflation",
+    "chocolate cake with dark cocoa",
+    "tpus multiply matrices quickly",
+]
+
+
+class TestBatcher:
+    def test_coalesces_concurrent_requests(self):
+        batches = []
+
+        def batch_fn(queries, **kw):
+            batches.append(len(queries))
+            return [q.upper() for q in queries]
+
+        b = QueryBatcher(batch_fn, max_batch=64, max_wait_ms=30.0)
+        results = {}
+
+        def worker(q):
+            results[q] = b.submit(q)
+
+        threads = [threading.Thread(target=worker, args=(f"q{i}",)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results["q3"] == "Q3"
+        assert sum(batches) == 10
+        assert max(batches) > 1  # at least some coalescing happened
+
+    def test_max_batch_flush(self):
+        sizes = []
+
+        def batch_fn(queries, **kw):
+            sizes.append(len(queries))
+            return list(queries)
+
+        b = QueryBatcher(batch_fn, max_batch=2, max_wait_ms=10_000.0)
+        t1 = threading.Thread(target=b.submit, args=("a",))
+        t1.start()
+        b.submit("b")  # second request triggers immediate flush
+        t1.join()
+        assert sizes == [2]
+
+    def test_error_propagates(self):
+        def batch_fn(queries, **kw):
+            raise RuntimeError("engine down")
+
+        b = QueryBatcher(batch_fn, max_wait_ms=1.0)
+        with pytest.raises(RuntimeError, match="engine down"):
+            b.submit("q")
+
+    def test_kwargs_grouping(self):
+        calls = []
+
+        def batch_fn(queries, k=1):
+            calls.append((len(queries), k))
+            return [k] * len(queries)
+
+        b = QueryBatcher(batch_fn, max_batch=4, max_wait_ms=20.0)
+        out = []
+        threads = [
+            threading.Thread(target=lambda kk=kk: out.append(b.submit("q", k=kk)))
+            for kk in (1, 1, 2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(out) == [1, 1, 2]
+
+
+class TestPersistence:
+    def test_flat_roundtrip(self, tmp_path):
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore.from_texts(CORPUS, emb)
+        ids = store.add_texts(["to be deleted"])
+        store.delete(ids)
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        assert len(loaded) == len(store)
+        q = "cat on the mat"
+        got = [d.content for d in loaded.similarity_search(q, k=3)]
+        want = [d.content for d in store.similarity_search(q, k=3)]
+        assert got == want
+        assert "to be deleted" not in [
+            d.content for d in loaded.similarity_search("deleted", k=10)
+        ]
+
+    def test_ivf_roundtrip(self, tmp_path):
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(emb, index_type="ivf", nlist=4, train_threshold=8)
+        store.add_texts([f"document {i} topic {i % 3}" for i in range(20)])
+        assert store.index.stats()["kind"] == "ivf"
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        assert loaded.index.stats()["kind"] == "ivf"
+        q = "document 7 topic 1"
+        got = [d.content for d in loaded.similarity_search(q, k=2)]
+        want = [d.content for d in store.similarity_search(q, k=2)]
+        assert got == want
+        # adds still work after restore
+        loaded.add_texts(["brand new document"])
+        assert loaded.similarity_search("brand new document", k=1)[0].content == (
+            "brand new document"
+        )
+
+    def test_bad_format(self, tmp_path):
+        (tmp_path / "manifest.json").write_text('{"format": "nope"}')
+        with pytest.raises(ValueError, match="format"):
+            load_store(tmp_path, HashEmbeddings(dim=8))
+
+
+@pytest.fixture
+def pipeline_cfg_json(tmp_path):
+    cfg = {
+        "type": "PIPELINE",
+        "retriever": {
+            "type": "DENSE",
+            "embeddings": {"type": "HASH_EMBEDDINGS", "dim": 32},
+            "k": 3,
+        },
+        "top_k": 3,
+        "batch_wait_ms": 1.0,
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+class TestPipeline:
+    def test_registry_build_and_query(self, pipeline_cfg_json):
+        cfg = PipelineConfig.model_validate(
+            json.loads(pipeline_cfg_json.read_text())
+        )
+        pipeline = cfg.build()
+        pipeline.retriever.add_documents(
+            [__import__("rag_arc_tpu").Document(content=c) for c in CORPUS]
+        )
+        docs = pipeline.query("cat mat")
+        assert docs[0].content == CORPUS[0]
+        stats = pipeline.stats()
+        assert stats["queries"] == 1
+
+    def test_hybrid_with_rerank_config(self):
+        cfg = PipelineConfig.model_validate(
+            {
+                "type": "PIPELINE",
+                "retriever": {
+                    "type": "MULTIPATH",
+                    "retrievers": [
+                        {
+                            "type": "DENSE",
+                            "embeddings": {"type": "HASH_EMBEDDINGS", "dim": 32},
+                        },
+                        {"type": "BM25"},
+                    ],
+                },
+                "reranker": {
+                    "type": "CROSS_ENCODER",
+                    "dim": 64,
+                    "depth": 2,
+                    "heads": 4,
+                    "vocab_size": 512,
+                    "max_length": 64,
+                },
+                "recall_k": 5,
+                "top_k": 2,
+            }
+        )
+        pipeline = cfg.build()
+        from rag_arc_tpu.utils.data_model import Document
+
+        for r in pipeline.retriever.retrievers:
+            r.add_documents([Document(content=c) for c in CORPUS])
+        docs = pipeline.query_batch(["quantum qubits"])[0]
+        assert len(docs) == 2
+        assert all("rerank_score" in d.metadata for d in docs)
+
+
+class TestHTTPApp:
+    @pytest.fixture
+    def server(self, pipeline_cfg_json):
+        cfg = PipelineConfig.model_validate(
+            json.loads(pipeline_cfg_json.read_text())
+        )
+        pipeline = cfg.build()
+        srv = make_server(pipeline, port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    def test_add_query_health_stats(self, server):
+        out = self._post(f"{server}/add", {"texts": CORPUS})
+        assert len(out["ids"]) == len(CORPUS)
+        out = self._post(f"{server}/query", {"query": "chocolate cake", "k": 1})
+        assert out["documents"][0]["content"] == CORPUS[4]
+        out = self._post(
+            f"{server}/batch", {"queries": ["cat mat", "bond yields"], "k": 1}
+        )
+        assert out["results"][0][0]["content"] == CORPUS[0]
+        with urllib.request.urlopen(f"{server}/health", timeout=10) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+        with urllib.request.urlopen(f"{server}/stats", timeout=10) as resp:
+            assert json.loads(resp.read())["queries"] >= 3
+
+    def test_error_handling(self, server):
+        req = urllib.request.Request(
+            f"{server}/query", data=b"{not json", headers={}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 500
