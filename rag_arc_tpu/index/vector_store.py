@@ -237,8 +237,10 @@ class TPUVectorStore(VectorStore):
         nprobe: int = 8,
         train_threshold: Optional[int] = None,
     ):
-        if index_type not in ("flat", "ivf"):
-            raise ValueError(f"index_type must be 'flat' or 'ivf', got {index_type!r}")
+        if index_type not in ("flat", "ivf", "hnsw"):
+            raise ValueError(
+                f"index_type must be 'flat', 'ivf' or 'hnsw', got {index_type!r}"
+            )
         self.embedding = embedding
         self.metric = metric
         self.mesh = mesh
@@ -258,7 +260,18 @@ class TPUVectorStore(VectorStore):
             self._create_index(self._dim)
 
     def _create_index(self, dim: int) -> None:
-        """Lazy index creation at first add (VectorStore_Faiss.py:172-175)."""
+        """Lazy index creation at first add (VectorStore_Faiss.py:172-175).
+
+        'flat' and (pre-train) 'ivf' start as a DeviceFlatIndex in HBM;
+        'hnsw' uses the native C++ host index (graph ANN doesn't map to
+        the TPU's vector units — same placement the reference had via
+        FAISS C++)."""
+        if self.index_type == "hnsw":
+            from rag_arc_tpu.index.hnsw import HNSWIndex
+
+            self.index = HNSWIndex(dim=dim, metric=self.metric)
+            self._dim = dim
+            return
         import jax.numpy as jnp
 
         self.index = DeviceFlatIndex(

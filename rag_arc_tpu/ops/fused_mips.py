@@ -9,13 +9,21 @@ folded into a running (B, k) top-k held in VMEM scratch, and only the
 final (B, k) leaves the chip. This is SURVEY.md §7's "fused top-k" hard
 part: HBM traffic drops from O(B·N) to O(N·d + B·k).
 
-Top-k maintenance: per tile, k rounds of (max, argmax, mask) over the
-concatenation [running scores (B,k) | tile scores (B,TILE_N)] — k·(TILE_N)
-VPU work per tile, ~1-2% of the tile's MXU work for k ≤ 16, d ≥ 512.
+Grid layout: ``(corpus_tiles, query_blocks)`` with the query axis
+innermost. The corpus BlockSpec depends only on the tile index, so Mosaic
+keeps the tile resident in VMEM across all query blocks — the corpus is
+read from HBM exactly once per search regardless of batch size, which is
+what lets large batches amortize bandwidth (the whole point of batched
+MIPS on TPU).
 
-Metrics: cosine (pre-normalized corpus; queries normalized by the caller
-or here), ip, and l2 via the ‖q‖²−2q·e+‖e‖² trick (sqnorm streamed with
-the tile).
+Top-k maintenance: per (tile, qblock), k rounds of (max, argmax, mask)
+extract the tile-local top-k in place — positions come straight from
+argmax, so no (B, TILE_N) position tensor exists — then a 2k-wide merge
+updates the running lists. k·TILE_N VPU work per tile ≈ 1-2% of the
+tile's MXU work for k ≤ 16, d ≥ 512.
+
+Metrics: cosine (pre-normalized corpus; queries normalized here), ip, and
+l2 via the ‖q‖²−2q·e+‖e‖² trick (sqnorm streamed with the tile).
 """
 
 from __future__ import annotations
@@ -33,50 +41,50 @@ NEG = -3.0e38  # sentinel below any real score, avoids inf-inf NaN
 
 
 def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref,
-                  run_s, run_p, *, k: int, tile_n: int, metric: str):
-    step = pl.program_id(0)
+                  run_s, run_p, *, k: int, tile_n: int, q_block: int, metric: str):
+    tile_idx = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    row0 = q_idx * q_block
 
-    @pl.when(step == 0)
+    @pl.when(tile_idx == 0)
     def _init():
-        run_s[:] = jnp.full_like(run_s, NEG)
-        run_p[:] = jnp.full_like(run_p, -1)
+        run_s[pl.ds(row0, q_block), :] = jnp.full((q_block, k), NEG, jnp.float32)
+        run_p[pl.ds(row0, q_block), :] = jnp.full((q_block, k), -1, jnp.int32)
 
-    q = q_ref[:]  # (B, D)
-    tile = corpus_ref[:]  # (TILE_N, D)
+    q = q_ref[:]  # (q_block, D)
+    tile = corpus_ref[:]  # (TILE_N, D) — resident across the q_idx sweep
     scores = jax.lax.dot_general(
         q,
         tile,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (B, TILE_N)
+    )  # (q_block, TILE_N)
     if metric == "l2":
         # -(‖q‖² - 2 q·e + ‖e‖²); ‖q‖² is rank-preserving but kept for
         # score parity with the exact path
         q32 = q.astype(jnp.float32)
         q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
         scores = -(q_sq - 2.0 * scores + sqnorm_ref[:])  # sqnorm (1, TILE_N)
-    valid = valid_ref[:]  # (1, TILE_N) int8 mask (1 = live row); Mosaic
-    # requires ≥2-D vector layouts, hence the leading unit dim
+    valid = valid_ref[:]  # (1, TILE_N) int8; Mosaic wants ≥2-D layouts
     scores = jnp.where(valid != 0, scores, NEG)
 
-    base = step * tile_n
+    base = tile_idx * tile_n
 
-    # phase 1: tile-local top-k in place over scores (B, TILE_N). No
-    # (B, TILE_N) position tensor exists — positions come from argmax
-    # directly — keeping VMEM at one score buffer + one iota.
+    # phase 1: tile-local top-k in place over scores. No (B, TILE_N)
+    # position tensor — positions come from argmax directly.
     cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     tile_s = []
     tile_p = []
     for _ in range(k):
-        best = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
-        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (B,)
+        best = jnp.max(scores, axis=1, keepdims=True)  # (q_block, 1)
+        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (q_block,)
         tile_s.append(best)
         tile_p.append(base + idx[:, None])
         scores = jnp.where(cols == idx[:, None], NEG, scores)
 
-    # phase 2: merge running (B, k) with tile (B, k) — 2k-wide, trivial.
-    cand_s = jnp.concatenate([run_s[:]] + tile_s, axis=1)  # (B, 2k)
-    cand_p = jnp.concatenate([run_p[:]] + tile_p, axis=1)
+    # phase 2: merge running (q_block, k) with tile (q_block, k).
+    cand_s = jnp.concatenate([run_s[pl.ds(row0, q_block), :]] + tile_s, axis=1)
+    cand_p = jnp.concatenate([run_p[pl.ds(row0, q_block), :]] + tile_p, axis=1)
     cols2k = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
     new_s = []
     new_p = []
@@ -88,17 +96,17 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
         new_p.append(jnp.sum(jnp.where(onehot, cand_p, 0), axis=1, keepdims=True))
         new_s.append(best)
         cand_s = jnp.where(onehot, NEG, cand_s)
-    run_s[:] = jnp.concatenate(new_s, axis=1)
-    run_p[:] = jnp.concatenate(new_p, axis=1)
+    run_s[pl.ds(row0, q_block), :] = jnp.concatenate(new_s, axis=1)
+    run_p[pl.ds(row0, q_block), :] = jnp.concatenate(new_p, axis=1)
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(tile_idx == pl.num_programs(0) - 1)
     def _emit():
-        out_s_ref[:] = run_s[:]
-        out_p_ref[:] = run_p[:]
+        out_s_ref[:] = run_s[pl.ds(row0, q_block), :]
+        out_p_ref[:] = run_p[pl.ds(row0, q_block), :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "metric", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "q_block", "metric", "interpret")
 )
 def fused_mips_topk(
     queries: jax.Array,
@@ -106,21 +114,26 @@ def fused_mips_topk(
     valid: jax.Array,
     sqnorm: jax.Array,
     k: int,
-    tile_n: int = 2048,
+    tile_n: int = 1024,
+    q_block: int = 256,
     metric: str = "cosine",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, d) × (N, d) → top-k (scores (B, k), positions (B, k)).
 
-    N must be a multiple of ``tile_n`` (the index pads its capacity);
-    ``valid`` masks padding and tombstones. For cosine the corpus must be
-    pre-normalized (queries are normalized here). ``interpret=True`` runs
-    the kernel in the Pallas interpreter (CPU-testable oracle parity).
+    N must be a multiple of ``tile_n`` and B of ``q_block`` (the index pads
+    its capacity / the caller pads the batch); ``valid`` masks padding and
+    tombstones. For cosine the corpus must be pre-normalized (queries are
+    normalized here). ``interpret=True`` runs in the Pallas interpreter
+    (CPU-testable oracle parity).
     """
     n, d = corpus.shape
     b = queries.shape[0]
+    q_block = min(q_block, b)
     if n % tile_n != 0:
         raise ValueError(f"corpus rows {n} not a multiple of tile_n {tile_n}")
+    if b % q_block != 0:
+        raise ValueError(f"batch {b} not a multiple of q_block {q_block}")
     if metric == "cosine":
         norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
         queries = queries / jnp.maximum(norm, 1e-12)
@@ -128,20 +141,22 @@ def fused_mips_topk(
     valid_i8 = valid.astype(jnp.int8).reshape(1, n)
     sqnorm_2d = sqnorm.reshape(1, n)
 
-    grid = (n // tile_n,)
-    kernel = functools.partial(_fused_kernel, k=k, tile_n=tile_n, metric=metric)
+    grid = (n // tile_n, b // q_block)
+    kernel = functools.partial(
+        _fused_kernel, k=k, tile_n=tile_n, q_block=q_block, metric=metric
+    )
     out_s, out_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k), jnp.float32),

@@ -1,0 +1,115 @@
+"""Native C++ HNSW tests: recall vs flat oracle, deletes, persistence."""
+
+import numpy as np
+import pytest
+
+from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.index.hnsw import HNSWIndex
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((3000, 48)).astype(np.float32)
+    queries = data[rng.integers(0, 3000, 50)] + 0.02 * rng.standard_normal(
+        (50, 48)
+    ).astype(np.float32)
+    return data, queries
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_recall_vs_flat(corpus, metric):
+    data, queries = corpus
+    flat = DeviceFlatIndex(dim=48, metric=metric, capacity=4096)
+    flat.add(data)
+    _, exact = flat.search(queries, 10)
+    hnsw = HNSWIndex(dim=48, metric=metric, M=16, ef_construction=100)
+    hnsw.add(data)
+    _, approx = hnsw.search(queries, 10, ef=128)
+    recall = np.mean(
+        [len(set(exact[i]) & set(approx[i])) / 10 for i in range(len(queries))]
+    )
+    assert recall > 0.9, f"HNSW recall {recall} too low for {metric}"
+
+
+def test_ef_improves_recall(corpus):
+    data, queries = corpus
+    flat = DeviceFlatIndex(dim=48, capacity=4096)
+    flat.add(data)
+    _, exact = flat.search(queries, 10)
+    hnsw = HNSWIndex(dim=48, M=8, ef_construction=60)
+    hnsw.add(data)
+
+    def recall(ef):
+        _, got = hnsw.search(queries, 10, ef=ef)
+        return np.mean(
+            [len(set(exact[i]) & set(got[i])) / 10 for i in range(len(queries))]
+        )
+
+    assert recall(200) >= recall(16) - 1e-9
+
+
+def test_incremental_adds(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48)
+    p1 = hnsw.add(data[:100])
+    p2 = hnsw.add(data[100:200])
+    assert p1.tolist() == list(range(100))
+    assert p2.tolist() == list(range(100, 200))
+    _, ids = hnsw.search(data[150:151], 1)
+    assert ids[0, 0] == 150
+
+
+def test_delete(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48)
+    hnsw.add(data[:500])
+    q = data[42:43]
+    _, ids = hnsw.search(q, 1)
+    assert ids[0, 0] == 42
+    hnsw.mark_deleted(np.array([42]))
+    _, ids = hnsw.search(q, 5)
+    assert 42 not in ids[0]
+    assert hnsw.n_active == 499
+
+
+def test_take(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48, metric="l2")
+    hnsw.add(data[:10])
+    np.testing.assert_allclose(hnsw.take([3, 7]), data[[3, 7]], rtol=1e-6)
+
+
+def test_empty_search():
+    hnsw = HNSWIndex(dim=8)
+    scores, ids = hnsw.search(np.zeros((1, 8), np.float32), 3)
+    assert (ids == -1).all() and np.isneginf(scores).all()
+
+
+def test_persistence_roundtrip(corpus, tmp_path):
+    data, queries = corpus
+    hnsw = HNSWIndex(dim=48, M=16)
+    hnsw.add(data[:1000])
+    s1, p1 = hnsw.search(queries[:5], 5)
+    path = tmp_path / "index.hnsw"
+    hnsw.save(path)
+    loaded = HNSWIndex.load(path)
+    assert loaded.size == 1000 and loaded.dim == 48 and loaded.M == 16
+    s2, p2 = loaded.search(queries[:5], 5)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    # adds continue after load
+    loaded.add(data[1000:1010])
+    assert loaded.size == 1010
+
+
+def test_stats():
+    hnsw = HNSWIndex(dim=8, M=4)
+    hnsw.add(np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32))
+    s = hnsw.stats()
+    assert s["kind"] == "hnsw" and s["size"] == 20 and s["backend"] == "native-c++"
+
+
+def test_bad_metric():
+    with pytest.raises(ValueError):
+        HNSWIndex(dim=8, metric="hamming")

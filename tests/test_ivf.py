@@ -158,7 +158,7 @@ class TestStoreAutoTrain:
 
     def test_bad_index_type(self):
         with pytest.raises(ValueError):
-            TPUVectorStore(HashEmbeddings(dim=8), index_type="hnsw")
+            TPUVectorStore(HashEmbeddings(dim=8), index_type="annoy")
 
     def test_mmr_works_on_ivf(self):
         store = TPUVectorStore(
