@@ -19,6 +19,7 @@ from rag_arc_tpu.retrieval.rewrite import MultiQueryRewriter
 from rag_arc_tpu.serving.batcher import QueryBatcher
 from rag_arc_tpu.utils.data_model import Document
 from rag_arc_tpu.utils.fusion import RRFusion
+from rag_arc_tpu.utils.tracing import get_tracer, stage
 
 logger = logging.getLogger(__name__)
 
@@ -55,13 +56,15 @@ class RagPipeline:
             # per original query
             expanded: List[str] = []
             spans: List[tuple[int, int]] = []
-            for q in queries:
-                variants = [q] + self.rewriter.rewrite(q)
-                spans.append((len(expanded), len(expanded) + len(variants)))
-                expanded.extend(variants)
-            per_variant = self.retriever.invoke_batch(
-                expanded, k=self.recall_k if self.reranker else k
-            )
+            with stage("pipeline.rewrite"):
+                for q in queries:
+                    variants = [q] + self.rewriter.rewrite(q)
+                    spans.append((len(expanded), len(expanded) + len(variants)))
+                    expanded.extend(variants)
+            with stage("pipeline.retrieve"):
+                per_variant = self.retriever.invoke_batch(
+                    expanded, k=self.recall_k if self.reranker else k
+                )
             candidates = []
             for lo, hi in spans:
                 from rag_arc_tpu.utils.data_model import RetrievalResult
@@ -77,14 +80,16 @@ class RagPipeline:
                     self.fusion.fuse(paths, self.recall_k if self.reranker else k)
                 )
         else:
-            candidates = self.retriever.invoke_batch(
-                queries, k=self.recall_k if self.reranker else k
-            )
+            with stage("pipeline.retrieve"):
+                candidates = self.retriever.invoke_batch(
+                    queries, k=self.recall_k if self.reranker else k
+                )
         if self.reranker is not None:
-            candidates = [
-                self.reranker.rerank(q, docs, k=k)
-                for q, docs in zip(queries, candidates)
-            ]
+            with stage("pipeline.rerank"):
+                candidates = [
+                    self.reranker.rerank(q, docs, k=k)
+                    for q, docs in zip(queries, candidates)
+                ]
         out = [docs[:k] for docs in candidates]
         elapsed = (time.time() - t0) * 1e3
         self.metrics["queries"] += len(queries)
@@ -112,4 +117,5 @@ class RagPipeline:
                 "rerank": self.reranker is not None,
                 "retriever": self.retriever.name,
             },
+            "stage_timings": get_tracer().summary(),
         }
