@@ -117,3 +117,23 @@ class Triplet(BaseModel):
     head: str
     relation: str
     tail: str
+
+
+class PydanticUtils:
+    """Convenience helpers over arbitrary pydantic models (parity with the
+    reference's ``encapsulation/utils/pydantic_schema.py:165-228``)."""
+
+    @staticmethod
+    def to_dict(obj: BaseModel) -> Dict[str, Any]:
+        return obj.model_dump()
+
+    @staticmethod
+    def from_dict(model_cls: type, data: Dict[str, Any]) -> BaseModel:
+        return model_cls.model_validate(data)
+
+    @staticmethod
+    def safe_get_attr(obj: Any, name: str, default: Any = None) -> Any:
+        try:
+            return getattr(obj, name, default)
+        except Exception:  # noqa: BLE001 — defensive accessor by contract
+            return default
