@@ -70,26 +70,28 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     batches = queries.reshape(N_BATCHES, BATCH, DIM)
 
-    # stage query batches on device, then dispatch the whole stream without
-    # per-batch host syncs — the serving frontend's shape of work. (On this
-    # box host<->device transfers ride a network tunnel with ~35ms RTT, so
-    # per-call blocking would measure the tunnel, not the engine.)
+    # stage query batches on device, dispatch the whole stream, then FETCH
+    # every result — fetching is the only completion signal that can't lie
+    # (on this box host<->device transfers ride a network tunnel where
+    # block_until_ready can return at enqueue for pallas custom calls).
     dev_batches = [jax.device_put(jnp.asarray(b)) for b in batches]
     jax.block_until_ready(dev_batches)
     warm = index.search_device(dev_batches[0], K)
-    jax.block_until_ready(warm)
+    _ = np.asarray(warm[0])  # forces full execution + readback
 
     t0 = time.time()
     outs = [index.search_device(b, K) for b in dev_batches]
-    jax.block_until_ready(outs)
+    fetched = jax.device_get([o[1] for o in outs])
     sustained_s = time.time() - t0
     qps = float(BATCH * N_BATCHES / sustained_s)
+    del fetched
 
-    # per-batch blocking latency (device-resident queries)
+    # per-batch latency including result readback
     times = []
     for b in dev_batches[: min(10, N_BATCHES)]:
         t0 = time.time()
-        jax.block_until_ready(index.search_device(b, K))
+        s, p = index.search_device(b, K)
+        _ = np.asarray(p)
         times.append(time.time() - t0)
     p50_batch_ms = float(np.percentile(np.asarray(times), 50) * 1e3)
 

@@ -263,7 +263,7 @@ class DeviceFlatIndex:
 
             return fused_mips_topk(
                 q, self.emb, self.valid, self.sqnorm, k,
-                tile_n=min(self._tile_n(), 1024), metric=self.metric,
+                tile_n=min(self._tile_n(), 2048), metric=self.metric,
             )
         from rag_arc_tpu.ops.topk import masked_topk_chunked
 
