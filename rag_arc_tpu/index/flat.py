@@ -72,7 +72,9 @@ class DeviceFlatIndex:
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
-        self._row_multiple = max(ADD_BLOCK, 8 * self.n_shards)
+        # per-shard row count must stay a multiple of the Pallas tile so the
+        # fused kernel runs inside shard_map
+        self._row_multiple = ADD_BLOCK * self.n_shards
         self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
         self.size = 0  # high-water mark of written rows
         self.n_deleted = 0
@@ -276,11 +278,29 @@ class DeviceFlatIndex:
         mesh, axis = self.mesh, self.axis_name
         local_cap = self.capacity // self.n_shards
         metric = self.metric
+        k_local = min(k, local_cap)
+        # fused Pallas kernel per shard on TPU once the local score matrix
+        # is worth it (per-shard lax.top_k over millions of rows is both a
+        # compile hog and an O(B·N_local) HBM write)
+        use_fused = (
+            jax.default_backend() in ("tpu", "axon")
+            and 4 * q.shape[0] * local_cap > self.SCORE_BYTES_BUDGET
+        )
+        tile = ADD_BLOCK
+        while local_cap % (tile * 2) == 0 and tile < 2048:
+            tile *= 2
 
         def local_topk(q, emb, valid, sqnorm):
-            scores = pairwise_scores(q, emb, metric, sqnorm)
-            scores = jnp.where(valid[None, :], scores, NEG_INF)
-            s, idx = jax.lax.top_k(scores, min(k, local_cap))
+            if use_fused:
+                from rag_arc_tpu.ops.fused_mips import fused_mips_topk
+
+                s, idx = fused_mips_topk(
+                    q, emb, valid, sqnorm, k_local, tile_n=tile, metric=metric
+                )
+            else:
+                scores = pairwise_scores(q, emb, metric, sqnorm)
+                scores = jnp.where(valid[None, :], scores, NEG_INF)
+                s, idx = jax.lax.top_k(scores, k_local)
             offset = jax.lax.axis_index(axis) * local_cap
             return s[None], (idx + offset)[None]
 
@@ -291,6 +311,9 @@ class DeviceFlatIndex:
                 mesh=mesh,
                 in_specs=(P(), P(axis, None), P(axis), P(axis)),
                 out_specs=(P(axis, None, None), P(axis, None, None)),
+                # pallas_call outputs carry no varying-mesh-axis metadata;
+                # the out_specs above state the sharding explicitly
+                check_vma=False,
             )(q, emb, valid, sqnorm)
             b = q.shape[0]
             s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
