@@ -182,6 +182,41 @@ class DeviceIVFIndex:
         self.pos = jnp.pad(self.pos, ((0, 0), (0, pad)), constant_values=-1)
         self.lmax = new_lmax
 
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstoned rows by re-packing active vectors into fresh
+        lists (keeping the trained centroids); returns old→new position
+        mapping for docstore remap."""
+        import jax as _jax
+
+        lists = np.asarray(_jax.device_get(self.lists), dtype=np.float32)
+        valid = np.asarray(_jax.device_get(self.valid))
+        pos = np.asarray(_jax.device_get(self.pos))
+        active: list[tuple[int, np.ndarray]] = []
+        for cluster in range(self.nlist):
+            for slot in range(int(self._fill[cluster])):
+                if valid[cluster, slot] and pos[cluster, slot] >= 0:
+                    active.append((int(pos[cluster, slot]), lists[cluster, slot]))
+        active.sort(key=lambda t: t[0])
+        mapping = {old: new for new, (old, _) in enumerate(active)}
+        vectors = (
+            np.stack([v for _, v in active])
+            if active
+            else np.empty((0, self.dim), dtype=np.float32)
+        )
+        # reuse the trained centroids: reset bookkeeping and re-add (add
+        # assigns by nearest centroid, which matches the original layout)
+        self.size = 0
+        self.n_deleted = 0
+        self._fill = np.zeros(self.nlist, dtype=np.int64)
+        self._pos_to_loc.clear()
+        self.lists = jnp.zeros_like(self.lists)
+        self.sqnorm = jnp.zeros_like(self.sqnorm)
+        self.valid = jnp.zeros_like(self.valid)
+        self.pos = jnp.full_like(self.pos, -1)
+        if len(vectors):
+            self.add(vectors)
+        return mapping
+
     def mark_deleted(self, positions: np.ndarray) -> None:
         locs = [self._pos_to_loc[int(p)] for p in positions if int(p) in self._pos_to_loc]
         if not locs:

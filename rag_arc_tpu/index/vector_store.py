@@ -348,7 +348,7 @@ class TPUVectorStore(VectorStore):
             return False
         self.index.mark_deleted(np.asarray(freed))
         if (
-            isinstance(self.index, DeviceFlatIndex)
+            hasattr(self.index, "compact")
             and self.index.size > 0
             and self.index.n_deleted / self.index.size > self.compact_threshold
         ):
@@ -396,12 +396,51 @@ class TPUVectorStore(VectorStore):
     ) -> List[List[Tuple[Document, float]]]:
         """Batched entry: one device dispatch for many queries — the shape
         the serving layer and multi-query rewrite feed (not in the
-        reference, which is strictly one-query-at-a-time)."""
+        reference, which is strictly one-query-at-a-time).
+
+        When the embedder exposes a device path (``encode_device``) and the
+        index is device-resident, the encoder forward chains straight into
+        index search without the embeddings ever visiting the host — only
+        token ids go up and (score, position) pairs come back.
+        """
         if self.index is None or self.index.n_active == 0 or not queries:
             return [[] for _ in queries]
-        vecs = self.embedding.encode(list(queries))
-        scores, positions = self.index.search(vecs, k)
+        scores, positions = self._batch_search_raw(list(queries), k)
         return [self._resolve(s, p) for s, p in zip(scores, positions)]
+
+    def _batch_search_raw(
+        self, queries: List[str], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        encode_device = getattr(self.embedding, "encode_device", None)
+        search_device = getattr(self.index, "search_device", None)
+        tokenizer = getattr(self.embedding, "tokenizer", None)
+        if encode_device is None or search_device is None or tokenizer is None:
+            vecs = self.embedding.encode(queries)
+            return self.index.search(vecs, k)
+        import jax
+        import jax.numpy as jnp
+        import math
+
+        cleaned = [t.replace("\n", " ") for t in queries]
+        ids, mask = tokenizer.batch_encode(cleaned)
+        length = self.embedding._bucket_len(ids.shape[1])
+        ids, mask = tokenizer.batch_encode(cleaned, pad_to=length)
+        b = len(queries)
+        b_pad = 1 << math.ceil(math.log2(max(b, 1)))
+        if b_pad > b:
+            ids = np.pad(ids, ((0, b_pad - b), (0, 0)))
+            mask = np.pad(mask, ((0, b_pad - b), (0, 0)))
+        k_eff = min(k, self.index.capacity)
+        q_dev = encode_device(jnp.asarray(ids), jnp.asarray(mask))
+        s_dev, p_dev = search_device(q_dev, k_eff)
+        scores = np.asarray(jax.device_get(s_dev))[:b]
+        positions = np.asarray(jax.device_get(p_dev))[:b].astype(np.int64)
+        positions = np.where(np.isneginf(scores), -1, positions)
+        if k_eff < k:
+            pad = k - k_eff
+            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+            positions = np.pad(positions, ((0, 0), (0, pad)), constant_values=-1)
+        return scores, positions
 
     def max_marginal_relevance_search(
         self,

@@ -167,3 +167,32 @@ class TestStoreAutoTrain:
         store.add_texts([f"topic {i} words here" for i in range(12)])
         docs = store.max_marginal_relevance_search("topic 3", k=2, fetch_k=6)
         assert len(docs) == 2
+
+
+class TestIVFCompact:
+    def test_compact_remaps_positions(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=4, per=30)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=4, nprobe=4)
+        ivf.mark_deleted(np.arange(0, 120, 2))  # evens
+        mapping = ivf.compact()
+        assert ivf.n_active == 60 and ivf.n_deleted == 0
+        assert mapping == {old: new for new, old in enumerate(range(1, 120, 2))}
+        q = data[31:32]
+        _, p = ivf.search(q, 1)
+        assert p[0, 0] == mapping[31]
+
+    def test_store_autocompacts_ivf(self):
+        store = TPUVectorStore(
+            HashEmbeddings(dim=32),
+            index_type="ivf",
+            nlist=4,
+            train_threshold=10,
+            compact_threshold=0.3,
+        )
+        ids = store.add_texts([f"doc number {i} alpha beta" for i in range(30)])
+        assert store.index.stats()["kind"] == "ivf"
+        store.delete(ids[:15])
+        assert store.index.n_deleted == 0  # compaction ran
+        assert store.index.n_active == 15
+        hit = store.similarity_search("doc number 20 alpha beta", k=1)[0]
+        assert hit.content == "doc number 20 alpha beta"

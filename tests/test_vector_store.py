@@ -178,3 +178,34 @@ class TestRetriever:
         r = store.as_retriever(search_kwargs={"k": 1})
         docs = asyncio.run(r.ainvoke("tpu chips"))
         assert docs[0].content == CORPUS[5]
+
+
+class TestDeviceChainedQuery:
+    def test_flax_embedder_chains_on_device(self):
+        """encode_device -> search_device without embeddings visiting host."""
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+
+        emb = FlaxEncoderEmbeddings(cfg=TransformerConfig.tiny())
+        store = TPUVectorStore.from_texts(
+            ["alpha beta gamma", "delta epsilon", "alpha beta"], emb
+        )
+        calls = {"encode": 0}
+        orig = emb.encode
+
+        def spy(texts):
+            calls["encode"] += 1
+            return orig(texts)
+
+        emb.encode = spy
+        results = store.batch_similarity_search_with_score(
+            ["alpha beta gamma", "delta epsilon"], k=1
+        )
+        assert calls["encode"] == 0  # host encode path bypassed
+        assert results[0][0][0].content == "alpha beta gamma"
+        assert results[1][0][0].content == "delta epsilon"
+
+    def test_hash_embedder_falls_back_to_host_path(self):
+        store = TPUVectorStore.from_texts(["a b", "c d"], HashEmbeddings(dim=16))
+        results = store.batch_similarity_search_with_score(["a b"], k=1)
+        assert results[0][0][0].content == "a b"
