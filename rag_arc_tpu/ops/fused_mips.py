@@ -70,34 +70,44 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
 
     base = tile_idx * tile_n
 
-    # phase 1: tile-local top-k in place over scores. No (B, TILE_N)
-    # position tensor — positions come from argmax directly.
-    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    tile_s = []
-    tile_p = []
-    for _ in range(k):
-        best = jnp.max(scores, axis=1, keepdims=True)  # (q_block, 1)
-        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (q_block,)
-        tile_s.append(best)
-        tile_p.append(base + idx[:, None])
-        scores = jnp.where(cols == idx[:, None], NEG, scores)
+    # tile-skip: if no query in this block can improve its current kth-best,
+    # all 2k extraction rounds are dead work — one max + compare decides.
+    # (Exact: the tile max upper-bounds every score in the tile.)
+    tile_max = jnp.max(scores, axis=1)  # (q_block,)
+    run_min = jnp.min(run_s[pl.ds(row0, q_block), :], axis=1)
+    needs_work = jnp.any(tile_max > run_min)
 
-    # phase 2: merge running (q_block, k) with tile (q_block, k).
-    cand_s = jnp.concatenate([run_s[pl.ds(row0, q_block), :]] + tile_s, axis=1)
-    cand_p = jnp.concatenate([run_p[pl.ds(row0, q_block), :]] + tile_p, axis=1)
-    cols2k = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
-    new_s = []
-    new_p = []
-    for _ in range(k):
-        best = jnp.max(cand_s, axis=1, keepdims=True)
-        idx = jnp.argmax(cand_s, axis=1)
-        onehot = cols2k == idx[:, None]
-        # gather-free position extraction (Mosaic has no general gather)
-        new_p.append(jnp.sum(jnp.where(onehot, cand_p, 0), axis=1, keepdims=True))
-        new_s.append(best)
-        cand_s = jnp.where(onehot, NEG, cand_s)
-    run_s[pl.ds(row0, q_block), :] = jnp.concatenate(new_s, axis=1)
-    run_p[pl.ds(row0, q_block), :] = jnp.concatenate(new_p, axis=1)
+    @pl.when(needs_work)
+    def _work():
+        # phase 1: tile-local top-k in place over scores. No (B, TILE_N)
+        # position tensor — positions come from argmax directly.
+        s = scores
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        tile_s = []
+        tile_p = []
+        for _ in range(k):
+            best = jnp.max(s, axis=1, keepdims=True)  # (q_block, 1)
+            idx = jnp.argmax(s, axis=1).astype(jnp.int32)  # (q_block,)
+            tile_s.append(best)
+            tile_p.append(base + idx[:, None])
+            s = jnp.where(cols == idx[:, None], NEG, s)
+
+        # phase 2: merge running (q_block, k) with tile (q_block, k).
+        cand_s = jnp.concatenate([run_s[pl.ds(row0, q_block), :]] + tile_s, axis=1)
+        cand_p = jnp.concatenate([run_p[pl.ds(row0, q_block), :]] + tile_p, axis=1)
+        cols2k = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
+        new_s = []
+        new_p = []
+        for _ in range(k):
+            best = jnp.max(cand_s, axis=1, keepdims=True)
+            idx = jnp.argmax(cand_s, axis=1)
+            onehot = cols2k == idx[:, None]
+            # gather-free position extraction (Mosaic has no general gather)
+            new_p.append(jnp.sum(jnp.where(onehot, cand_p, 0), axis=1, keepdims=True))
+            new_s.append(best)
+            cand_s = jnp.where(onehot, NEG, cand_s)
+        run_s[pl.ds(row0, q_block), :] = jnp.concatenate(new_s, axis=1)
+        run_p[pl.ds(row0, q_block), :] = jnp.concatenate(new_p, axis=1)
 
     @pl.when(tile_idx == pl.num_programs(0) - 1)
     def _emit():

@@ -19,6 +19,7 @@ from rag_arc_tpu.parsing.base import ParsedDocument, ParserBase
 from rag_arc_tpu.parsing.docx_parser import DocxParser
 from rag_arc_tpu.parsing.html_parser import HtmlParser
 from rag_arc_tpu.parsing.pptx_parser import PptxParser
+from rag_arc_tpu.parsing.text_parser import TextParser
 from rag_arc_tpu.parsing.xlsx_parser import ExcelParser
 
 logger = logging.getLogger(__name__)
@@ -31,6 +32,7 @@ class MultiParser:
             ExcelParser(),
             PptxParser(),
             HtmlParser(),
+            TextParser(),
         ]
         if vlm_url:
             from rag_arc_tpu.parsing.ocr import OCRParser, OpenAIVisionClient
