@@ -41,7 +41,8 @@ NEG = -3.0e38  # sentinel below any real score, avoids inf-inf NaN
 
 
 def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref,
-                  run_s, run_p, *, k: int, tile_n: int, q_block: int, metric: str):
+                  run_s, run_p, *, k: int, tile_n: int, q_block: int, metric: str,
+                  skip_tiles: bool):
     tile_idx = pl.program_id(0)
     q_idx = pl.program_id(1)
     row0 = q_idx * q_block
@@ -73,9 +74,12 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
     # tile-skip: if no query in this block can improve its current kth-best,
     # all 2k extraction rounds are dead work — one max + compare decides.
     # (Exact: the tile max upper-bounds every score in the tile.)
-    tile_max = jnp.max(scores, axis=1)  # (q_block,)
-    run_min = jnp.min(run_s[pl.ds(row0, q_block), :], axis=1)
-    needs_work = jnp.any(tile_max > run_min)
+    if skip_tiles:
+        tile_max = jnp.max(scores, axis=1)  # (q_block,)
+        run_min = jnp.min(run_s[pl.ds(row0, q_block), :], axis=1)
+        needs_work = jnp.any(tile_max > run_min)
+    else:
+        needs_work = tile_idx >= 0  # always
 
     @pl.when(needs_work)
     def _work():
@@ -116,7 +120,8 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "q_block", "metric", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_n", "q_block", "metric", "interpret", "skip_tiles"),
 )
 def fused_mips_topk(
     queries: jax.Array,
@@ -128,6 +133,7 @@ def fused_mips_topk(
     q_block: int = 256,
     metric: str = "cosine",
     interpret: bool = False,
+    skip_tiles: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, d) × (N, d) → top-k (scores (B, k), positions (B, k)).
 
@@ -153,7 +159,8 @@ def fused_mips_topk(
 
     grid = (n // tile_n, b // q_block)
     kernel = functools.partial(
-        _fused_kernel, k=k, tile_n=tile_n, q_block=q_block, metric=metric
+        _fused_kernel, k=k, tile_n=tile_n, q_block=q_block, metric=metric,
+        skip_tiles=skip_tiles,
     )
     out_s, out_p = pl.pallas_call(
         kernel,
