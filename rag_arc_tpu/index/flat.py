@@ -266,6 +266,7 @@ class DeviceFlatIndex:
             return fused_mips_topk(
                 q, self.emb, self.valid, self.sqnorm, k,
                 tile_n=min(self._tile_n(), 2048), metric=self.metric,
+                skip_tiles=True,
             )
         from rag_arc_tpu.ops.topk import masked_topk_chunked
 
@@ -295,7 +296,8 @@ class DeviceFlatIndex:
                 from rag_arc_tpu.ops.fused_mips import fused_mips_topk
 
                 s, idx = fused_mips_topk(
-                    q, emb, valid, sqnorm, k_local, tile_n=tile, metric=metric
+                    q, emb, valid, sqnorm, k_local, tile_n=tile, metric=metric,
+                    skip_tiles=True,
                 )
             else:
                 scores = pairwise_scores(q, emb, metric, sqnorm)
