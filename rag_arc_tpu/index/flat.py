@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rag_arc_tpu.ops.scoring import NEG_INF, l2_normalize, pairwise_scores
 from rag_arc_tpu.parallel.mesh import (
     CORPUS_AXIS,
+    REPLICA_AXIS,
     corpus_sharding,
     replicated_sharding,
     round_up,
@@ -72,6 +73,15 @@ class DeviceFlatIndex:
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        # optional query-replica axis: a ("replica", "data") mesh keeps a
+        # full corpus copy per replica group and splits the query batch
+        # across groups — QPS scales with replicas for VPU-bound search,
+        # at memory cost x replicas (see parallel.mesh.replica_mesh)
+        self.n_replicas = (
+            mesh.shape[REPLICA_AXIS]
+            if mesh is not None and REPLICA_AXIS in mesh.axis_names
+            else 1
+        )
         # per-shard row count must stay a multiple of the Pallas tile so the
         # fused kernel runs inside shard_map
         self._row_multiple = ADD_BLOCK * self.n_shards
@@ -214,6 +224,7 @@ class DeviceFlatIndex:
         k_eff = min(k, self.capacity)
         b = queries.shape[0]
         b_pad = next((x for x in QUERY_BUCKETS if x >= b), round_up(b, 512))
+        b_pad = round_up(b_pad, self.n_replicas)
         q = np.zeros((b_pad, self.dim), dtype=np.float32)
         q[:b] = queries
 
@@ -280,6 +291,8 @@ class DeviceFlatIndex:
         local_cap = self.capacity // self.n_shards
         metric = self.metric
         k_local = min(k, local_cap)
+        if self.n_replicas > 1:
+            return self._search_replicated(q, k, k_local, local_cap)
         # fused Pallas kernel per shard on TPU once the local score matrix
         # is worth it (per-shard lax.top_k over millions of rows is both a
         # compile hog and an O(B·N_local) HBM write)
@@ -323,6 +336,54 @@ class DeviceFlatIndex:
             s, sel = jax.lax.top_k(s_flat, k)
             return s, jnp.take_along_axis(p_flat, sel, axis=-1)
 
+        return run(q, self.emb, self.valid, self.sqnorm)
+
+    def _search_replicated(self, q: jax.Array, k: int, k_local: int, local_cap: int):
+        """("replica", "data") mesh: each replica group answers its slice of
+        the query batch against the corpus (sharded over "data" within the
+        group). The per-shard top-k all-gathers and merges *inside* the
+        group over ICI; query slices never leave their replica."""
+        mesh, axis = self.mesh, self.axis_name
+        metric = self.metric
+        use_fused = (
+            jax.default_backend() in ("tpu", "axon")
+            and 4 * (q.shape[0] // self.n_replicas) * local_cap
+            > self.SCORE_BYTES_BUDGET
+        )
+        tile = ADD_BLOCK
+        while local_cap % (tile * 2) == 0 and tile < 2048:
+            tile *= 2
+
+        def local_fn(q_local, emb, valid, sqnorm):
+            if use_fused:
+                from rag_arc_tpu.ops.fused_mips import fused_mips_topk
+
+                s, idx = fused_mips_topk(
+                    q_local, emb, valid, sqnorm, k_local,
+                    tile_n=tile, metric=metric, skip_tiles=True,
+                )
+            else:
+                scores = pairwise_scores(q_local, emb, metric, sqnorm)
+                scores = jnp.where(valid[None, :], scores, NEG_INF)
+                s, idx = jax.lax.top_k(scores, k_local)
+            idx = idx + jax.lax.axis_index(axis) * local_cap
+            s_all = jax.lax.all_gather(s, axis)  # (S, b_r, k_local)
+            p_all = jax.lax.all_gather(idx, axis)
+            b_r = q_local.shape[0]
+            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b_r, -1)
+            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b_r, -1)
+            sm, sel = jax.lax.top_k(s_flat, k)
+            return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+        run = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(REPLICA_AXIS, None), P(axis, None), P(axis), P(axis)),
+                out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
+                check_vma=False,
+            )
+        )
         return run(q, self.emb, self.valid, self.sqnorm)
 
     def take(self, positions: np.ndarray) -> np.ndarray:

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CORPUS_AXIS = "data"
+REPLICA_AXIS = "replica"
 
 
 def default_mesh(
@@ -32,6 +33,20 @@ def default_mesh(
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replica_mesh(replicas: int, shards: int) -> Mesh:
+    """("replica", "data") mesh: the corpus shards over "data" within each
+    replica group and replicates across groups; query batches split across
+    "replica". Trades HBM (× replicas) for QPS (× replicas) when search is
+    compute-bound rather than memory-bound."""
+    devices = jax.devices()
+    if replicas * shards > len(devices):
+        raise ValueError(
+            f"requested {replicas}x{shards} devices, only {len(devices)} present"
+        )
+    grid = np.asarray(devices[: replicas * shards]).reshape(replicas, shards)
+    return Mesh(grid, (REPLICA_AXIS, CORPUS_AXIS))
 
 
 def corpus_sharding(mesh: Mesh, axis_name: str = CORPUS_AXIS) -> NamedSharding:

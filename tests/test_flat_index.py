@@ -161,3 +161,38 @@ class TestSharded:
         index.mark_deleted(np.array([100]))
         _, p = index.search(q, k=1)
         assert p[0, 0] != 100
+
+
+class TestReplicaMesh:
+    def test_replica_sharded_matches_single(self, rng):
+        from rag_arc_tpu.parallel.mesh import replica_mesh
+
+        mesh = replica_mesh(replicas=2, shards=4)
+        corpus = rng.standard_normal((3000, 32)).astype(np.float32)
+        queries = rng.standard_normal((16, 32)).astype(np.float32)
+        single = DeviceFlatIndex(dim=32, capacity=4096)
+        single.add(corpus)
+        repl = DeviceFlatIndex(dim=32, capacity=4096, mesh=mesh)
+        assert repl.n_replicas == 2 and repl.n_shards == 4
+        repl.add(corpus)
+        s1, p1 = single.search(queries, k=10)
+        s2, p2 = repl.search(queries, k=10)
+        for b in range(16):
+            assert set(p1[b]) == set(p2[b])
+        np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), rtol=1e-4)
+
+    def test_replica_mesh_single_query(self, rng):
+        from rag_arc_tpu.parallel.mesh import replica_mesh
+
+        mesh = replica_mesh(replicas=2, shards=2)
+        data = rng.standard_normal((500, 16)).astype(np.float32)
+        index = DeviceFlatIndex(dim=16, capacity=1024, mesh=mesh)
+        index.add(data)
+        _, p = index.search(data[42:43], k=1)  # B=1 padded to replica multiple
+        assert p[0, 0] == 42
+
+    def test_replica_mesh_too_many_devices(self):
+        from rag_arc_tpu.parallel.mesh import replica_mesh
+
+        with pytest.raises(ValueError):
+            replica_mesh(replicas=4, shards=4)  # 16 > 8 emulated devices
