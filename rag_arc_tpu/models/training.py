@@ -70,6 +70,96 @@ def init_train_state(
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
+def fit(
+    model: TextEncoder,
+    params: Dict,
+    pairs,
+    tokenizer,
+    steps: int = 100,
+    batch_size: int = 32,
+    max_len: int = 64,
+    learning_rate: float = 1e-4,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    log_every: int = 10,
+    seed: int = 0,
+) -> Tuple[Dict, list]:
+    """Simple contrastive training driver over (query, document) pairs.
+
+    Shuffles per epoch, tokenizes per batch, runs the (optionally
+    dp×tp-sharded) train step, optionally checkpoints. Returns
+    (trained params, metric history). This is the training loop the
+    reference never had — it only consumed pretrained torch checkpoints.
+    """
+    import optax as _optax
+
+    pairs = list(pairs)
+    if len(pairs) < batch_size:
+        raise ValueError(
+            f"need at least batch_size={batch_size} pairs, got {len(pairs)}"
+        )
+    optimizer = _optax.adamw(learning_rate)
+    state = init_train_state(model, params, optimizer)
+    if mesh is not None:
+        step_fn, shard_state, shard_batch = make_sharded_train_step(
+            model, optimizer, params, mesh
+        )
+        state = shard_state(state)
+    else:
+        step_fn = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+        shard_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(pairs))
+    cursor = 0
+    history = []
+    ctx = mesh if mesh is not None else _NullContext()
+    with ctx:
+        for step_idx in range(steps):
+            if cursor + batch_size > len(pairs):
+                order = rng.permutation(len(pairs))
+                cursor = 0
+            batch_pairs = [pairs[i] for i in order[cursor : cursor + batch_size]]
+            cursor += batch_size
+            q_ids, q_mask = tokenizer.batch_encode(
+                [q for q, _ in batch_pairs], pad_to=max_len
+            )
+            d_ids, d_mask = tokenizer.batch_encode(
+                [d for _, d in batch_pairs], pad_to=max_len
+            )
+            batch = shard_batch(
+                {"q_ids": q_ids, "q_mask": q_mask, "d_ids": d_ids, "d_mask": d_mask}
+            )
+            state, metrics = step_fn(state, batch)
+            if log_every and (step_idx % log_every == 0 or step_idx == steps - 1):
+                entry = {
+                    "step": step_idx,
+                    "loss": float(jax.device_get(metrics["loss"])),
+                    "accuracy": float(jax.device_get(metrics["accuracy"])),
+                }
+                history.append(entry)
+            if checkpoint_dir and checkpoint_every and (
+                (step_idx + 1) % checkpoint_every == 0 or step_idx == steps - 1
+            ):
+                from rag_arc_tpu.models.checkpoint import save_params
+
+                save_params(
+                    state.params,
+                    f"{checkpoint_dir}/step_{step_idx + 1}",
+                    metadata={"step": step_idx + 1},
+                )
+    return state.params, history
+
+
+class _NullContext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 def make_sharded_train_step(
     model: TextEncoder,
     optimizer: optax.GradientTransformation,

@@ -116,6 +116,56 @@ class CrossEncoderReranker(RerankerBase):
     ) -> List[Document]:
         documents = list(documents)
         scores = self.compute_scores(query, documents)
+        return self._sorted(documents, scores, k)
+
+    def rerank_batch(
+        self,
+        queries: Sequence[str],
+        documents_per_query: Sequence[Sequence[Document]],
+        k: Optional[int] = None,
+    ) -> List[List[Document]]:
+        """Rerank many queries' candidate sets in ONE device dispatch:
+        all (query, document) pairs flatten into a single padded batch.
+        (The reference loops batch_size=8 per query, Reranker_Qwen3.py:57;
+        a serving batch of 32 queries x 100 candidates is 3200 pairs — one
+        dispatch here vs 400 there.)"""
+        if len(queries) != len(documents_per_query):
+            raise ValueError("queries and candidate lists length mismatch")
+        flat_docs: List[Document] = []
+        spans: List[tuple[int, int]] = []
+        prompts: List[str] = []
+        for query, docs in zip(queries, documents_per_query):
+            spans.append((len(flat_docs), len(flat_docs) + len(docs)))
+            for doc in docs:
+                flat_docs.append(doc)
+                prompts.append(self._render(query, doc.content))
+        if not flat_docs:
+            return [[] for _ in queries]
+        ids, mask = self.tokenizer.batch_encode(
+            prompts, pad_to=self.max_length, left_pad=True
+        )
+        n = len(prompts)
+        b_pad = 1 << math.ceil(math.log2(max(n, 1)))
+        if b_pad > n:
+            ids = np.pad(ids, ((0, b_pad - n), (0, 0)))
+            mask = np.pad(mask, ((0, b_pad - n), (0, 0)))
+        scores = np.asarray(
+            jax.device_get(
+                _score_batch(
+                    self.model, self.params,
+                    jnp.asarray(ids), jnp.asarray(mask),
+                    self.yes_id, self.no_id,
+                )
+            )
+        )[:n]
+        out = []
+        for (lo, hi), docs in zip(spans, documents_per_query):
+            out.append(self._sorted(list(docs), scores[lo:hi], k))
+        return out
+
+    def _sorted(
+        self, documents: List[Document], scores: np.ndarray, k: Optional[int]
+    ) -> List[Document]:
         order = np.argsort(-scores, kind="stable")
         k = len(documents) if k is None else int(k)
         out = []

@@ -86,10 +86,14 @@ class RagPipeline:
                 )
         if self.reranker is not None:
             with stage("pipeline.rerank"):
-                candidates = [
-                    self.reranker.rerank(q, docs, k=k)
-                    for q, docs in zip(queries, candidates)
-                ]
+                batch_rerank = getattr(self.reranker, "rerank_batch", None)
+                if batch_rerank is not None:
+                    candidates = batch_rerank(queries, candidates, k=k)
+                else:
+                    candidates = [
+                        self.reranker.rerank(q, docs, k=k)
+                        for q, docs in zip(queries, candidates)
+                    ]
         out = [docs[:k] for docs in candidates]
         elapsed = (time.time() - t0) * 1e3
         self.metrics["queries"] += len(queries)
@@ -105,6 +109,15 @@ class RagPipeline:
     def query_batch(self, queries: Sequence[str], k: Optional[int] = None) -> List[List[Document]]:
         """Direct batched entry (bypasses the micro-batcher)."""
         return self._answer_batch(queries, k=k)
+
+    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32)) -> None:
+        """Trigger compiles for the common batch buckets at startup so the
+        first real queries don't pay compile latency."""
+        for bs in batch_sizes:
+            try:
+                self._answer_batch([f"warmup query {i}" for i in range(bs)])
+            except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+                logger.warning("warmup batch %d failed: %s", bs, exc)
 
     def stats(self) -> Dict[str, Any]:
         q = max(self.metrics["queries"], 1)

@@ -229,3 +229,30 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFit:
+    def test_fit_learns_and_checkpoints(self, tmp_path):
+        from rag_arc_tpu.models.tokenizer import HashTokenizer
+        from rag_arc_tpu.models.training import fit
+
+        cfg = TransformerConfig.tiny(dim=64, vocab_size=512)
+        model, params = init_encoder(cfg, seed=0)
+        pairs = [(f"query topic {i}", f"document topic {i} body") for i in range(16)]
+        tok = HashTokenizer(vocab_size=512, max_len=16)
+        trained, history = fit(
+            model, params, pairs, tok,
+            steps=15, batch_size=16, max_len=16, learning_rate=5e-3,
+            checkpoint_dir=str(tmp_path), checkpoint_every=15, log_every=5,
+        )
+        assert history[-1]["loss"] < history[0]["loss"]
+        assert (tmp_path / "step_15").exists()
+
+    def test_fit_requires_enough_pairs(self):
+        from rag_arc_tpu.models.tokenizer import HashTokenizer
+        from rag_arc_tpu.models.training import fit
+
+        cfg = TransformerConfig.tiny()
+        model, params = init_encoder(cfg)
+        with pytest.raises(ValueError, match="batch_size"):
+            fit(model, params, [("a", "b")], HashTokenizer(), batch_size=8)

@@ -243,3 +243,44 @@ class TestHTTPApp:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=10)
         assert exc_info.value.code == 500
+
+
+class TestRerankBatchAndWarmup:
+    def test_rerank_batch_matches_per_query(self):
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.rerank.cross_encoder import CrossEncoderReranker
+        from rag_arc_tpu.utils.data_model import Document
+
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        queries = ["query one", "query two"]
+        cand = [
+            [Document(content=f"doc {i} for q1") for i in range(4)],
+            [Document(content=f"doc {i} for q2") for i in range(3)],
+        ]
+        batched = rr.rerank_batch(queries, cand, k=2)
+        singles = [rr.rerank(q, c, k=2) for q, c in zip(queries, cand)]
+        for got, want in zip(batched, singles):
+            assert [d.content for d in got] == [d.content for d in want]
+
+    def test_rerank_batch_empty(self):
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.rerank.cross_encoder import CrossEncoderReranker
+
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        assert rr.rerank_batch(["q"], [[]]) == [[]]
+
+    def test_pipeline_uses_batch_rerank_and_warmup(self):
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.rerank.cross_encoder import CrossEncoderReranker
+
+        store = TPUVectorStore.from_texts(CORPUS, HashEmbeddings(dim=32))
+        pipe = RagPipeline(
+            store.as_retriever(),
+            reranker=CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True)),
+            recall_k=4,
+            top_k=2,
+        )
+        pipe.warmup(batch_sizes=(1, 2))
+        out = pipe.query_batch(["cat mat", "qubits"], k=2)
+        assert all(len(docs) == 2 for docs in out)
+        assert all("rerank_score" in d.metadata for docs in out for d in docs)
