@@ -279,3 +279,36 @@ class TestStore:
         assert store.health_check()["status"] == "ok"
         store.delete_graph_data()
         assert store.get_graph_statistics()["total_nodes"] == 0
+
+
+class TestGraphScale:
+    def test_moderate_scale_store_and_mesh(self, rng):
+        """BASELINE config 5 shape at test scale: entity-linked chunk index
+        with the embedding indexes sharded over the 8-device mesh."""
+        from rag_arc_tpu.graph.extractor import ExtractionResult
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        store = ArrayGraphStore(HashEmbeddings(dim=32), mesh=mesh)
+        results = []
+        for c in range(40):
+            doc = Document(content=f"chunk {c} covers area {c % 8} details", id=f"c{c}")
+            k = ks(
+                events=[
+                    Event(
+                        id="E1",
+                        content=f"event in chunk {c} about area {c % 8}",
+                        participants=[f"area {c % 8}"],
+                    )
+                ],
+                entities=[
+                    Entity(entity_name=f"area {c % 8}", entity_type="concept"),
+                    Entity(entity_name=f"unique entity {c}"),
+                ],
+            )
+            results.append(ExtractionResult(document=doc, knowledge=k))
+        stats = store.store_hyperrag_graph(results)
+        assert stats["chunks"] == 40
+        assert stats["entities"] == 8 + 40  # 8 shared areas + 40 unique
+        docs = store.entity_linked_chunks("area 3 details", k=5)
+        assert docs and all("area 3" in d.content for d in docs)
