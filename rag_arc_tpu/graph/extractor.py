@@ -15,7 +15,7 @@ import asyncio
 import logging
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 from rag_arc_tpu.graph.schema import KnowledgeStructure
 from rag_arc_tpu.llm.base import LLMBase

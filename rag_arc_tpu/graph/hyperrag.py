@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import logging
 import re
-from typing import Dict, List, Set
+from typing import Dict, Set
 
 from rag_arc_tpu.graph.extractor import ExtractionResult, GraphExtractorBase
 from rag_arc_tpu.graph.prompts import (

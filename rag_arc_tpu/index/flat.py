@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rag_arc_tpu.ops.scoring import NEG_INF, l2_normalize, pairwise_scores
+from rag_arc_tpu.ops.scoring import NEG_INF, pairwise_scores
 from rag_arc_tpu.parallel.mesh import (
     CORPUS_AXIS,
     REPLICA_AXIS,

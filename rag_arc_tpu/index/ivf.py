@@ -19,7 +19,6 @@ follows nprobe/nlist exactly as in FAISS.
 from __future__ import annotations
 
 import logging
-import math
 from functools import partial
 from typing import Dict, Optional, Tuple
 

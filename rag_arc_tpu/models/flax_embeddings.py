@@ -12,7 +12,6 @@ reference's behavior (``huggingface.py:116``).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

@@ -24,7 +24,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rag_arc_tpu.models.encoder import TextEncoder, TransformerConfig, param_shardings
+from rag_arc_tpu.models.encoder import TextEncoder, param_shardings
 
 
 class TrainState(NamedTuple):

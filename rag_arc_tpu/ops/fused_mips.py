@@ -71,34 +71,60 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
 
     base = tile_idx * tile_n
 
-    # tile-skip: if no query in this block can improve its current kth-best,
-    # all 2k extraction rounds are dead work — one max + compare decides.
-    # (Exact: the tile max upper-bounds every score in the tile.)
+    # threshold early-exit: θ_q = the query's current kth-best. Scores ≤ θ_q
+    # can never enter the global top-k, so (a) a tile where no score beats
+    # any θ_q skips everything, and (b) extraction stops after
+    # max_q |{scores_q > θ_q}| rounds instead of always k. After the first
+    # ~k tiles raise θ, most tiles run 0–2 rounds. Exact by construction.
     if skip_tiles:
-        tile_max = jnp.max(scores, axis=1)  # (q_block,)
-        run_min = jnp.min(run_s[pl.ds(row0, q_block), :], axis=1)
-        needs_work = jnp.any(tile_max > run_min)
+        theta = jnp.min(run_s[pl.ds(row0, q_block), :], axis=1, keepdims=True)
+        counts = jnp.sum((scores > theta).astype(jnp.int32), axis=1)  # (qb,)
+        max_count = jnp.max(counts)
+        needs_work = max_count > 0
     else:
+        max_count = jnp.int32(k)
         needs_work = tile_idx >= 0  # always
 
     @pl.when(needs_work)
     def _work():
         # phase 1: tile-local top-k in place over scores. No (B, TILE_N)
-        # position tensor — positions come from argmax directly.
-        s = scores
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        tile_s = []
-        tile_p = []
-        for _ in range(k):
-            best = jnp.max(s, axis=1, keepdims=True)  # (q_block, 1)
-            idx = jnp.argmax(s, axis=1).astype(jnp.int32)  # (q_block,)
-            tile_s.append(best)
-            tile_p.append(base + idx[:, None])
-            s = jnp.where(cols == idx[:, None], NEG, s)
+        # position tensor — positions come from argmax directly. Each round
+        # is real control flow (lax.cond): rounds past max_count cost O(1).
+        cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        cols_k = jax.lax.broadcasted_iota(jnp.int32, (q_block, k), 1)
+        init = (
+            scores,
+            jnp.full((q_block, k), NEG, jnp.float32),
+            jnp.full((q_block, k), -1, jnp.int32),
+        )
+
+        def round_body(r, carry):
+            def extract(c):
+                s, ts, tp = c
+                best = jnp.max(s, axis=1, keepdims=True)  # (q_block, 1)
+                idx = jnp.argmax(s, axis=1).astype(jnp.int32)  # (q_block,)
+                # write column r via a static mask (Mosaic has no value
+                # dynamic_update_slice; r is a Python int here)
+                slot = cols_k == r
+                ts = jnp.where(slot, best, ts)
+                tp = jnp.where(slot, base + idx[:, None], tp)
+                s = jnp.where(cols == idx[:, None], NEG, s)
+                return s, ts, tp
+
+            return jax.lax.cond(max_count > r, extract, lambda c: c, carry)
+
+        carry = init
+        for r in range(k):
+            carry = round_body(r, carry)
+        _, tile_s, tile_p = carry
 
         # phase 2: merge running (q_block, k) with tile (q_block, k).
-        cand_s = jnp.concatenate([run_s[pl.ds(row0, q_block), :]] + tile_s, axis=1)
-        cand_p = jnp.concatenate([run_p[pl.ds(row0, q_block), :]] + tile_p, axis=1)
+        cand_s = jnp.concatenate(
+            [run_s[pl.ds(row0, q_block), :], tile_s], axis=1
+        )
+        cand_p = jnp.concatenate(
+            [run_p[pl.ds(row0, q_block), :], tile_p], axis=1
+        )
         cols2k = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
         new_s = []
         new_p = []

@@ -11,9 +11,8 @@ serves.
 from __future__ import annotations
 
 import io
-import json
 import logging
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 from rag_arc_tpu.parsing.ocr import VLMClient
 from rag_arc_tpu.parsing.output_cleaner import OutputCleaner

@@ -14,8 +14,6 @@ import hashlib
 import re
 import urllib.request
 from pathlib import Path
-from typing import Optional
-
 from bs4 import BeautifulSoup, NavigableString, Tag
 
 from rag_arc_tpu.parsing.base import ParsedDocument, ParserBase

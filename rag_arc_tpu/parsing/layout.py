@@ -12,7 +12,7 @@ headers/footers dropped — ``format_transformer.py:144-179``).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 PATCH_FACTOR = 28  # ViT patch granularity of the layout VLM
 MIN_PIXELS = 56 * 56

@@ -25,7 +25,7 @@ import json
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Protocol, Sequence, Tuple
 
 from rag_arc_tpu.parsing.base import ParsedDocument, ParserBase
 from rag_arc_tpu.parsing.layout import (
@@ -218,9 +218,21 @@ class OCRParser(ParserBase):
             )
         pages.sort(key=lambda p: p["page"])
         markdown = "\n\n".join(p["markdown"] for p in pages if p["markdown"])
+        # per-page layout sidecars (the reference writes page .json files,
+        # pdf_parser.py:308-379) plus a combined layout document
+        assets = {
+            f"layout/page_{p['page']}.json": json.dumps(
+                p["layout"], ensure_ascii=False
+            ).encode("utf-8")
+            for p in pages
+        }
+        assets["layout/combined.json"] = json.dumps(
+            [p["layout"] for p in pages], ensure_ascii=False
+        ).encode("utf-8")
         return ParsedDocument(
             markdown=markdown + "\n",
             source=source,
+            assets=assets,
             metadata={
                 "parser": "ocr",
                 "prompt_mode": self.prompt_mode,

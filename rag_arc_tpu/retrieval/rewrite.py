@@ -12,7 +12,7 @@ deduplicating documents that multiple phrasings surface.
 from __future__ import annotations
 
 import logging
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 from pydantic import BaseModel, Field
 

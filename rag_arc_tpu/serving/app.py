@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 

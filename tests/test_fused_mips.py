@@ -85,3 +85,27 @@ def test_index_chunked_path_on_cpu(rng):
     q = data[17:18]
     _, p = index.search(q, k=1)
     assert p[0, 0] == 17
+
+
+@pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+def test_early_exit_matches_exact(rng, metric):
+    q, corpus, valid, sqnorm = setup_corpus(rng, metric=metric)
+    es, ep = masked_topk(q, corpus, valid, 10, metric, sqnorm)
+    fs, fp = fused_mips_topk(
+        q, corpus, valid, sqnorm, k=10, tile_n=512, metric=metric,
+        interpret=True, skip_tiles=True,
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(fp)[b].tolist())
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(es), rtol=1e-4, atol=1e-4)
+
+
+def test_early_exit_small_corpus_fewer_than_k(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=1024)
+    valid = valid.at[8:].set(False)  # only 8 live rows, k=10
+    fs, fp = fused_mips_topk(
+        q, corpus, valid, sqnorm, k=10, tile_n=1024, interpret=True, skip_tiles=True,
+    )
+    fp = np.asarray(fp)
+    assert ((0 <= fp[:, :7]) & (fp[:, :7] < 8)).all()
+    assert (fp[:, 8:] == -1).all()
