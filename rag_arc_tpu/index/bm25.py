@@ -124,12 +124,22 @@ class DeviceBM25Index:
         b = len(tokenized_queries)
         qt = np.full((b, self.qmax), QUERY_PAD, dtype=np.int32)
         qc = np.zeros((b, self.qmax), dtype=np.float32)
+        warned = False
         for i, toks in enumerate(tokenized_queries):
             counts: Dict[int, int] = {}
             for tok in toks:
                 tid = self.vocab.get(tok)
                 if tid is not None:
                     counts[tid] = counts.get(tid, 0) + 1
+            if len(counts) > self.qmax and not warned:
+                warned = True
+                import warnings
+
+                warnings.warn(
+                    f"query has {len(counts)} unique indexed terms; only the "
+                    f"{self.qmax} most frequent are scored (raise qmax for "
+                    "long queries)"
+                )
             # keep highest-count terms when over budget
             items = sorted(counts.items(), key=lambda kv: -kv[1])[: self.qmax]
             for j, (tid, c) in enumerate(items):

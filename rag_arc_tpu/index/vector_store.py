@@ -296,7 +296,19 @@ class TPUVectorStore(VectorStore):
                 doc.id = doc_id
         if not documents:
             return []
-        vectors = self.embedding.encode([d.content for d in documents])
+        # embed in bounded chunks so a 100k-doc ingest doesn't materialize
+        # one giant activation batch
+        contents = [d.content for d in documents]
+        chunk = 4096
+        if len(contents) <= chunk:
+            vectors = self.embedding.encode(contents)
+        else:
+            vectors = np.concatenate(
+                [
+                    self.embedding.encode(contents[i : i + chunk])
+                    for i in range(0, len(contents), chunk)
+                ]
+            )
         if self.index is None:
             self._create_index(vectors.shape[1])
         # overwrite semantics for duplicate ids: tombstone the old rows

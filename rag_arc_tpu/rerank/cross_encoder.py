@@ -81,6 +81,19 @@ class CrossEncoderReranker(RerankerBase):
         self.yes_id = self.tokenizer.token_id("yes")
         self.no_id = self.tokenizer.token_id("no")
 
+    _LEN_BUCKETS = (64, 128, 256, 512)
+
+    def _bucket_len(self, prompts: Sequence[str]) -> int:
+        """Pad to the smallest length bucket that fits the batch (padding
+        every rerank to max_length would make short candidate sets pay the
+        full 512-token forward)."""
+        ids, _ = self.tokenizer.batch_encode(prompts)
+        needed = ids.shape[1]
+        for bucket in self._LEN_BUCKETS:
+            if bucket >= needed and bucket <= self.max_length:
+                return bucket
+        return self.max_length
+
     def _render(self, query: str, document: str) -> str:
         return PROMPT_TEMPLATE.format(
             instruction=self.instruction, query=query, document=document
@@ -94,7 +107,7 @@ class CrossEncoderReranker(RerankerBase):
             return np.empty((0,), dtype=np.float32)
         prompts = [self._render(query, d.content) for d in documents]
         ids, mask = self.tokenizer.batch_encode(
-            prompts, pad_to=self.max_length, left_pad=True
+            prompts, pad_to=self._bucket_len(prompts), left_pad=True
         )
         n = len(prompts)
         b_pad = 1 << math.ceil(math.log2(max(n, 1)))
@@ -142,7 +155,7 @@ class CrossEncoderReranker(RerankerBase):
         if not flat_docs:
             return [[] for _ in queries]
         ids, mask = self.tokenizer.batch_encode(
-            prompts, pad_to=self.max_length, left_pad=True
+            prompts, pad_to=self._bucket_len(prompts), left_pad=True
         )
         n = len(prompts)
         b_pad = 1 << math.ceil(math.log2(max(n, 1)))
