@@ -37,6 +37,7 @@ def _doc_json(doc: Document) -> Dict[str, Any]:
 
 class RagRequestHandler(BaseHTTPRequestHandler):
     pipeline: RagPipeline  # class attribute installed by make_server
+    protocol_version = "HTTP/1.1"  # keep-alive: no per-request socket churn
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.debug("http: " + fmt, *args)
@@ -98,9 +99,14 @@ class RagRequestHandler(BaseHTTPRequestHandler):
             self._send(500, {"error": str(exc)})
 
 
+class _RagHTTPServer(ThreadingHTTPServer):
+    request_queue_size = 128  # accept-backlog must be set before bind
+    daemon_threads = True
+
+
 def make_server(pipeline: RagPipeline, port: int = 0) -> ThreadingHTTPServer:
     handler = type("BoundHandler", (RagRequestHandler,), {"pipeline": pipeline})
-    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+    return _RagHTTPServer(("0.0.0.0", port), handler)
 
 
 def serve_forever(pipeline: RagPipeline, port: int) -> None:
