@@ -116,6 +116,108 @@ class DeviceBM25Index:
             self.doc_weights = jax.device_put(self.doc_weights, emb_s)
             self.valid = jax.device_put(self.valid, row_s)
 
+    def build_from_texts_native(self, contents: Sequence[str]) -> None:
+        """Fast build path: tokenization + term statistics in C++
+        (native/textproc.cpp), byte-exact with ``text.lower().split()`` for
+        ASCII corpora. The caller is responsible for checking
+        ``str.isascii()`` and falling back to :meth:`build` otherwise."""
+        import ctypes
+
+        from rag_arc_tpu.native.build import load_library
+
+        n = len(contents)
+        self.n_docs = n
+        if n == 0:
+            self.build([])
+            return
+        lib = load_library("textproc")
+        lib.textproc_build.restype = ctypes.c_void_p
+        lib.textproc_build.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        for name, restype in (
+            ("textproc_n_vocab", ctypes.c_int64),
+            ("textproc_dmax", ctypes.c_int64),
+            ("textproc_nnz", ctypes.c_int64),
+            ("textproc_vocab_bytes", ctypes.c_int64),
+        ):
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = [ctypes.c_void_p]
+        lib.textproc_free.argtypes = [ctypes.c_void_p]
+        lib.textproc_export.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.textproc_vocab_export.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        blobs = [c.encode("ascii") for c in contents]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        buffer = b"".join(blobs)
+        handle = lib.textproc_build(
+            buffer, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+        )
+        try:
+            v = lib.textproc_n_vocab(handle)
+            nnz = lib.textproc_nnz(handle)
+            dmax = max(int(lib.textproc_dmax(handle)), 8)
+            row_offsets = np.empty(n + 1, dtype=np.int64)
+            term_ids = np.empty(max(nnz, 1), dtype=np.int32)
+            tfs = np.empty(max(nnz, 1), dtype=np.float32)
+            doc_len = np.empty(n, dtype=np.int64)
+            df = np.empty(max(v, 1), dtype=np.int64)
+            lib.textproc_export(
+                handle,
+                row_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                doc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                df.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            vocab_bytes = ctypes.create_string_buffer(
+                int(lib.textproc_vocab_bytes(handle))
+            )
+            lib.textproc_vocab_export(handle, vocab_bytes)
+        finally:
+            lib.textproc_free(handle)
+        terms_list = vocab_bytes.raw.decode("ascii").split("\n")[:-1]
+        self.vocab = {t: i for i, t in enumerate(terms_list)}
+        self.avgdl = float(doc_len.mean()) if n else 0.0
+        idf = compute_idf(df.astype(np.float64), n, self.epsilon)
+
+        from rag_arc_tpu.parallel.mesh import round_up as _round_up
+
+        dmax = _round_up(dmax, 8)
+        n_pad = _round_up(n, max(8, 8 * self.n_shards))
+        terms = np.full((n_pad, dmax), DOC_PAD, dtype=np.int32)
+        tf_arr = np.zeros((n_pad, dmax), dtype=np.float32)
+        idf_slot = np.zeros((n_pad, dmax), dtype=np.float32)
+        # vectorized CSR → padded scatter
+        counts = np.diff(row_offsets)
+        doc_of = np.repeat(np.arange(n), counts)
+        col_of = np.arange(nnz, dtype=np.int64) - np.repeat(row_offsets[:-1], counts)
+        terms[doc_of, col_of] = term_ids[:nnz]
+        tf_arr[doc_of, col_of] = tfs[:nnz]
+        idf_slot[doc_of, col_of] = idf[term_ids[:nnz]]
+        doc_len_pad = np.zeros(n_pad, dtype=np.float64)
+        doc_len_pad[:n] = doc_len
+        weights = compute_doc_weights(
+            tf_arr, idf_slot, doc_len_pad, self.avgdl, self.k1, self.b
+        )
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = True
+        self.doc_terms = jnp.asarray(terms)
+        self.doc_weights = jnp.asarray(weights)
+        self.valid = jnp.asarray(valid)
+        if self.mesh is not None:
+            emb_s = corpus_sharding(self.mesh, self.axis_name)
+            row_s = row_sharding(self.mesh, self.axis_name)
+            self.doc_terms = jax.device_put(self.doc_terms, emb_s)
+            self.doc_weights = jax.device_put(self.doc_weights, emb_s)
+            self.valid = jax.device_put(self.valid, row_s)
+
     # -- query encoding ---------------------------------------------------
 
     def encode_queries(

@@ -105,6 +105,16 @@ class BM25Retriever(BaseRetriever):
         return self.preprocess_func(text)
 
     def _rebuild(self) -> None:
+        # native fast path: C++ tokenization+stats is byte-exact with the
+        # default lower().split() on ASCII corpora
+        if self.preprocess_func is default_preprocess and all(
+            d.content.isascii() for d in self.docs
+        ):
+            try:
+                self.index.build_from_texts_native([d.content for d in self.docs])
+                return
+            except Exception as exc:  # noqa: BLE001 — fall back to python build
+                logger.warning("native BM25 build unavailable (%s)", exc)
         tokenized = [self._tokenize(d.content) for d in self.docs]
         self.index.build(tokenized)
 

@@ -160,3 +160,53 @@ class TestRetriever:
         )
         doc = r.invoke("alpha")[0]
         assert doc.metadata == {"k": 1} and doc.id == "x"
+
+
+class TestNativeBuild:
+    def test_native_matches_python_build(self):
+        """C++ tokenizer+stats must be byte-exact with lower().split()."""
+        py = DeviceBM25Index()
+        py.build([toks(d) for d in DOCS])
+        native = DeviceBM25Index()
+        native.build_from_texts_native(list(DOCS))
+        assert native.vocab == py.vocab
+        assert native.avgdl == py.avgdl
+        for q in ("quick fox", "Market RATES", "the dog barked"):
+            np.testing.assert_allclose(
+                native.get_scores(q.lower().split()),
+                py.get_scores(q.lower().split()),
+                rtol=1e-6,
+            )
+
+    def test_retriever_uses_native_for_ascii(self, monkeypatch):
+        calls = {"native": 0}
+        orig = DeviceBM25Index.build_from_texts_native
+
+        def spy(self, contents):
+            calls["native"] += 1
+            return orig(self, contents)
+
+        monkeypatch.setattr(DeviceBM25Index, "build_from_texts_native", spy)
+        r = BM25Retriever.from_texts(DOCS)
+        assert calls["native"] == 1
+        assert r.invoke("quick fox", k=1)[0].content == DOCS[0]
+
+    def test_retriever_python_path_for_cjk(self, monkeypatch):
+        def boom(self, contents):
+            raise AssertionError("native path must not run for non-ASCII")
+
+        monkeypatch.setattr(DeviceBM25Index, "build_from_texts_native", boom)
+        with pytest.warns(UserWarning, match="CJK"):
+            r = BM25Retriever.from_texts(["中文 文本 检索"])
+        assert r.get_bm25_info()["num_documents"] == 1
+
+    def test_native_build_speed_1e4_docs(self):
+        import time
+
+        docs = [f"document {i} with words alpha beta {i % 97} gamma" for i in range(10_000)]
+        t0 = time.time()
+        index = DeviceBM25Index()
+        index.build_from_texts_native(docs)
+        native_s = time.time() - t0
+        assert index.n_docs == 10_000
+        assert native_s < 5.0  # python path takes substantially longer
