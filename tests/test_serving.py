@@ -284,3 +284,46 @@ class TestRerankBatchAndWarmup:
         out = pipe.query_batch(["cat mat", "qubits"], k=2)
         assert all(len(docs) == 2 for docs in out)
         assert all("rerank_score" in d.metadata for docs in out for d in docs)
+
+
+class TestFullStack:
+    def test_rewrite_hybrid_rerank_over_http(self, tmp_path):
+        """Every pipeline stage at once, through the real socket."""
+        import urllib.request
+
+        from rag_arc_tpu.llm import FakeLLM
+        from rag_arc_tpu.retrieval.rewrite import MultiQueryRewriter, QueryVariants
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.rerank.cross_encoder import CrossEncoderReranker
+        from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+        from rag_arc_tpu.retrieval.multipath import MultiPathRetriever
+        from rag_arc_tpu.utils.data_model import Document
+
+        store = TPUVectorStore.from_texts(CORPUS, HashEmbeddings(dim=32))
+        sparse = BM25Retriever.from_texts(CORPUS)
+        hybrid = MultiPathRetriever([store.as_retriever(), sparse])
+        llm = FakeLLM(responder=lambda m, f: QueryVariants(queries=["felines"]))
+        pipeline = RagPipeline(
+            hybrid,
+            reranker=CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True)),
+            rewriter=MultiQueryRewriter(llm),
+            top_k=2,
+            recall_k=4,
+            batch_wait_ms=1.0,
+        )
+        srv = make_server(pipeline, port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_port}/query",
+                data=json.dumps({"query": "cats on mats"}).encode(),
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                docs = json.loads(resp.read())["documents"]
+            assert len(docs) == 2
+            assert all("rerank_score" in d["metadata"] for d in docs)
+            stats = pipeline.stats()["stage_timings"]
+            assert {"pipeline.rewrite", "pipeline.retrieve", "pipeline.rerank"} <= set(stats)
+        finally:
+            srv.shutdown()
