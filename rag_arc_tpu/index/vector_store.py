@@ -454,6 +454,41 @@ class TPUVectorStore(VectorStore):
             positions = np.pad(positions, ((0, 0), (0, pad)), constant_values=-1)
         return scores, positions
 
+    def multi_query_search(
+        self,
+        variants_per_query: Sequence[Sequence[str]],
+        k: int = 10,
+        k_per_variant: int = 20,
+        rrf_k: int = 60,
+    ) -> List[List[Tuple[Document, float]]]:
+        """Fused multi-query fan-out (BASELINE config 4): every variant of
+        every query answers in ONE batched dispatch, and the per-variant
+        rankings fuse on device with RRF (ops.fusion_kernel) — candidates
+        only resolve to Documents after fusion."""
+        import jax
+        import jax.numpy as jnp
+
+        from rag_arc_tpu.ops.fusion_kernel import rrf_fuse_positions
+
+        if self.index is None or self.index.n_active == 0:
+            return [[] for _ in variants_per_query]
+        flat_queries = [v for vs in variants_per_query for v in vs]
+        if not flat_queries:
+            return [[] for _ in variants_per_query]
+        _, positions = self._batch_search_raw(flat_queries, k_per_variant)
+        b = len(variants_per_query)
+        p_max = max(len(vs) for vs in variants_per_query)
+        grouped = np.full((b, p_max, k_per_variant), -1, dtype=np.int32)
+        row = 0
+        for qi, vs in enumerate(variants_per_query):
+            for pi in range(len(vs)):
+                grouped[qi, pi] = positions[row]
+                row += 1
+        scores, fused = rrf_fuse_positions(jnp.asarray(grouped), k_out=k, rrf_k=rrf_k)
+        scores = np.asarray(jax.device_get(scores))
+        fused = np.asarray(jax.device_get(fused))
+        return [self._resolve(s, p) for s, p in zip(scores, fused)]
+
     def max_marginal_relevance_search(
         self,
         query: str,

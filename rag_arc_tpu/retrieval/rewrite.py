@@ -97,6 +97,29 @@ class RewriteRetriever(BaseRetriever):
         queries = self.rewriter.rewrite(query)
         if self.include_original or not queries:
             queries = [query] + queries
+        # fully fused path: when the wrapped retriever is a dense retriever
+        # over a device store and fusion is RRF, dispatch all variants in
+        # one program and fuse on device (ops.fusion_kernel)
+        store = getattr(self.retriever, "vectorstore", None)
+        if (
+            isinstance(self.fusion_method, RRFusion)
+            and store is not None
+            and hasattr(store, "multi_query_search")
+        ):
+            hits = store.multi_query_search(
+                [queries],
+                k=top_k,
+                k_per_variant=self.k_per_query,
+                rrf_k=self.fusion_method.k,
+            )[0]
+            out = []
+            for doc, score in hits:
+                doc = Document(
+                    content=doc.content, metadata=dict(doc.metadata), id=doc.id
+                )
+                doc.metadata["fusion_score"] = score
+                out.append(doc)
+            return out
         per_query = self.retriever.invoke_batch(queries, k=self.k_per_query)
         paths = [
             [
