@@ -26,9 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from rag_arc_tpu.ops.kmeans import kmeans
 from rag_arc_tpu.ops.scoring import NEG_INF, l2_normalize
-from rag_arc_tpu.parallel.mesh import round_up
+from rag_arc_tpu.parallel.mesh import CORPUS_AXIS, round_up, shard_count
 
 logger = logging.getLogger(__name__)
 
@@ -43,9 +45,18 @@ class DeviceIVFIndex:
         nprobe: int = 8,
         metric: str = "cosine",
         dtype=jnp.float32,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = CORPUS_AXIS,
     ):
         self.dim = dim
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        # clusters shard across devices: each shard probes its own clusters
+        # and the small candidate sets merge — so nlist pads to a multiple
+        # of the shard count (padded clusters carry cluster_valid=False)
         self.nlist = nlist
+        self.nlist_pad = round_up(nlist, self.n_shards)
         self.nprobe = min(nprobe, nlist)
         self.metric = metric
         self.dtype = dtype
@@ -57,9 +68,37 @@ class DeviceIVFIndex:
         self.sqnorm: Optional[jax.Array] = None
         self.valid: Optional[jax.Array] = None
         self.pos: Optional[jax.Array] = None
+        self.cluster_valid: Optional[jax.Array] = None
         # host-side slot bookkeeping
         self._fill = np.zeros(nlist, dtype=np.int64)
         self._pos_to_loc: Dict[int, Tuple[int, int]] = {}
+
+    def _place(self, lists, sqnorm, valid, pos, centroids, cluster_valid):
+        """Device placement: shard the cluster axis when a mesh is set."""
+        arrays = dict(
+            lists=jnp.asarray(lists, dtype=self.dtype),
+            sqnorm=jnp.asarray(sqnorm),
+            valid=jnp.asarray(valid),
+            pos=jnp.asarray(pos),
+            centroids=jnp.asarray(centroids),
+            cluster_valid=jnp.asarray(cluster_valid),
+        )
+        if self.mesh is not None:
+            ax = self.axis_name
+            specs = dict(
+                lists=P(ax, None, None), sqnorm=P(ax, None), valid=P(ax, None),
+                pos=P(ax, None), centroids=P(ax, None), cluster_valid=P(ax),
+            )
+            arrays = {
+                k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))
+                for k, v in arrays.items()
+            }
+        self.lists = arrays["lists"]
+        self.sqnorm = arrays["sqnorm"]
+        self.valid = arrays["valid"]
+        self.pos = arrays["pos"]
+        self.centroids = arrays["centroids"]
+        self.cluster_valid = arrays["cluster_valid"]
 
     # -- build -------------------------------------------------------------
 
@@ -73,10 +112,12 @@ class DeviceIVFIndex:
         dtype=jnp.float32,
         train_iters: int = 10,
         seed: int = 0,
+        mesh: Optional[Mesh] = None,
     ) -> "DeviceIVFIndex":
         vectors = np.asarray(vectors, dtype=np.float32)
         index = cls(
-            dim=vectors.shape[1], nlist=nlist, nprobe=nprobe, metric=metric, dtype=dtype
+            dim=vectors.shape[1], nlist=nlist, nprobe=nprobe, metric=metric,
+            dtype=dtype, mesh=mesh,
         )
         index._train_and_fill(vectors, train_iters, seed)
         return index
@@ -101,10 +142,10 @@ class DeviceIVFIndex:
         )
         counts = np.bincount(assign, minlength=self.nlist)
         self.lmax = round_up(max(int(counts.max()), 8) * 2, 8)  # headroom for adds
-        lists = np.zeros((self.nlist, self.lmax, self.dim), dtype=np.float32)
-        sqnorm = np.zeros((self.nlist, self.lmax), dtype=np.float32)
-        valid = np.zeros((self.nlist, self.lmax), dtype=bool)
-        pos = np.full((self.nlist, self.lmax), -1, dtype=np.int32)
+        lists = np.zeros((self.nlist_pad, self.lmax, self.dim), dtype=np.float32)
+        sqnorm = np.zeros((self.nlist_pad, self.lmax), dtype=np.float32)
+        valid = np.zeros((self.nlist_pad, self.lmax), dtype=bool)
+        pos = np.full((self.nlist_pad, self.lmax), -1, dtype=np.int32)
         self._fill = np.zeros(self.nlist, dtype=np.int64)
         for i in range(n):
             cluster = int(assign[i])
@@ -115,11 +156,12 @@ class DeviceIVFIndex:
             pos[cluster, slot] = i
             self._pos_to_loc[i] = (cluster, slot)
             self._fill[cluster] += 1
-        self.centroids = jnp.asarray(centroids)
-        self.lists = jnp.asarray(lists, dtype=self.dtype)
-        self.sqnorm = jnp.asarray(sqnorm)
-        self.valid = jnp.asarray(valid)
-        self.pos = jnp.asarray(pos)
+        self._centroids_np = centroids  # true-nlist copy for add() assignment
+        centroids_pad = np.zeros((self.nlist_pad, self.dim), dtype=np.float32)
+        centroids_pad[: self.nlist] = centroids
+        cluster_valid = np.zeros(self.nlist_pad, dtype=bool)
+        cluster_valid[: self.nlist] = True
+        self._place(lists, sqnorm, valid, pos, centroids_pad, cluster_valid)
         self.size = n
 
     # -- mutation ------------------------------------------------------------
@@ -131,7 +173,7 @@ class DeviceIVFIndex:
         n = vectors.shape[0]
         if n == 0:
             return np.empty((0,), dtype=np.int64)
-        c = np.asarray(jax.device_get(self.centroids))
+        c = self._centroids_np
         scores = vectors @ c.T
         if self.metric == "l2":
             scores = 2 * scores - (c * c).sum(1)[None, :]
@@ -148,10 +190,7 @@ class DeviceIVFIndex:
             cluster = int(assign[i])
             if self._fill[cluster] >= self.lmax:
                 # regrow mid-add (rare)
-                self.lists = jnp.asarray(lists, dtype=self.dtype)
-                self.sqnorm = jnp.asarray(sqnorm)
-                self.valid = jnp.asarray(valid)
-                self.pos = jnp.asarray(pos)
+                self._replace_data(lists, sqnorm, valid, pos)
                 self._grow_lmax()
                 lists = np.array(jax.device_get(self.lists), dtype=np.float32)
                 sqnorm = np.array(jax.device_get(self.sqnorm))
@@ -164,22 +203,28 @@ class DeviceIVFIndex:
             pos[cluster, slot] = int(positions[i])
             self._pos_to_loc[int(positions[i])] = (cluster, slot)
             self._fill[cluster] += 1
-        self.lists = jnp.asarray(lists, dtype=self.dtype)
-        self.sqnorm = jnp.asarray(sqnorm)
-        self.valid = jnp.asarray(valid)
-        self.pos = jnp.asarray(pos)
+        self._replace_data(lists, sqnorm, valid, pos)
         self.size += n
         return positions
+
+    def _replace_data(self, lists, sqnorm, valid, pos) -> None:
+        """Swap the data tensors, preserving centroid state + placement."""
+        centroids = np.asarray(jax.device_get(self.centroids))
+        cluster_valid = np.asarray(jax.device_get(self.cluster_valid))
+        self._place(lists, sqnorm, valid, pos, centroids, cluster_valid)
 
     def _grow_lmax(self) -> None:
         new_lmax = self.lmax * 2
         logger.info("growing IVF list capacity %d → %d", self.lmax, new_lmax)
         pad = new_lmax - self.lmax
-        self.lists = jnp.pad(self.lists, ((0, 0), (0, pad), (0, 0)))
-        self.sqnorm = jnp.pad(self.sqnorm, ((0, 0), (0, pad)))
-        self.valid = jnp.pad(self.valid, ((0, 0), (0, pad)))
-        self.pos = jnp.pad(self.pos, ((0, 0), (0, pad)), constant_values=-1)
+        lists = np.pad(np.asarray(jax.device_get(self.lists), dtype=np.float32),
+                       ((0, 0), (0, pad), (0, 0)))
+        sqnorm = np.pad(np.asarray(jax.device_get(self.sqnorm)), ((0, 0), (0, pad)))
+        valid = np.pad(np.asarray(jax.device_get(self.valid)), ((0, 0), (0, pad)))
+        pos = np.pad(np.asarray(jax.device_get(self.pos)), ((0, 0), (0, pad)),
+                     constant_values=-1)
         self.lmax = new_lmax
+        self._replace_data(lists, sqnorm, valid, pos)
 
     def compact(self) -> Dict[int, int]:
         """Drop tombstoned rows by re-packing active vectors into fresh
@@ -208,10 +253,13 @@ class DeviceIVFIndex:
         self.n_deleted = 0
         self._fill = np.zeros(self.nlist, dtype=np.int64)
         self._pos_to_loc.clear()
-        self.lists = jnp.zeros_like(self.lists)
-        self.sqnorm = jnp.zeros_like(self.sqnorm)
-        self.valid = jnp.zeros_like(self.valid)
-        self.pos = jnp.full_like(self.pos, -1)
+        shape = (self.nlist_pad, self.lmax)
+        self._replace_data(
+            np.zeros((*shape, self.dim), dtype=np.float32),
+            np.zeros(shape, dtype=np.float32),
+            np.zeros(shape, dtype=bool),
+            np.full(shape, -1, dtype=np.int32),
+        )
         if len(vectors):
             self.add(vectors)
         return mapping
@@ -249,17 +297,21 @@ class DeviceIVFIndex:
             pad = SUB_BATCH - sub.shape[0]
             if pad:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
-            s, p = _ivf_search(
-                self.centroids,
-                self.lists,
-                self.sqnorm,
-                self.valid,
-                self.pos,
-                jnp.asarray(sub),
-                k_eff,
-                nprobe,
-                self.metric,
-            )
+            if self.mesh is not None:
+                s, p = self._search_sharded(jnp.asarray(sub), k_eff, nprobe)
+            else:
+                s, p = _ivf_search(
+                    self.centroids,
+                    self.lists,
+                    self.sqnorm,
+                    self.valid,
+                    self.pos,
+                    self.cluster_valid,
+                    jnp.asarray(sub),
+                    k_eff,
+                    nprobe,
+                    self.metric,
+                )
             s = np.asarray(jax.device_get(s))
             p = np.asarray(jax.device_get(p)).astype(np.int64)
             if pad:
@@ -277,6 +329,47 @@ class DeviceIVFIndex:
                 positions, ((0, 0), (0, k - k_eff)), constant_values=-1
             )
         return scores, positions
+
+    def _search_sharded(self, q: jax.Array, k: int, nprobe: int):
+        """Each shard probes its own clusters (top-nprobe *per shard* —
+        strictly more clusters than single-device probing, so recall is ≥)
+        and the per-shard candidate sets merge, like the flat index."""
+        mesh, axis = self.mesh, self.axis_name
+        metric = self.metric
+        nlist_local = self.nlist_pad // self.n_shards
+        nprobe_local = min(nprobe, nlist_local)
+        k_local = min(k, nprobe_local * self.lmax)
+
+        def local_fn(centroids, lists, sqnorm, valid, pos, cluster_valid, q):
+            return _ivf_search_body(
+                centroids, lists, sqnorm, valid, pos, cluster_valid, q,
+                k_local, nprobe_local, metric,
+            )
+
+        run = jax.jit(
+            jax.shard_map(
+                lambda c, l, sq, v, p, cv, q: tuple(
+                    x[None] for x in local_fn(c, l, sq, v, p, cv, q)
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P(axis, None), P(axis, None, None), P(axis, None),
+                    P(axis, None), P(axis, None), P(axis), P(),
+                ),
+                out_specs=(P(axis, None, None), P(axis, None, None)),
+                check_vma=False,
+            ),
+            static_argnums=(),
+        )
+        s_all, p_all = run(
+            self.centroids, self.lists, self.sqnorm, self.valid, self.pos,
+            self.cluster_valid, q,
+        )
+        b = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+        p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+        s, sel = jax.lax.top_k(s_flat, min(k, s_flat.shape[1]))
+        return s, jnp.take_along_axis(p_flat, sel, axis=-1)
 
     def take(self, positions: np.ndarray) -> np.ndarray:
         locs = [self._pos_to_loc[int(p)] for p in positions]
@@ -307,12 +400,19 @@ class DeviceIVFIndex:
             "list_fill_max": int(fill.max()) if self.size else 0,
             "hbm_bytes": 0
             if self.lists is None
-            else self.nlist * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize,
+            else self.nlist_pad * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize,
+            "shards": self.n_shards,
         }
 
 
 @partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
-def _ivf_search(centroids, lists, sqnorm, valid, pos, q, k, nprobe, metric):
+def _ivf_search(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric):
+    return _ivf_search_body(
+        centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric
+    )
+
+
+def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric):
     if metric == "cosine":
         q = l2_normalize(q)
     cross = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
@@ -321,6 +421,7 @@ def _ivf_search(centroids, lists, sqnorm, valid, pos, q, k, nprobe, metric):
         c_scores = 2.0 * cross - c_sq[None, :]
     else:
         c_scores = cross
+    c_scores = jnp.where(cluster_valid[None, :], c_scores, NEG_INF)
     _, probe = jax.lax.top_k(c_scores, nprobe)  # (B, nprobe)
 
     sub_lists = lists[probe]  # (B, nprobe, Lmax, d)

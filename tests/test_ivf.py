@@ -196,3 +196,56 @@ class TestIVFCompact:
         assert store.index.n_active == 15
         hit = store.similarity_search("doc number 20 alpha beta", k=1)[0]
         assert hit.content == "doc number 20 alpha beta"
+
+
+class TestIVFSharded:
+    def test_sharded_recall_at_least_single(self, rng):
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        data, _ = clustered_corpus(rng, n_clusters=16, per=100)
+        queries = data[rng.integers(0, len(data), 16)] + 0.01 * rng.standard_normal(
+            (16, 32)
+        ).astype(np.float32)
+        flat = DeviceFlatIndex(dim=32, capacity=2048)
+        flat.add(data)
+        _, exact = flat.search(queries, 10)
+
+        single = DeviceIVFIndex.from_vectors(data, nlist=16, nprobe=4, seed=0)
+        sharded = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=4, seed=0, mesh=default_mesh()
+        )
+        assert sharded.n_shards == 8 and sharded.nlist_pad == 16
+
+        def recall(index):
+            _, got = index.search(queries, 10)
+            return np.mean(
+                [len(set(exact[i]) & set(got[i])) / 10 for i in range(16)]
+            )
+
+        r_single, r_sharded = recall(single), recall(sharded)
+        # per-shard probing covers at least as many clusters
+        assert r_sharded >= r_single - 1e-9
+        assert r_sharded > 0.9
+
+    def test_sharded_mutation(self, rng):
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        data, _ = clustered_corpus(rng, n_clusters=8, per=30)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=8, mesh=default_mesh())
+        new = ivf.add(data[5:6] + 0.001)
+        _, got = ivf.search(data[5:6], 2)
+        assert set(got[0]) == {5, int(new[0])}
+        ivf.mark_deleted(np.array([5]))
+        _, got = ivf.search(data[5:6], 1)
+        assert got[0, 0] == new[0]
+
+    def test_nlist_padding_with_odd_counts(self, rng):
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        data, _ = clustered_corpus(rng, n_clusters=4, per=40)  # 160 rows
+        ivf = DeviceIVFIndex.from_vectors(
+            data, nlist=5, nprobe=5, mesh=default_mesh()
+        )
+        assert ivf.nlist_pad == 8  # padded to 8 shards
+        _, got = ivf.search(data[33:34], 1)
+        assert got[0, 0] == 33
