@@ -109,15 +109,37 @@ def load_store(
             nlist=manifest["nlist"],
             nprobe=manifest["nprobe"],
             metric=manifest["metric"],
+            mesh=mesh,
         )
-        index.centroids = jnp.asarray(np.load(path / "centroids.npy"))
-        index.lists = jnp.asarray(np.load(path / "lists.npy"))
-        index.sqnorm = jnp.asarray(np.load(path / "sqnorm.npy"))
-        index.valid = jnp.asarray(np.load(path / "valid.npy"))
-        index.pos = jnp.asarray(np.load(path / "pos.npy"))
+        centroids = np.load(path / "centroids.npy")
+        lists = np.load(path / "lists.npy")
+        # pad the cluster axis up to the loading topology's requirement
+        # (snapshots may come from a different shard count)
+        saved_pad = centroids.shape[0]
+        if index.nlist_pad < saved_pad:
+            index.nlist_pad = saved_pad
+        extra = index.nlist_pad - saved_pad
+
+        def pad0(a, fill=0):
+            if extra == 0:
+                return a
+            widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths, constant_values=fill)
+
+        cluster_valid = np.zeros(index.nlist_pad, dtype=bool)
+        cluster_valid[: manifest["nlist"]] = True
+        index._centroids_np = centroids[: manifest["nlist"]].astype(np.float32)
+        index.lmax = manifest["lmax"]
+        index._place(
+            pad0(lists),
+            pad0(np.load(path / "sqnorm.npy")),
+            pad0(np.load(path / "valid.npy")),
+            pad0(np.load(path / "pos.npy"), fill=-1),
+            pad0(centroids),
+            cluster_valid,
+        )
         index._fill = np.load(path / "fill.npy")
         index.size = manifest["size"]
-        index.lmax = manifest["lmax"]
         index.n_deleted = manifest["n_deleted"]
         pos_host = np.asarray(jax.device_get(index.pos))
         for cluster in range(index.nlist):
