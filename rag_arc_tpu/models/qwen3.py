@@ -1,0 +1,225 @@
+"""Weight-compatible Flax Qwen3 causal LM.
+
+The reference's reranker is literally a Qwen3 cross-encoder running under
+torch/CUDA (``core/rerank/Reranker_Qwen3.py:9-13``). This module implements
+the Qwen3 decoder computation in Flax — RMSNorm, per-head QK-norm, RoPE,
+grouped-query attention, SwiGLU MLP — with a converter from an HF torch
+``state_dict``, so *the actual production reranker checkpoint* runs on TPU
+through ``CrossEncoderReranker``. Numeric parity vs torch
+``Qwen3ForCausalLM`` is tested on random-init models (no downloads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls, **kw) -> "Qwen3Config":
+        base = dict(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=8,
+            max_position_embeddings=64,
+            rope_theta=10000.0,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        out = x32 * jax.lax.rsqrt(var + self.eps)
+        return (out * scale).astype(self.dtype)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF half-split convention. x: (B, H, L, D)."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq[None, None, None, :]
+    cos = jnp.cos(angles)  # (B, 1, L, D/2)
+    sin = jnp.sin(angles)
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class Qwen3Attention(nn.Module):
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: jax.Array, positions: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, l, _ = x.shape
+        hd = cfg.head_dim
+        nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        dense = lambda features, name: nn.Dense(  # noqa: E731
+            features, use_bias=False, dtype=cfg.dtype, name=name
+        )
+        q = dense(nh * hd, "q_proj")(x).reshape(b, l, nh, hd)
+        k = dense(nkv * hd, "k_proj")(x).reshape(b, l, nkv, hd)
+        v = dense(nkv * hd, "v_proj")(x).reshape(b, l, nkv, hd)
+        # Qwen3's per-head RMS normalization of q and k
+        q = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="q_norm")(q)
+        k = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="k_norm")(k)
+        q = rope(q.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
+        k = rope(k.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
+        v = v.transpose(0, 2, 1, 3)
+        group = nh // nkv  # grouped-query attention: repeat kv heads
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        probs = jax.nn.softmax(scores + bias, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
+        return dense(cfg.hidden_size, "o_proj")(ctx)
+
+
+class Qwen3Layer(nn.Module):
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: jax.Array, positions: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_layernorm")(x)
+        x = x + Qwen3Attention(cfg, name="self_attn")(h, bias, positions)
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attention_layernorm")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="up_proj")(h)
+        down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+        return x + down
+
+
+class FlaxQwen3LM(nn.Module):
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """Returns logits (B, L, V). Left-padding aware: positions count
+        from the first live token (HF position_ids semantics for padded
+        batches)."""
+        cfg = self.cfg
+        b, l = ids.shape
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype, name="embed_tokens")
+        x = embed(ids)
+        positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        positions = jnp.maximum(positions, 0)
+        neg = jnp.asarray(-1e9, jnp.float32)
+        causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, :, :]
+        key_live = mask[:, None, None, :]
+        bias = jnp.where(causal & key_live, 0.0, neg)
+        for i in range(cfg.num_hidden_layers):
+            x = Qwen3Layer(cfg, name=f"layers_{i}")(x, bias, positions)
+        x = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="norm")(x)
+        if cfg.tie_word_embeddings:
+            logits = embed.attend(x.astype(jnp.float32))
+        else:
+            logits = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head"
+            )(x)
+        return logits
+
+
+# -- torch state_dict → flax params ----------------------------------------
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
+
+
+def convert_torch_qwen3(state_dict: Dict[str, Any], cfg: Qwen3Config) -> Dict:
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+
+    def dense(key: str) -> Dict[str, np.ndarray]:
+        return {"kernel": _t(sd[f"{key}.weight"]).T}
+
+    def norm(key: str) -> Dict[str, np.ndarray]:
+        return {"weight": _t(sd[f"{key}.weight"])}
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _t(sd["embed_tokens.weight"])},
+        "norm": norm("norm"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense("lm_head")
+    for i in range(cfg.num_hidden_layers):
+        lyr = f"layers.{i}"
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": dense(f"{lyr}.self_attn.q_proj"),
+                "k_proj": dense(f"{lyr}.self_attn.k_proj"),
+                "v_proj": dense(f"{lyr}.self_attn.v_proj"),
+                "o_proj": dense(f"{lyr}.self_attn.o_proj"),
+                "q_norm": norm(f"{lyr}.self_attn.q_norm"),
+                "k_norm": norm(f"{lyr}.self_attn.k_norm"),
+            },
+            "input_layernorm": norm(f"{lyr}.input_layernorm"),
+            "post_attention_layernorm": norm(f"{lyr}.post_attention_layernorm"),
+            "gate_proj": dense(f"{lyr}.mlp.gate_proj"),
+            "up_proj": dense(f"{lyr}.mlp.up_proj"),
+            "down_proj": dense(f"{lyr}.mlp.down_proj"),
+        }
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+def load_hf_qwen3(model_name_or_path: str) -> Tuple["FlaxQwen3LM", Dict, Any]:
+    """Load a local HF Qwen3 checkpoint (e.g. a Qwen3-Reranker) into the
+    Flax model. Returns (model, params, hf_tokenizer)."""
+    from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
+
+    hf = AutoConfig.from_pretrained(model_name_or_path)
+    cfg = Qwen3Config(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=hf.intermediate_size,
+        num_hidden_layers=hf.num_hidden_layers,
+        num_attention_heads=hf.num_attention_heads,
+        num_key_value_heads=hf.num_key_value_heads,
+        head_dim=getattr(hf, "head_dim", hf.hidden_size // hf.num_attention_heads),
+        max_position_embeddings=hf.max_position_embeddings,
+        rope_theta=hf.rope_theta,
+        rms_norm_eps=hf.rms_norm_eps,
+        tie_word_embeddings=hf.tie_word_embeddings,
+    )
+    torch_model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
+    params = convert_torch_qwen3(torch_model.state_dict(), cfg)
+    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+    return FlaxQwen3LM(cfg), params, tokenizer

@@ -94,6 +94,35 @@ class CrossEncoderReranker(RerankerBase):
                 return bucket
         return self.max_length
 
+    @classmethod
+    def from_causal_lm(
+        cls,
+        model,
+        params: Dict,
+        tokenizer,
+        instruction: str = DEFAULT_INSTRUCTION,
+        max_length: int = 512,
+        yes_token: str = "yes",
+        no_token: str = "no",
+    ) -> "CrossEncoderReranker":
+        """Build over any Flax causal LM with an ``apply(params, ids, mask)
+        -> (B, L, V) logits`` signature — e.g. a weight-ported Qwen3
+        (models/qwen3.load_hf_qwen3), the reference's actual reranker."""
+        self = cls.__new__(cls)
+        self.cfg = getattr(model, "cfg", None)
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.instruction = instruction
+        self.max_length = max_length
+        self.yes_id = tokenizer.token_id(yes_token) if hasattr(
+            tokenizer, "token_id"
+        ) else tokenizer.convert_tokens_to_ids(yes_token)
+        self.no_id = tokenizer.token_id(no_token) if hasattr(
+            tokenizer, "token_id"
+        ) else tokenizer.convert_tokens_to_ids(no_token)
+        return self
+
     def _render(self, query: str, document: str) -> str:
         return PROMPT_TEMPLATE.format(
             instruction=self.instruction, query=query, document=document
