@@ -131,30 +131,54 @@ class Qwen3Layer(nn.Module):
 class FlaxQwen3LM(nn.Module):
     cfg: Qwen3Config
 
-    @nn.compact
-    def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
-        """Returns logits (B, L, V). Left-padding aware: positions count
-        from the first live token (HF position_ids semantics for padded
-        batches)."""
+    def setup(self):
         cfg = self.cfg
-        b, l = ids.shape
-        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype, name="embed_tokens")
-        x = embed(ids)
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype
+        )
+        self.layers = [
+            Qwen3Layer(cfg, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=jnp.float32
+            )
+
+    def hidden(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """Final-norm hidden states (B, L, H). Left-padding aware:
+        positions count from the first live token (HF position_ids
+        semantics for padded batches)."""
+        l = ids.shape[1]
+        x = self.embed_tokens(ids)
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         positions = jnp.maximum(positions, 0)
         neg = jnp.asarray(-1e9, jnp.float32)
         causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, :, :]
         key_live = mask[:, None, None, :]
         bias = jnp.where(causal & key_live, 0.0, neg)
-        for i in range(cfg.num_hidden_layers):
-            x = Qwen3Layer(cfg, name=f"layers_{i}")(x, bias, positions)
-        x = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="norm")(x)
-        if cfg.tie_word_embeddings:
-            logits = embed.attend(x.astype(jnp.float32))
+        for layer in self.layers:
+            x = layer(x, bias, positions)
+        return self.norm(x)
+
+    def embed(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """Last-live-token pooled, L2-normalized embeddings — the pooling
+        Qwen3-Embedding models use. Rows must be LEFT-padded so the last
+        position is the final live token."""
+        hidden = self.hidden(ids, mask)
+        pooled = hidden[:, -1, :].astype(jnp.float32)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+
+    def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """Returns logits (B, L, V)."""
+        x = self.hidden(ids, mask)
+        if self.cfg.tie_word_embeddings:
+            logits = self.embed_tokens.attend(x.astype(jnp.float32))
         else:
-            logits = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head"
-            )(x)
+            logits = self.lm_head(x)
         return logits
 
 
@@ -198,6 +222,49 @@ def convert_torch_qwen3(state_dict: Dict[str, Any], cfg: Qwen3Config) -> Dict:
             "down_proj": dense(f"{lyr}.mlp.down_proj"),
         }
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+class Qwen3Embeddings:
+    """Embeddings over a (weight-ported) Qwen3 trunk with last-token
+    pooling — the reference's example embedder family (Qwen 0.6B,
+    examples/graph_extract/test_hyperrag_store.py)."""
+
+    def __init__(self, model: FlaxQwen3LM, params: Dict, tokenizer, batch_size: int = 32):
+        from rag_arc_tpu.models.tokenizer import HFTokenizerAdapter
+
+        self.model = model
+        self.params = params
+        self.tokenizer = (
+            tokenizer
+            if hasattr(tokenizer, "batch_encode")
+            else HFTokenizerAdapter(tokenizer, max_len=model.cfg.max_position_embeddings)
+        )
+        self.batch_size = batch_size
+        self.dim = model.cfg.hidden_size
+        self._fwd = jax.jit(
+            lambda p, ids, mask: self.model.apply(p, ids, mask, method=FlaxQwen3LM.embed)
+        )
+
+    def encode(self, texts) -> np.ndarray:
+        import math
+
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for start in range(0, len(texts), self.batch_size):
+            chunk = [t.replace("\n", " ") for t in texts[start : start + self.batch_size]]
+            ids, mask = self.tokenizer.batch_encode(chunk, left_pad=True)
+            pad = (1 << math.ceil(math.log2(max(len(chunk), 1)))) - len(chunk)
+            if pad:
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            emb = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask, bool))
+            out[start : start + len(chunk)] = np.asarray(emb)[: len(chunk)]
+        return out
+
+    def embed_documents(self, texts):
+        return self.encode(list(texts)).tolist()
+
+    def embed_query(self, text):
+        return self.encode([text])[0].tolist()
 
 
 def load_hf_qwen3(model_name_or_path: str) -> Tuple["FlaxQwen3LM", Dict, Any]:

@@ -135,3 +135,16 @@ def test_cross_encoder_over_qwen3(models):
     assert all(0 <= s <= 1 for s in scores)
     batched = rr.rerank_batch(["q1", "q2"], [docs[:3], docs[3:]], k=2)
     assert len(batched) == 2 and len(batched[0]) == 2
+
+
+def test_qwen3_embeddings_end_to_end(models):
+    _, flax_model, params = models
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.qwen3 import Qwen3Embeddings
+    from rag_arc_tpu.models.tokenizer import HashTokenizer
+
+    emb = Qwen3Embeddings(flax_model, params, HashTokenizer(vocab_size=128, max_len=32))
+    vecs = emb.encode(["alpha beta", "gamma delta"])
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+    store = TPUVectorStore.from_texts(["alpha beta", "gamma delta", "alpha beta x"], emb)
+    assert store.similarity_search("alpha beta", k=1)[0].content == "alpha beta"
