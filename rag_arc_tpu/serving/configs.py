@@ -227,6 +227,61 @@ class RewriteConfig(AbstractConfig):
         return MultiQueryRewriter(self.llm.build(), n_variants=self.n_variants)
 
 
+# -- graphrag ----------------------------------------------------------------------
+
+
+class GraphExtractorConfig(AbstractConfig):
+    type: Literal["HYPERRAG_EXTRACTOR"] = "HYPERRAG_EXTRACTOR"
+    llm: LLMUnion
+    max_rounds: int = 3
+    max_concurrent: int = 100
+    clean: bool = True
+    event_types: Optional[List[str]] = None
+    entity_types: Optional[List[str]] = None
+
+    def build(self, **_: Any):
+        from rag_arc_tpu.graph.hyperrag import HyperRAGGraphExtractor
+        from rag_arc_tpu.graph.prompts import ExtractionPromptConfig
+
+        prompt = None
+        if self.event_types or self.entity_types:
+            kwargs = {}
+            if self.event_types:
+                kwargs["event_types"] = self.event_types
+            if self.entity_types:
+                kwargs["entity_types"] = self.entity_types
+            prompt = ExtractionPromptConfig(**kwargs)
+        return HyperRAGGraphExtractor(
+            self.llm.build(),
+            prompt=prompt,
+            max_rounds=self.max_rounds,
+            max_concurrent=self.max_concurrent,
+            clean=self.clean,
+        )
+
+
+class GraphStoreConfig(AbstractConfig):
+    type: Literal["ARRAY_GRAPH_STORE"] = "ARRAY_GRAPH_STORE"
+    embeddings: EmbeddingsUnion
+    merge_threshold: float = 0.95
+    knn_top_k: int = 10
+    knn_cutoff: float = 0.85
+    snapshot_path: Optional[str] = None
+
+    def build(self, **_: Any):
+        from rag_arc_tpu.graph.store import ArrayGraphStore
+
+        store = ArrayGraphStore(
+            self.embeddings.build(),
+            merge_threshold=self.merge_threshold,
+            knn_top_k=self.knn_top_k,
+            knn_cutoff=self.knn_cutoff,
+        )
+        if self.snapshot_path:
+            store.load(self.snapshot_path)
+        return store
+
+
 # -- pipeline ----------------------------------------------------------------------
 
 

@@ -327,3 +327,36 @@ class TestFullStack:
             assert {"pipeline.rewrite", "pipeline.retrieve", "pipeline.rerank"} <= set(stats)
         finally:
             srv.shutdown()
+
+
+class TestGraphConfigs:
+    def test_registry_builds_graphrag(self, tmp_path):
+        import json as _json
+
+        from rag_arc_tpu.framework.registry import Register
+        from rag_arc_tpu.serving.configs import GraphExtractorConfig, GraphStoreConfig
+
+        ex_cfg = tmp_path / "extractor.json"
+        ex_cfg.write_text(_json.dumps({
+            "type": "HYPERRAG_EXTRACTOR",
+            "llm": {"type": "FAKE_LLM"},
+            "max_rounds": 2,
+            "event_types": ["incident"],
+        }))
+        store_cfg = tmp_path / "store.json"
+        store_cfg.write_text(_json.dumps({
+            "type": "ARRAY_GRAPH_STORE",
+            "embeddings": {"type": "HASH_EMBEDDINGS", "dim": 32},
+            "knn_cutoff": 0.7,
+        }))
+        r = Register()
+        extractor = r.register(ex_cfg, "extractor", GraphExtractorConfig)
+        store = r.register(store_cfg, "graph", GraphStoreConfig)
+        assert extractor is not None and store is not None
+        assert extractor.max_rounds == 2
+        assert "incident" in extractor.prompt.event_types
+        from rag_arc_tpu.utils.data_model import Document
+
+        results = extractor([Document(content="a short text")])
+        stats = store.store_hyperrag_graph(results)
+        assert stats["chunks"] == 1
