@@ -187,3 +187,23 @@ class TestOpenAICompat:
         )
         with pytest.raises(ConnectionError):
             llm.chat([{"role": "user", "content": "x"}])
+
+
+class _ModelsHandler(_Handler):
+    def do_GET(self):
+        body = json.dumps({"data": [{"id": "m-1"}, {"id": "m-2"}]}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_get_available_models():
+    httpd = HTTPServer(("127.0.0.1", 0), _ModelsHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        llm = OpenAICompatLLM("m", base_url=f"http://127.0.0.1:{httpd.server_port}/v1")
+        assert llm.get_available_models() == ["m-1", "m-2"]
+    finally:
+        httpd.shutdown()
