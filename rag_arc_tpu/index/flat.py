@@ -277,7 +277,7 @@ class DeviceFlatIndex:
             return fused_mips_topk(
                 q, self.emb, self.valid, self.sqnorm, k,
                 tile_n=min(self._tile_n(), 2048), metric=self.metric,
-                skip_tiles=True,
+                skip_tiles=True, packed=True,
             )
         from rag_arc_tpu.ops.topk import masked_topk_chunked
 
@@ -310,7 +310,7 @@ class DeviceFlatIndex:
 
                 s, idx = fused_mips_topk(
                     q, emb, valid, sqnorm, k_local, tile_n=tile, metric=metric,
-                    skip_tiles=True,
+                    skip_tiles=True, packed=True,
                 )
             else:
                 scores = pairwise_scores(q, emb, metric, sqnorm)
@@ -360,7 +360,7 @@ class DeviceFlatIndex:
 
                 s, idx = fused_mips_topk(
                     q_local, emb, valid, sqnorm, k_local,
-                    tile_n=tile, metric=metric, skip_tiles=True,
+                    tile_n=tile, metric=metric, skip_tiles=True, packed=True,
                 )
             else:
                 scores = pairwise_scores(q_local, emb, metric, sqnorm)

@@ -42,7 +42,7 @@ NEG = -3.0e38  # sentinel below any real score, avoids inf-inf NaN
 
 def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref,
                   run_s, run_p, *, k: int, tile_n: int, q_block: int, metric: str,
-                  skip_tiles: bool):
+                  skip_tiles: bool, packed: bool):
     tile_idx = pl.program_id(0)
     q_idx = pl.program_id(1)
     row0 = q_idx * q_block
@@ -85,6 +85,17 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
         max_count = jnp.int32(k)
         needs_work = tile_idx >= 0  # always
 
+    # packed extraction: apply the order-preserving float→int32 transform
+    # (b >= 0 ? b : b ^ 0x7FFFFFFF — IEEE bit patterns become monotone
+    # under signed comparison) and steal the low ceil(log2(tile_n)) bits
+    # for the within-tile index. One int32 max then carries both the best
+    # score (quantized by idx_bits mantissa bits — 12 at tile_n=2048, step
+    # ~1e-4 relative) and its position; each round is max + equality-mask
+    # (2 passes) instead of max/argmax/slot-write/mask (4), with ties
+    # broken deterministically by the embedded index.
+    idx_bits = (tile_n - 1).bit_length()
+    use_packed = packed and idx_bits <= 16
+
     @pl.when(needs_work)
     def _work():
         # phase 1: tile-local top-k in place over scores. No (B, TILE_N)
@@ -92,26 +103,58 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
         # is real control flow (lax.cond): rounds past max_count cost O(1).
         cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         cols_k = jax.lax.broadcasted_iota(jnp.int32, (q_block, k), 1)
-        init = (
-            scores,
-            jnp.full((q_block, k), NEG, jnp.float32),
-            jnp.full((q_block, k), -1, jnp.int32),
-        )
 
-        def round_body(r, carry):
-            def extract(c):
-                s, ts, tp = c
-                best = jnp.max(s, axis=1, keepdims=True)  # (q_block, 1)
-                idx = jnp.argmax(s, axis=1).astype(jnp.int32)  # (q_block,)
-                # write column r via a static mask (Mosaic has no value
-                # dynamic_update_slice; r is a Python int here)
-                slot = cols_k == r
-                ts = jnp.where(slot, best, ts)
-                tp = jnp.where(slot, base + idx[:, None], tp)
-                s = jnp.where(cols == idx[:, None], NEG, s)
-                return s, ts, tp
+        if use_packed:
+            low_mask = jnp.int32((1 << idx_bits) - 1)
+            flip = jnp.int32(0x7FFFFFFF)
+            bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+            keyed = jnp.where(bits >= 0, bits, bits ^ flip)
+            pack = (keyed & ~low_mask) | cols
+            INT_MIN = jnp.int32(-2147483648)
+            init = (
+                pack,
+                jnp.full((q_block, k), NEG, jnp.float32),
+                jnp.full((q_block, k), -1, jnp.int32),
+            )
 
-            return jax.lax.cond(max_count > r, extract, lambda c: c, carry)
+            def round_body(r, carry):
+                def extract(c):
+                    p, ts, tp = c
+                    best = jnp.max(p, axis=1, keepdims=True)  # (q_block, 1)
+                    idx = best & low_mask
+                    keyed_best = best & ~low_mask
+                    score_bits = jnp.where(
+                        keyed_best >= 0, keyed_best, keyed_best ^ flip
+                    )
+                    score = jax.lax.bitcast_convert_type(score_bits, jnp.float32)
+                    slot = cols_k == r
+                    ts = jnp.where(slot, score, ts)
+                    tp = jnp.where(slot, base + idx, tp)
+                    p = jnp.where(p == best, INT_MIN, p)
+                    return p, ts, tp
+
+                return jax.lax.cond(max_count > r, extract, lambda c: c, carry)
+        else:
+            init = (
+                scores,
+                jnp.full((q_block, k), NEG, jnp.float32),
+                jnp.full((q_block, k), -1, jnp.int32),
+            )
+
+            def round_body(r, carry):
+                def extract(c):
+                    s, ts, tp = c
+                    best = jnp.max(s, axis=1, keepdims=True)  # (q_block, 1)
+                    idx = jnp.argmax(s, axis=1).astype(jnp.int32)  # (q_block,)
+                    # write column r via a static mask (Mosaic has no value
+                    # dynamic_update_slice; r is a Python int here)
+                    slot = cols_k == r
+                    ts = jnp.where(slot, best, ts)
+                    tp = jnp.where(slot, base + idx[:, None], tp)
+                    s = jnp.where(cols == idx[:, None], NEG, s)
+                    return s, ts, tp
+
+                return jax.lax.cond(max_count > r, extract, lambda c: c, carry)
 
         carry = init
         for r in range(k):
@@ -147,7 +190,9 @@ def _fused_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_s_ref, out_p_ref
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_n", "q_block", "metric", "interpret", "skip_tiles"),
+    static_argnames=(
+        "k", "tile_n", "q_block", "metric", "interpret", "skip_tiles", "packed"
+    ),
 )
 def fused_mips_topk(
     queries: jax.Array,
@@ -160,6 +205,7 @@ def fused_mips_topk(
     metric: str = "cosine",
     interpret: bool = False,
     skip_tiles: bool = False,
+    packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, d) × (N, d) → top-k (scores (B, k), positions (B, k)).
 
@@ -186,7 +232,7 @@ def fused_mips_topk(
     grid = (n // tile_n, b // q_block)
     kernel = functools.partial(
         _fused_kernel, k=k, tile_n=tile_n, q_block=q_block, metric=metric,
-        skip_tiles=skip_tiles,
+        skip_tiles=skip_tiles, packed=packed,
     )
     out_s, out_p = pl.pallas_call(
         kernel,

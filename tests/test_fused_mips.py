@@ -109,3 +109,27 @@ def test_early_exit_small_corpus_fewer_than_k(rng):
     fp = np.asarray(fp)
     assert ((0 <= fp[:, :7]) & (fp[:, :7] < 8)).all()
     assert (fp[:, 8:] == -1).all()
+
+
+def test_packed_matches_exact_cosine(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng)
+    es, ep = masked_topk(q, corpus, valid, 10, "cosine", sqnorm)
+    fs, fp = fused_mips_topk(
+        q, corpus, valid, sqnorm, k=10, tile_n=1024, interpret=True,
+        skip_tiles=True, packed=True,
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(fp)[b].tolist())
+    # scores quantized to bf16 granularity: ~3 decimal digits
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(es), rtol=5e-3, atol=5e-3)
+
+
+def test_packed_falls_back_for_l2(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng, metric="l2")
+    es, ep = masked_topk(q, corpus, valid, 5, "l2", sqnorm)
+    fs, fp = fused_mips_topk(
+        q, corpus, valid, sqnorm, k=5, tile_n=1024, metric="l2",
+        interpret=True, packed=True,  # ignored for non-cosine
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(fp)[b].tolist())
