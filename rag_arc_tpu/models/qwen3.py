@@ -12,7 +12,7 @@ through ``CrossEncoderReranker``. Numeric parity vs torch
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
