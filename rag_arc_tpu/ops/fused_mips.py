@@ -16,11 +16,18 @@ read from HBM exactly once per search regardless of batch size, which is
 what lets large batches amortize bandwidth (the whole point of batched
 MIPS on TPU).
 
-Top-k maintenance: per (tile, qblock), k rounds of (max, argmax, mask)
-extract the tile-local top-k in place — positions come straight from
-argmax, so no (B, TILE_N) position tensor exists — then a 2k-wide merge
-updates the running lists. k·TILE_N VPU work per tile ≈ 1-2% of the
-tile's MXU work for k ≤ 16, d ≥ 512.
+Top-k maintenance: per (tile, qblock), up-to-k extraction rounds pull the
+tile-local top-k in place, then a 2k-wide merge updates the running lists.
+Two optimizations keep the VPU cost down (both exact):
+- threshold early-exit (``skip_tiles``): one count of scores beating each
+  query's current kth-best gates every round through ``lax.cond`` — after
+  the first few tiles most run 0–2 rounds, and losing tiles skip entirely;
+- packed extraction (``packed``): the order-preserving float→int32
+  transform with the within-tile index in the low bits makes one int32
+  max carry both score and position (no argmax pass, deterministic
+  index tie-breaks; score quantized to ~12 mantissa bits at tile 2048).
+Measured on v5e (2M×768 bf16, B=512, k=10): tile 2048 × q_block 256 is
+the VMEM-feasible optimum.
 
 Metrics: cosine (pre-normalized corpus; queries normalized here), ip, and
 l2 via the ‖q‖²−2q·e+‖e‖² trick (sqnorm streamed with the tile).
