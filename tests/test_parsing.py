@@ -309,3 +309,17 @@ class TestMulti:
         rc = main([str(tmp_path / "test.docx"), "-o", str(tmp_path / "out")])
         assert rc == 0
         assert (tmp_path / "out" / "test.md").exists()
+
+
+def test_parsed_document_save_writes_assets(tmp_path):
+    from rag_arc_tpu.parsing.base import ParsedDocument
+
+    doc = ParsedDocument(
+        markdown="# Title\nbody\n",
+        source="x.pdf",
+        assets={"layout/page_0.json": b"[]", "images/a.png": b"\x89PNG"},
+    )
+    md = doc.save(tmp_path / "out")
+    assert md.read_text().startswith("# Title")
+    assert (tmp_path / "out" / "layout" / "page_0.json").read_bytes() == b"[]"
+    assert (tmp_path / "out" / "images" / "a.png").exists()
