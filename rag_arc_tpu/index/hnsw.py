@@ -41,6 +41,8 @@ def _bind():
     ]
     lib.hnsw_size.restype = ctypes.c_int64
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_count_deleted.restype = ctypes.c_int64
+    lib.hnsw_count_deleted.argtypes = [ctypes.c_void_p]
     lib.hnsw_get_vector.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
     ]
@@ -199,5 +201,7 @@ class HNSWIndex:
         index.ef_construction = efc
         index.metric = metric if metric_code == 0 else "l2"
         index.ef_search = ef_search
-        index.n_deleted = 0
+        # the snapshot preserves per-node deleted flags; count them so
+        # n_active / compaction-threshold logic stays correct after load
+        index.n_deleted = int(lib.hnsw_count_deleted(handle))
         return index

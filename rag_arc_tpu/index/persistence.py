@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from rag_arc_tpu.index.flat import DeviceFlatIndex
+from rag_arc_tpu.index.hnsw import HNSWIndex
 from rag_arc_tpu.index.ivf import DeviceIVFIndex
 from rag_arc_tpu.index.vector_store import TPUVectorStore
 from rag_arc_tpu.models.embeddings import Embeddings
@@ -67,6 +68,17 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         np.save(path / "fill.npy", index._fill)
         manifest.update(
             {"size": index.size, "lmax": index.lmax, "n_deleted": index.n_deleted}
+        )
+    elif isinstance(index, HNSWIndex):
+        # the native snapshot carries vectors, links, and deleted flags
+        index.save(path / "hnsw.bin")
+        manifest.update(
+            {"size": index.size, "M": index.M, "ef_search": index.ef_search}
+        )
+    elif index is not None:
+        raise NotImplementedError(
+            f"save_store has no serializer for index kind {type(index).__name__};"
+            " refusing to write a vectorless snapshot"
         )
     (path / "manifest.json").write_text(json.dumps(manifest), encoding="utf-8")
     return path
@@ -148,6 +160,12 @@ def load_store(
                 if p >= 0:
                     index._pos_to_loc[p] = (cluster, slot)
         store.index = index
+    elif kind == "hnsw":
+        store.index = HNSWIndex.load(
+            path / "hnsw.bin",
+            metric=manifest["metric"],
+            ef_search=manifest.get("ef_search", 64),
+        )
     # docstore
     rows = json.loads((path / "docstore.json").read_text(encoding="utf-8"))
     docs = [

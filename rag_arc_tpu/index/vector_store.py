@@ -31,6 +31,7 @@ from rag_arc_tpu.index.flat import DeviceFlatIndex
 from rag_arc_tpu.models.embeddings import Embeddings
 from rag_arc_tpu.ops.mmr import mmr_select
 from rag_arc_tpu.utils.data_model import Document
+from rag_arc_tpu.utils.locks import RWLock
 
 logger = logging.getLogger(__name__)
 
@@ -244,6 +245,9 @@ class TPUVectorStore(VectorStore):
         self.embedding = embedding
         self.metric = metric
         self.mesh = mesh
+        # index mutation donates device buffers; searches must not overlap
+        # a donation (utils/locks.py) — readers run concurrently
+        self._rw = RWLock()
         self._init_capacity = capacity
         self._dtype = dtype
         self.docstore = Docstore()
@@ -309,19 +313,24 @@ class TPUVectorStore(VectorStore):
                     for i in range(0, len(contents), chunk)
                 ]
             )
-        if self.index is None:
-            self._create_index(vectors.shape[1])
-        # overwrite semantics for duplicate ids: tombstone the old rows
-        stale = [
-            p
-            for d in documents
-            if d.id is not None and (p := self.docstore.position_of(d.id)) is not None
-        ]
-        if stale:
-            self.index.mark_deleted(np.asarray(stale))
-        positions = self.index.add(vectors)
-        self._maybe_train_ivf()
-        return self.docstore.add(documents, positions.tolist())
+        # embedding happens outside the write lock so a slow encoder
+        # doesn't block in-flight queries; only the index/docstore
+        # mutation needs exclusivity
+        with self._rw.write():
+            if self.index is None:
+                self._create_index(vectors.shape[1])
+            # overwrite semantics for duplicate ids: tombstone the old rows
+            stale = [
+                p
+                for d in documents
+                if d.id is not None
+                and (p := self.docstore.position_of(d.id)) is not None
+            ]
+            if stale:
+                self.index.mark_deleted(np.asarray(stale))
+            positions = self.index.add(vectors)
+            self._maybe_train_ivf()
+            return self.docstore.add(documents, positions.tolist())
 
     def _maybe_train_ivf(self) -> None:
         """Convert the staging flat index to IVF once enough rows exist
@@ -345,8 +354,15 @@ class TPUVectorStore(VectorStore):
         logger.info(
             "training IVF (nlist=%d) over %d rows", self.nlist, flat.size
         )
+        import jax.numpy as jnp
+
         ivf = DeviceIVFIndex.from_vectors(
-            vectors, nlist=self.nlist, nprobe=self.nprobe, metric=self.metric
+            vectors,
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            metric=self.metric,
+            dtype=self._dtype or jnp.float32,
+            mesh=self.mesh,
         )
         dead = np.nonzero(~valid)[0]
         if dead.size:
@@ -355,19 +371,24 @@ class TPUVectorStore(VectorStore):
         self.index = ivf
 
     def delete(self, ids: Sequence[str]) -> bool:
-        freed = self.docstore.delete(ids)
-        if not freed:
-            return False
-        self.index.mark_deleted(np.asarray(freed))
-        if (
-            hasattr(self.index, "compact")
-            and self.index.size > 0
-            and self.index.n_deleted / self.index.size > self.compact_threshold
-        ):
-            self.compact()
-        return True
+        with self._rw.write():
+            freed = self.docstore.delete(ids)
+            if not freed:
+                return False
+            self.index.mark_deleted(np.asarray(freed))
+            if (
+                hasattr(self.index, "compact")
+                and self.index.size > 0
+                and self.index.n_deleted / self.index.size > self.compact_threshold
+            ):
+                self._compact_locked()
+            return True
 
     def compact(self) -> None:
+        with self._rw.write():
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         mapping = self.index.compact()
         self.docstore.reassign(mapping)
 
@@ -400,8 +421,9 @@ class TPUVectorStore(VectorStore):
         if self.index is None or self.index.n_active == 0:
             return []
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-        scores, positions = self.index.search(q, k)
-        return self._resolve(scores[0], positions[0])
+        with self._rw.read():
+            scores, positions = self.index.search(q, k)
+            return self._resolve(scores[0], positions[0])
 
     def batch_similarity_search_with_score(
         self, queries: Sequence[str], k: int = 4
@@ -417,8 +439,9 @@ class TPUVectorStore(VectorStore):
         """
         if self.index is None or self.index.n_active == 0 or not queries:
             return [[] for _ in queries]
-        scores, positions = self._batch_search_raw(list(queries), k)
-        return [self._resolve(s, p) for s, p in zip(scores, positions)]
+        with self._rw.read():
+            scores, positions = self._batch_search_raw(list(queries), k)
+            return [self._resolve(s, p) for s, p in zip(scores, positions)]
 
     def _batch_search_raw(
         self, queries: List[str], k: int
@@ -475,7 +498,8 @@ class TPUVectorStore(VectorStore):
         flat_queries = [v for vs in variants_per_query for v in vs]
         if not flat_queries:
             return [[] for _ in variants_per_query]
-        _, positions = self._batch_search_raw(flat_queries, k_per_variant)
+        with self._rw.read():
+            _, positions = self._batch_search_raw(flat_queries, k_per_variant)
         b = len(variants_per_query)
         p_max = max(len(vs) for vs in variants_per_query)
         grouped = np.full((b, p_max, k_per_variant), -1, dtype=np.int32)
@@ -512,11 +536,12 @@ class TPUVectorStore(VectorStore):
         if self.index is None or self.index.n_active == 0:
             return []
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-        _, positions = self.index.search(q, fetch_k)
-        cand_pos = positions[0][positions[0] >= 0]
-        if cand_pos.size == 0:
-            return []
-        cand_vecs = self.index.take(cand_pos)
+        with self._rw.read():
+            _, positions = self.index.search(q, fetch_k)
+            cand_pos = positions[0][positions[0] >= 0]
+            if cand_pos.size == 0:
+                return []
+            cand_vecs = self.index.take(cand_pos)
         chosen = mmr_select(q[0], cand_vecs, k=k, lambda_mult=lambda_mult)
         docs = []
         for i in chosen:

@@ -280,6 +280,13 @@ void hnsw_mark_deleted(void* h, const int64_t* ids, int64_t count) {
 
 int64_t hnsw_size(void* h) { return static_cast<Hnsw*>(h)->n; }
 
+int64_t hnsw_count_deleted(void* h) {
+  const Hnsw* x = static_cast<const Hnsw*>(h);
+  int64_t count = 0;
+  for (const uint8_t d : x->deleted) count += d;
+  return count;
+}
+
 void hnsw_get_vector(void* h, int64_t id, float* out) {
   const Hnsw* index = static_cast<const Hnsw*>(h);
   std::memcpy(out, index->vec(id), sizeof(float) * index->dim);

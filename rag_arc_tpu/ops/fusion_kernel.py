@@ -35,7 +35,9 @@ def rrf_fuse_positions(
     """
     b, p, k = positions.shape
     flat = positions.reshape(b, p * k)  # (B, M)
-    ranks = jnp.tile(jnp.arange(k, dtype=jnp.float32), (p,))  # (M,)
+    # ranks are 1-based (reference Fusion.py assigns rank = i + 1), so the
+    # top hit contributes 1/(rrf_k + 1)
+    ranks = jnp.tile(jnp.arange(1, k + 1, dtype=jnp.float32), (p,))  # (M,)
     contrib = jnp.where(flat >= 0, 1.0 / (rrf_k + ranks)[None, :], 0.0)  # (B, M)
 
     # pairwise identity: same[b, i, j] = flat[b,i] == flat[b,j] (valid only)

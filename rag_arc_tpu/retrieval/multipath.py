@@ -74,7 +74,7 @@ class MultiPathRetriever(BaseRetriever):
         return [
             [
                 RetrievalResult(document=doc, score=0.0, rank=rank, source=retriever.name)
-                for rank, doc in enumerate(docs)
+                for rank, doc in enumerate(docs, start=1)
             ]
             for docs in per_query
         ]

@@ -124,7 +124,7 @@ class RewriteRetriever(BaseRetriever):
         paths = [
             [
                 RetrievalResult(document=doc, score=0.0, rank=rank, source=f"q{qi}")
-                for rank, doc in enumerate(docs)
+                for rank, doc in enumerate(docs, start=1)
             ]
             for qi, docs in enumerate(per_query)
         ]

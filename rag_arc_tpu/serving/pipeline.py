@@ -72,7 +72,7 @@ class RagPipeline:
                 paths = [
                     [
                         RetrievalResult(document=d, score=0.0, rank=r, source=f"v{i}")
-                        for r, d in enumerate(per_variant[i])
+                        for r, d in enumerate(per_variant[i], start=1)
                     ]
                     for i in range(lo, hi)
                 ]

@@ -45,9 +45,10 @@ class Document:
 class RetrievalResult:
     """One scored hit from a single retrieval path.
 
-    ``rank`` is the 0-based position within its source path's result list;
-    fusion methods consume ranks, not raw scores, so heterogeneous score
-    scales (cosine vs BM25) compose cleanly.
+    ``rank`` is the 1-based position within its source path's result list
+    (reference ``Fusion.py`` assigns ``rank = i + 1``, so the top hit's RRF
+    contribution is ``1/(k+1)``); fusion methods consume ranks, not raw
+    scores, so heterogeneous score scales (cosine vs BM25) compose cleanly.
     """
 
     document: Document

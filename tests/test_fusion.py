@@ -6,27 +6,28 @@ from rag_arc_tpu.utils import Document, RetrievalResult, RRFusion, WeightedScore
 
 
 def path(docs_scores, source="p"):
+    # ranks are 1-based, matching the reference's rank = i + 1
     return [
         RetrievalResult(document=Document(content=c), score=s, rank=i, source=source)
-        for i, (c, s) in enumerate(docs_scores)
+        for i, (c, s) in enumerate(docs_scores, start=1)
     ]
 
 
 class TestRRF:
     def test_formula(self):
-        # doc "x" at rank 0 in path1 and rank 1 in path2:
-        #   score = 1/60 + 1/61
+        # doc "x" at rank 1 in path1 and rank 2 in path2:
+        #   score = 1/61 + 1/62
         p1 = path([("x", 0.9), ("y", 0.5)])
         p2 = path([("z", 10.0), ("x", 9.0)])
         fused = RRFusion(k=60).fuse([p1, p2], top_k=3)
         assert fused[0].content == "x"
-        assert fused[0].metadata["fusion_score"] == pytest.approx(1 / 60 + 1 / 61)
+        assert fused[0].metadata["fusion_score"] == pytest.approx(1 / 61 + 1 / 62)
 
     def test_dedup_by_content(self):
         d1 = Document(content="same", id="id1")
         d2 = Document(content="same", id="id2")
-        p1 = [RetrievalResult(d1, 1.0, 0)]
-        p2 = [RetrievalResult(d2, 1.0, 0)]
+        p1 = [RetrievalResult(d1, 1.0, 1)]
+        p2 = [RetrievalResult(d2, 1.0, 1)]
         fused = RRFusion().fuse([p1, p2], top_k=10)
         assert len(fused) == 1
         assert fused[0].id == "id1"  # first-seen wins
@@ -40,7 +41,7 @@ class TestRRF:
         dense = path([("a", 0.99), ("b", 0.98)])
         sparse = path([("b", 38.0), ("a", 2.0)])
         fused = RRFusion().fuse([dense, sparse], top_k=2)
-        # a: 1/60 + 1/61 ; b: 1/61 + 1/60 — tie; stable order by dict insertion
+        # a: 1/61 + 1/62 ; b: 1/62 + 1/61 — tie; stable order by dict insertion
         assert {d.content for d in fused} == {"a", "b"}
 
     def test_empty_paths(self):

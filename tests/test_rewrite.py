@@ -103,7 +103,7 @@ class TestDeviceFusion:
         host_paths = [
             [
                 RetrievalResult(Document(content=str(pid), id=str(pid)), 0.0, r)
-                for r, pid in enumerate(path)
+                for r, pid in enumerate(path, start=1)
                 if pid >= 0
             ]
             for path in paths[0]

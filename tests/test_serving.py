@@ -127,6 +127,27 @@ class TestPersistence:
             "brand new document"
         )
 
+    def test_hnsw_roundtrip(self, tmp_path):
+        # ADVICE r1 (high): hnsw snapshots used to silently drop all vectors
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(emb, index_type="hnsw")
+        store.add_texts(CORPUS)
+        ids = store.add_texts(["to be deleted"])
+        store.delete(ids)
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        assert loaded.index.stats()["kind"] == "hnsw"
+        # deleted flags and their count survive the round-trip
+        assert loaded.index.n_deleted == store.index.n_deleted == 1
+        assert loaded.index.n_active == store.index.n_active
+        q = "cat on the mat"
+        got = [d.content for d in loaded.similarity_search(q, k=3)]
+        want = [d.content for d in store.similarity_search(q, k=3)]
+        assert got == want
+        assert "to be deleted" not in [
+            d.content for d in loaded.similarity_search("deleted", k=10)
+        ]
+
     def test_bad_format(self, tmp_path):
         (tmp_path / "manifest.json").write_text('{"format": "nope"}')
         with pytest.raises(ValueError, match="format"):

@@ -209,3 +209,106 @@ class TestDeviceChainedQuery:
         store = TPUVectorStore.from_texts(["a b", "c d"], HashEmbeddings(dim=16))
         results = store.batch_similarity_search_with_score(["a b"], k=1)
         assert results[0][0][0].content == "a b"
+
+
+class TestConcurrency:
+    def test_concurrent_add_and_query(self):
+        """ADVICE r1 (medium): index.add donates device buffers, so a
+        search overlapping an add hit use-after-donate; the store's RW
+        lock must serialize mutation against search."""
+        import threading
+
+        store = TPUVectorStore.from_texts(CORPUS, HashEmbeddings(dim=64), capacity=64)
+        errors = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    store.similarity_search("cat on the mat", k=2)
+                    store.batch_similarity_search_with_score(["dogs", "tpu"], k=2)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+
+        def writer():
+            try:
+                for i in range(20):
+                    ids = store.add_texts([f"new doc {i} about felines"])
+                    if i % 5 == 4:
+                        store.delete(ids)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+            finally:
+                stop.set()
+
+        readers = [threading.Thread(target=reader) for _ in range(3)]
+        w = threading.Thread(target=writer)
+        for t in readers:
+            t.start()
+        w.start()
+        w.join(timeout=60)
+        stop.set()
+        for t in readers:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert len(store) == len(CORPUS) + 16
+
+    def test_rwlock_semantics(self):
+        import threading
+        import time
+
+        from rag_arc_tpu.utils.locks import RWLock
+
+        lock = RWLock()
+        log = []
+        with lock.read():
+            # concurrent readers proceed
+            ok = []
+
+            def second_reader():
+                with lock.read():
+                    ok.append(True)
+
+            t = threading.Thread(target=second_reader)
+            t.start()
+            t.join(timeout=5)
+            assert ok == [True]
+
+            # a writer blocks while a reader holds the lock
+            def writer():
+                with lock.write():
+                    log.append("write")
+
+            wt = threading.Thread(target=writer)
+            wt.start()
+            time.sleep(0.05)
+            assert log == []
+        wt.join(timeout=5)
+        assert log == ["write"]
+
+
+class TestAutoTrainIVFMesh:
+    def test_auto_train_preserves_mesh_and_dtype(self):
+        """ADVICE r1 (medium): auto-train used to drop mesh/dtype, silently
+        collapsing a sharded store to single-device f32."""
+        import jax.numpy as jnp
+
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        store = TPUVectorStore(
+            HashEmbeddings(dim=32),
+            index_type="ivf",
+            nlist=8,
+            train_threshold=16,
+            mesh=mesh,
+            dtype=jnp.bfloat16,
+        )
+        store.add_texts([f"doc {i} cluster {i % 4}" for i in range(32)])
+        assert store.index.stats()["kind"] == "ivf"
+        assert store.index.mesh is mesh
+        assert store.index.n_shards == mesh.devices.size
+        assert store.index.dtype == jnp.bfloat16
+        hits = store.similarity_search("doc 7 cluster 3", k=1)
+        assert hits[0].content == "doc 7 cluster 3"
