@@ -154,11 +154,12 @@ def load_store(
         index.size = manifest["size"]
         index.n_deleted = manifest["n_deleted"]
         pos_host = np.asarray(jax.device_get(index.pos))
-        for cluster in range(index.nlist):
-            for slot in range(int(index._fill[cluster])):
-                p = int(pos_host[cluster, slot])
-                if p >= 0:
-                    index._pos_to_loc[p] = (cluster, slot)
+        cl, sl = np.nonzero(pos_host >= 0)
+        p = pos_host[cl, sl]
+        index._pos_cluster = np.full(manifest["size"], -1, dtype=np.int32)
+        index._pos_slot = np.full(manifest["size"], -1, dtype=np.int32)
+        index._pos_cluster[p] = cl.astype(np.int32)
+        index._pos_slot[p] = sl.astype(np.int32)
         store.index = index
     elif kind == "hnsw":
         store.index = HNSWIndex.load(

@@ -1,0 +1,161 @@
+"""Two-level exact MIPS top-k: sub-tile max kernel + candidate rescore.
+
+Replaces ``ops.fused_mips`` as the TPU throughput path (same contract:
+exact FAISS-flat behavior, ``VectorStore_Faiss.py:250-274``). The r1 fused
+kernel maintained a running (B, k) top-k inside the grid, which serialized
+every step through VMEM scratch and spent ~20 µs/step on extraction rounds,
+``lax.cond`` chains, and misaligned (B, k) updates — leaving 3-8x on the
+table vs the matmul roofline. This design removes *all* per-step state:
+
+  pass 1 (Pallas): scores = q · tileᵀ on the MXU, tombstone mask, then an
+    exact max over every ``g``-row sub-tile → (B, N/g) f32. No scratch, no
+    conditionals, no cross-step dependency: Mosaic pipelines HBM→VMEM DMA
+    against pure matmul at full depth, and the corpus is read exactly once
+    per search (query axis is the inner grid dimension).
+  select (XLA): ``lax.top_k`` over the (B, N/g) maxes picks each query's
+    top-k sub-tiles. Tiny: N/g columns instead of N.
+  pass 2 (XLA): gather those k·g rows, rescore exactly, global
+    ``lax.top_k``.
+
+Exactness proof: if a row r is among the true top-k, its sub-tile's max is
+>= score(r) >= s_k (the k-th best score). At most k sub-tiles can have
+max >= s_k — each such sub-tile contributes one score >= s_k and there are
+only k of those — so every winner-bearing sub-tile is among the top-k
+sub-tiles by max. The candidate set therefore contains the entire exact
+top-k, and pass 2 rescores with true (un-quantized) scores, so the result
+equals the exact search bit-for-bit at equal matmul precision.
+
+Cost at the bench shape (N=2M, d=768, B=512, k=10, g=128): pass 1 is the
+full 1.6 TFLOP matmul plus one VPU max-pass; the intermediate is 32 MB
+(vs 4 GB for the naive score matrix); pass 2 touches k·g·d·B ≈ 1.3 GB of
+gathers — ~1.5 ms of HBM traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.0e38  # sentinel below any real score, avoids inf-inf NaN
+
+
+def _subtile_max_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_ref,
+                        *, g: int, metric: str):
+    q = q_ref[:]           # (q_block, d)
+    tile = corpus_ref[:]   # (tile_n, d) — resident across the q sweep
+    scores = jax.lax.dot_general(
+        q,
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (q_block, tile_n) f32
+    if metric == "l2":
+        q32 = q.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
+        scores = -(q_sq - 2.0 * scores + sqnorm_ref[:])
+    scores = jnp.where(valid_ref[:] != 0, scores, NEG)
+    qb, tn = scores.shape
+    out_ref[:] = jnp.max(scores.reshape(qb, tn // g, g), axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "g", "tile_n", "q_block", "metric", "interpret"),
+)
+def two_level_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    valid: jax.Array,
+    sqnorm: jax.Array,
+    k: int,
+    g: int = 128,
+    tile_n: int = 2048,
+    q_block: int = 512,
+    metric: str = "cosine",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, d) × (N, d) → exact top-k (scores (B, k), positions (B, k)).
+
+    N must be a multiple of ``tile_n`` (itself a multiple of ``g``) and B of
+    ``q_block``; ``valid`` masks padding and tombstones (empty slots return
+    score ``NEG`` / position -1, like ``fused_mips_topk``). For cosine the
+    corpus must be pre-normalized; queries are normalized here.
+    ``interpret=True`` runs pass 1 in the Pallas interpreter (CPU oracle
+    tests).
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    q_block = min(q_block, b)
+    if tile_n % g != 0:
+        raise ValueError(f"tile_n {tile_n} not a multiple of g {g}")
+    if n % tile_n != 0:
+        raise ValueError(f"corpus rows {n} not a multiple of tile_n {tile_n}")
+    if b % q_block != 0:
+        raise ValueError(f"batch {b} not a multiple of q_block {q_block}")
+    if metric == "cosine":
+        norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+        queries = queries / jnp.maximum(norm, 1e-12)
+    queries = queries.astype(corpus.dtype)
+    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
+    sqnorm_2d = sqnorm.reshape(1, n)
+    n_sub = n // g
+
+    kernel = functools.partial(_subtile_max_kernel, g=g, metric=metric)
+    sub_max = pl.pallas_call(
+        kernel,
+        grid=(n // tile_n, b // q_block),
+        in_specs=[
+            pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_block, tile_n // g), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_sub), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * corpus.dtype.itemsize + 4 * b * n_sub,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus, valid_i8, sqnorm_2d)
+
+    # select: each query's top-k sub-tiles by max — provably a superset of
+    # the sub-tiles containing the exact top-k rows (see module docstring)
+    k_tiles = min(k, n_sub)
+    _, top_sub = jax.lax.top_k(sub_max, k_tiles)  # (B, k_tiles)
+    rows = (
+        top_sub[:, :, None] * g + jnp.arange(g, dtype=top_sub.dtype)[None, None, :]
+    ).reshape(b, k_tiles * g)
+
+    # rescore: gather candidates and redo the exact scores
+    cand = jnp.take(corpus, rows, axis=0)        # (B, C, d)
+    cand_valid = jnp.take(valid, rows, axis=0)   # (B, C)
+    cscores = jax.lax.dot_general(
+        queries,
+        cand,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, C)
+    if metric == "l2":
+        q32 = queries.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
+        csq = jnp.take(sqnorm, rows, axis=0)
+        cscores = -(q_sq - 2.0 * cscores + csq)
+    cscores = jnp.where(cand_valid, cscores, NEG)
+    k_out = min(k, cscores.shape[1])
+    s, ci = jax.lax.top_k(cscores, k_out)
+    pos = jnp.take_along_axis(rows, ci, axis=1).astype(jnp.int32)
+    pos = jnp.where(s <= NEG * 0.5, -1, pos)
+    if k_out < k:
+        pad = k - k_out
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG)
+        pos = jnp.pad(pos, ((0, 0), (0, pad)), constant_values=-1)
+    return s, pos

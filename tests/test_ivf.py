@@ -249,3 +249,49 @@ class TestIVFSharded:
         assert ivf.nlist_pad == 8  # padded to 8 shards
         _, got = ivf.search(data[33:34], 1)
         assert got[0, 0] == 33
+
+
+class TestIVFScale:
+    def test_add_throughput_100k(self, rng):
+        """VERDICT r1 #2: the add path must be vectorized — 100k rows in
+        chunked add calls with no per-row python loop and no full-tensor
+        host round trip. Budgeted generously for the CPU-emulated device;
+        the r1 implementation took minutes at this size."""
+        import time
+
+        d, n_total = 32, 100_000
+        train = rng.standard_normal((4096, d)).astype(np.float32)
+        ivf = DeviceIVFIndex.from_vectors(train, nlist=64, nprobe=8)
+        data = rng.standard_normal((n_total, d)).astype(np.float32)
+        t0 = time.time()
+        chunk = 20_000
+        for start in range(0, n_total, chunk):
+            ivf.add(data[start : start + chunk])
+        elapsed = time.time() - t0
+        assert ivf.size == 4096 + n_total
+        assert elapsed < 60.0, f"add of 100k rows took {elapsed:.1f}s"
+        # bookkeeping arrays stayed consistent
+        assert len(ivf._pos_cluster) == ivf.size
+        assert int(ivf._fill.sum()) == ivf.size
+        # a planted vector is findable and take() round-trips it
+        probe = data[50_000]
+        _, got = ivf.search(probe[None, :], 1, nprobe=64)
+        assert got[0, 0] == 4096 + 50_000
+        taken = ivf.take(np.array([4096 + 50_000]))
+        np.testing.assert_allclose(
+            taken[0], probe / np.linalg.norm(probe), rtol=1e-5
+        )
+
+    def test_grow_lmax_on_device(self, rng):
+        """Slot-axis growth happens as a device pad, and data survives."""
+        data = rng.standard_normal((256, 16)).astype(np.float32)
+        ivf = DeviceIVFIndex.from_vectors(data, nlist=16, nprobe=16)
+        lmax0 = ivf.lmax
+        # skew adds into whatever cluster the first row maps to
+        skew = np.tile(data[0], (lmax0 * 2, 1)) + 0.001 * rng.standard_normal(
+            (lmax0 * 2, 16)
+        ).astype(np.float32)
+        ivf.add(skew)
+        assert ivf.lmax > lmax0
+        _, got = ivf.search(data[0][None, :], 1)
+        assert got[0, 0] == 0

@@ -1,0 +1,131 @@
+"""Two-level exact top-k tests (Pallas interpret mode on CPU) against the
+XLA exact path. Mirrors tests/test_fused_mips.py's oracle style."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rag_arc_tpu.ops.topk import masked_topk
+from rag_arc_tpu.ops.two_level import two_level_topk
+
+
+def setup_corpus(rng, n=4096, d=64, metric="cosine", b=8):
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    if metric == "cosine":
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    valid = np.ones(n, dtype=bool)
+    valid[5] = False  # one tombstone
+    sqnorm = (corpus * corpus).sum(1).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    return (
+        jnp.asarray(queries),
+        jnp.asarray(corpus),
+        jnp.asarray(valid),
+        jnp.asarray(sqnorm),
+    )
+
+
+@pytest.mark.parametrize("metric", ["cosine", "ip", "l2"])
+def test_matches_exact(rng, metric):
+    q, corpus, valid, sqnorm = setup_corpus(rng, metric=metric)
+    es, ep = masked_topk(q, corpus, valid, 10, metric, sqnorm)
+    ts, tp = two_level_topk(
+        q, corpus, valid, sqnorm, k=10, g=128, tile_n=1024, metric=metric,
+        interpret=True,
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(tp)[b].tolist())
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(es), rtol=1e-4, atol=1e-4)
+
+
+def test_excludes_tombstones(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng)
+    _, tp = two_level_topk(
+        q, corpus, valid, sqnorm, k=10, g=128, tile_n=1024, interpret=True
+    )
+    assert 5 not in np.asarray(tp)
+
+
+def test_winners_concentrated_in_one_subtile(rng):
+    """All true top-k inside a single sub-tile — the case that breaks naive
+    'one candidate per tile' schemes; the top-k-subtile selection must keep
+    enough candidates from that one sub-tile."""
+    d = 64
+    corpus = rng.standard_normal((2048, d)).astype(np.float32) * 0.01
+    target = rng.standard_normal(d).astype(np.float32)
+    # plant the 10 strongest matches in rows 256..265 (one g=128 sub-tile)
+    for i in range(10):
+        corpus[256 + i] = target * (10.0 - i)
+    valid = np.ones(2048, dtype=bool)
+    sqnorm = (corpus * corpus).sum(1).astype(np.float32)
+    q = jnp.asarray(target[None, :].repeat(8, axis=0))
+    ts, tp = two_level_topk(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        jnp.asarray(sqnorm), k=10, g=128, tile_n=1024, metric="ip",
+        interpret=True,
+    )
+    for b in range(8):
+        assert set(np.asarray(tp)[b].tolist()) == set(range(256, 266))
+
+
+def test_fewer_valid_rows_than_k(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=1024)
+    valid = valid.at[8:].set(False)  # only 8 live rows, k=10
+    ts, tp = two_level_topk(
+        q, corpus, valid, sqnorm, k=10, g=128, tile_n=1024, interpret=True
+    )
+    tp = np.asarray(tp)
+    assert ((0 <= tp[:, :7]) & (tp[:, :7] < 8)).all()
+    assert (tp[:, 8:] == -1).all()
+
+
+def test_k_larger_than_subtile_count(rng):
+    # n_sub = 1024/128 = 8 < k=16: k_tiles caps at n_sub, candidates = n
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=1024)
+    es, ep = masked_topk(q, corpus, valid, 16, "cosine", sqnorm)
+    ts, tp = two_level_topk(
+        q, corpus, valid, sqnorm, k=16, g=128, tile_n=1024, interpret=True
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(tp)[b].tolist())
+
+
+def test_rejects_misaligned(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=1000)
+    with pytest.raises(ValueError, match="multiple"):
+        two_level_topk(q, corpus, valid, sqnorm, k=4, tile_n=1024, interpret=True)
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=1024)
+    with pytest.raises(ValueError, match="multiple"):
+        two_level_topk(
+            q, corpus, valid, sqnorm, k=4, g=128, tile_n=192, interpret=True
+        )
+
+
+def test_multi_qblock_grid(rng):
+    q, corpus, valid, sqnorm = setup_corpus(rng, b=16)
+    es, ep = masked_topk(q, corpus, valid, 5, "cosine", sqnorm)
+    ts, tp = two_level_topk(
+        q, corpus, valid, sqnorm, k=5, g=128, tile_n=1024, q_block=4,
+        interpret=True,
+    )
+    for b in range(q.shape[0]):
+        assert set(np.asarray(ep)[b].tolist()) == set(np.asarray(tp)[b].tolist())
+
+
+def test_bf16_corpus_recall(rng):
+    """bf16 corpus: scores quantize but the two passes use identical
+    arithmetic, so selection stays consistent (recall vs f32 oracle ≈ 1)."""
+    q, corpus, valid, sqnorm = setup_corpus(rng, n=2048)
+    es, ep = masked_topk(q, corpus, valid, 10, "cosine", sqnorm)
+    ts, tp = two_level_topk(
+        q, corpus.astype(jnp.bfloat16), valid, sqnorm, k=10, g=128,
+        tile_n=1024, interpret=True,
+    )
+    recall = np.mean(
+        [
+            len(set(np.asarray(ep)[b].tolist()) & set(np.asarray(tp)[b].tolist())) / 10
+            for b in range(q.shape[0])
+        ]
+    )
+    assert recall >= 0.9

@@ -1,0 +1,154 @@
+"""Kernel A/B probe on the real chip: r1 fused kernel vs two-level top-k.
+
+Timing per CLAUDE.md: the only trustworthy completion signal through the
+axon tunnel is fetching result bytes, so each measurement times a stream
+of dispatches ending in a device_get. Repeats the stream REPS times and
+prints min/median per config (the shared chip shows run-to-run variance).
+
+Usage: python tools/kernel_probe.py [--n 2000000] [--b 512] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--stream", type=int, default=8, help="batches per timed stream")
+    ap.add_argument("--configs", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from rag_arc_tpu.ops.fused_mips import fused_mips_topk
+    from rag_arc_tpu.ops.two_level import two_level_topk
+
+    rng = np.random.default_rng(0)
+    print(f"device: {jax.devices()[0]}", flush=True)
+    corpus = rng.standard_normal((args.n, args.d), dtype=np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    # pad rows up to the largest tile in the sweep (invalid, like the index
+    # pads capacity)
+    n_pad = ((args.n + 4095) // 4096) * 4096
+    padded = np.zeros((n_pad, args.d), dtype=np.float32)
+    padded[: args.n] = corpus
+    emb = jnp.asarray(padded, dtype=jnp.bfloat16)
+    valid = jnp.asarray(np.arange(n_pad) < args.n)
+    sqnorm = jnp.ones((n_pad,), dtype=jnp.float32)
+    del padded
+
+    q_idx = rng.integers(0, args.n, size=args.b * args.stream)
+    queries = corpus[q_idx] + 0.1 * rng.standard_normal(
+        (args.b * args.stream, args.d), dtype=np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    dev_q = [
+        jax.device_put(jnp.asarray(queries[i * args.b : (i + 1) * args.b]))
+        for i in range(args.stream)
+    ]
+    jax.block_until_ready(dev_q)
+
+    # exact oracle on a subsample for recall
+    sub = queries[:128]
+    exact = np.empty((128, args.n), dtype=np.float32)
+    step = 1 << 18
+    for s in range(0, args.n, step):
+        exact[:, s : s + step] = sub @ corpus[s : s + step].T
+    exact_top = np.argpartition(-exact, args.k, axis=1)[:, : args.k]
+
+    def timed(fn):
+        # warmup + compile
+        t0 = time.time()
+        out = fn(dev_q[0])
+        _ = np.asarray(out[1][:1])
+        compile_s = time.time() - t0
+        # recall check
+        got = np.asarray(jax.device_get(fn(dev_q[0])[1]))[:128]
+        recall = float(
+            np.mean(
+                [
+                    len(set(got[i].tolist()) & set(exact_top[i].tolist())) / args.k
+                    for i in range(128)
+                ]
+            )
+        )
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            outs = [fn(qb) for qb in dev_q]
+            jax.device_get([o[1] for o in outs])
+            times.append((time.time() - t0) / args.stream)
+        return compile_s, recall, np.asarray(times)
+
+    configs = []
+    if args.configs:
+        for spec in args.configs.split(";"):
+            configs.append(json.loads(spec))
+    else:
+        configs = [
+            {"kind": "fused", "tile_n": 2048, "q_block": 256},
+            {"kind": "two_level", "tile_n": 2048, "q_block": 512, "g": 128},
+            {"kind": "two_level", "tile_n": 2048, "q_block": 256, "g": 128},
+            {"kind": "two_level", "tile_n": 1024, "q_block": 512, "g": 128},
+            {"kind": "two_level", "tile_n": 4096, "q_block": 256, "g": 128},
+            {"kind": "two_level", "tile_n": 2048, "q_block": 512, "g": 256},
+        ]
+
+    for cfg in configs:
+        kind = cfg["kind"]
+        try:
+            if kind == "fused":
+                fn = lambda q: fused_mips_topk(  # noqa: E731
+                    q, emb, valid, sqnorm, args.k,
+                    tile_n=cfg["tile_n"], q_block=cfg.get("q_block", 256),
+                    skip_tiles=True, packed=True,
+                )
+            else:
+                fn = lambda q: two_level_topk(  # noqa: E731
+                    q, emb, valid, sqnorm, args.k,
+                    g=cfg.get("g", 128), tile_n=cfg["tile_n"],
+                    q_block=cfg.get("q_block", 512),
+                )
+            compile_s, recall, times = timed(fn)
+            ms = times * 1e3
+            print(
+                json.dumps(
+                    {
+                        "cfg": cfg,
+                        "compile_s": round(compile_s, 1),
+                        "recall": round(recall, 4),
+                        "ms_min": round(float(ms.min()), 2),
+                        "ms_median": round(float(np.median(ms)), 2),
+                        "ms_all": [round(float(x), 2) for x in ms],
+                        "qps_at_median": round(args.b / np.median(ms) * 1e3, 0),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — sweep keeps going
+            print(json.dumps({"cfg": cfg, "error": str(exc)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
