@@ -83,6 +83,9 @@ class ArrayGraphStore:
         self.nodes: Dict[str, Dict[str, GraphNode]] = {k: {} for k in KINDS}
         self.edges: List[GraphEdge] = []
         self._edge_keys: Set[Tuple[str, str, str, str]] = set()
+        # adjacency: node key -> indexes into self.edges (both directions),
+        # so neighbors/degree/entity-chunk walks are O(deg), not O(E)
+        self._adj: Dict[str, List[int]] = defaultdict(list)
         # embedding indexes: one per kind, lazily sized to the embedder dim
         self._indexes: Dict[str, Optional[DeviceFlatIndex]] = {k: None for k in KINDS}
         self._positions: Dict[str, Dict[str, int]] = {k: {} for k in KINDS}
@@ -112,21 +115,26 @@ class ArrayGraphStore:
         if key in self._edge_keys:
             return False
         self._edge_keys.add(key)
+        idx = len(self.edges)
         self.edges.append(edge)
+        self._adj[edge.src].append(idx)
+        if edge.dst != edge.src:
+            self._adj[edge.dst].append(idx)
         return True
 
     def neighbors(
         self, kind: str, key: str, edge_type: Optional[str] = None
     ) -> List[Tuple[str, GraphEdge]]:
         out = []
-        for e in self.edges:
+        for idx in self._adj.get(key, ()):
+            e = self.edges[idx]
             if edge_type and e.edge_type != edge_type:
                 continue
-            if e.src == key:
-                out.append((e.dst, e))
-            elif e.dst == key:
-                out.append((e.src, e))
+            out.append((e.dst if e.src == key else e.src, e))
         return out
+
+    def degree(self, key: str) -> int:
+        return len(self._adj.get(key, ()))
 
     # -- ingestion pipeline --------------------------------------------------
 
@@ -327,12 +335,13 @@ class ArrayGraphStore:
         node = self.nodes["entity"][key]
         n_desc = sum(len(d or "") for d in node.properties.get("descriptions", []))
         n_mentions = len(node.properties.get("mentions", []))
-        degree = sum(1 for e in self.edges if e.src == key or e.dst == key)
-        return (n_desc, n_mentions, degree)
+        return (n_desc, n_mentions, self.degree(key))
 
     def merge_duplicate_entities(self) -> int:
         """Similarity-clustered merge (threshold 0.95) keeping the richest
-        entity per cluster; replaces GDS Louvain + APOC migration."""
+        entity per cluster; replaces GDS Louvain + APOC migration. All
+        clusters apply in ONE edge-list rebuild (the r1 version rebuilt the
+        whole edge list per merged entity — O(V·E) on merge-heavy graphs)."""
         pairs = self._similar_pairs("entity", self.merge_threshold, self.knn_top_k)
         if not pairs:
             return 0
@@ -342,58 +351,67 @@ class ArrayGraphStore:
         clusters: Dict[str, List[str]] = defaultdict(list)
         for key in {k for pair in pairs for k in pair[:2]}:
             clusters[uf.find(key)].append(key)
-        merged = 0
+        redirect: Dict[str, str] = {}
         for members in clusters.values():
             if len(members) < 2:
                 continue
             winner = max(members, key=self._entity_richness)
             for loser in members:
-                if loser == winner:
-                    continue
-                self._merge_entity_into(loser, winner)
-                merged += 1
-        return merged
+                if loser != winner:
+                    redirect[loser] = winner
+        return self._apply_entity_merges(redirect)
 
-    def _merge_entity_into(self, loser: str, winner: str) -> None:
-        loser_node = self.nodes["entity"].pop(loser, None)
-        if loser_node is None:
-            return
-        winner_node = self.nodes["entity"][winner]
-        for prop in ("descriptions", "mentions", "sources"):
-            merged = list(winner_node.properties.get(prop, []))
-            for item in loser_node.properties.get(prop, []):
-                if item not in merged:
-                    merged.append(item)
-            winner_node.properties[prop] = merged
-        mentions = winner_node.properties.setdefault("mentions", [])
-        if loser_node.content not in mentions and loser_node.content != winner_node.content:
-            mentions.append(loser_node.content)
-        # re-point edges, dropping ones that become self-loops/duplicates
-        surviving: List[GraphEdge] = []
+    def _apply_entity_merges(self, redirect: Dict[str, str]) -> int:
+        """Fold loser entities into winners: merge properties, re-point all
+        edges in a single pass, rebuild the dedup set + adjacency once,
+        and tombstone loser index rows in one batch."""
+        if not redirect:
+            return 0
+        for loser, winner in redirect.items():
+            loser_node = self.nodes["entity"].pop(loser, None)
+            if loser_node is None:
+                continue
+            winner_node = self.nodes["entity"][winner]
+            for prop in ("descriptions", "mentions", "sources"):
+                merged = list(winner_node.properties.get(prop, []))
+                for item in loser_node.properties.get(prop, []):
+                    if item not in merged:
+                        merged.append(item)
+                winner_node.properties[prop] = merged
+            mentions = winner_node.properties.setdefault("mentions", [])
+            if (
+                loser_node.content not in mentions
+                and loser_node.content != winner_node.content
+            ):
+                mentions.append(loser_node.content)
+        # single rebuild: re-point, drop new self-loops, dedup
+        old_edges = self.edges
+        self.edges = []
         self._edge_keys.clear()
-        for e in self.edges:
-            src = winner if e.src == loser else e.src
-            dst = winner if e.dst == loser else e.dst
+        self._adj.clear()
+        for e in old_edges:
+            src = redirect.get(e.src, e.src)
+            dst = redirect.get(e.dst, e.dst)
             if src == dst and e.edge_type in ("ENTITY_RELATION", "EVENT_RELATION"):
                 continue
-            edge = GraphEdge(
-                src=src, dst=dst, edge_type=e.edge_type, properties=e.properties
-            )
-            key = (
-                edge.edge_type,
-                edge.src,
-                edge.dst,
-                str(edge.properties.get("relation_type", "")),
-            )
-            if key in self._edge_keys:
-                continue
-            self._edge_keys.add(key)
-            surviving.append(edge)
-        self.edges = surviving
-        # tombstone loser's index row
-        pos = self._positions["entity"].pop(loser, None)
-        if pos is not None and self._indexes["entity"] is not None:
-            self._indexes["entity"].mark_deleted(np.asarray([pos]))
+            if src == e.src and dst == e.dst:
+                self.add_edge(e)
+            else:
+                self.add_edge(
+                    GraphEdge(
+                        src=src, dst=dst, edge_type=e.edge_type,
+                        properties=e.properties,
+                    )
+                )
+        # tombstone loser index rows in one batch
+        dead = [
+            pos
+            for loser in redirect
+            if (pos := self._positions["entity"].pop(loser, None)) is not None
+        ]
+        if dead and self._indexes["entity"] is not None:
+            self._indexes["entity"].mark_deleted(np.asarray(dead))
+        return len(redirect)
 
     # -- event disambiguation ----------------------------------------------------
 
@@ -441,7 +459,8 @@ class ArrayGraphStore:
         entities = self.search_nodes("entity", query, entity_k)
         chunk_scores: Dict[str, float] = defaultdict(float)
         for node, score in entities:
-            for e in self.edges:
+            for idx in self._adj.get(node.key, ()):
+                e = self.edges[idx]
                 if e.edge_type == "MENTIONS" and e.dst == node.key:
                     chunk_scores[e.src] += score
         ranked = sorted(chunk_scores.items(), key=lambda kv: -kv[1])[:k]
@@ -484,6 +503,7 @@ class ArrayGraphStore:
         self.nodes = {k: {} for k in KINDS}
         self.edges = []
         self._edge_keys.clear()
+        self._adj.clear()
         self._indexes = {k: None for k in KINDS}
         self._positions = {k: {} for k in KINDS}
 

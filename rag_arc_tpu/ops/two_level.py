@@ -46,21 +46,24 @@ NEG = -3.0e38  # sentinel below any real score, avoids inf-inf NaN
 
 def _subtile_max_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_ref,
                         *, g: int, metric: str):
+    # transposed layout throughout: scores are (tile_n, q_block) so the
+    # output block is (tile_n/g, q_block) — Mosaic requires the last two
+    # block dims to be (8, 128)-aligned, which (q_block, tile_n/g) is not
     q = q_ref[:]           # (q_block, d)
     tile = corpus_ref[:]   # (tile_n, d) — resident across the q sweep
     scores = jax.lax.dot_general(
-        q,
         tile,
+        q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (q_block, tile_n) f32
+    )  # (tile_n, q_block) f32
     if metric == "l2":
         q32 = q.astype(jnp.float32)
-        q_sq = jnp.sum(q32 * q32, axis=1, keepdims=True)
-        scores = -(q_sq - 2.0 * scores + sqnorm_ref[:])
-    scores = jnp.where(valid_ref[:] != 0, scores, NEG)
-    qb, tn = scores.shape
-    out_ref[:] = jnp.max(scores.reshape(qb, tn // g, g), axis=-1)
+        q_sq = jnp.sum(q32 * q32, axis=1)[None, :]  # (1, q_block)
+        scores = -(q_sq - 2.0 * scores + sqnorm_ref[:])  # sqnorm (tile_n, 1)
+    scores = jnp.where(valid_ref[:] != 0, scores, NEG)  # valid (tile_n, 1)
+    tn, qb = scores.shape
+    out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
 
 
 @functools.partial(
@@ -101,36 +104,36 @@ def two_level_topk(
         norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
         queries = queries / jnp.maximum(norm, 1e-12)
     queries = queries.astype(corpus.dtype)
-    valid_i8 = valid.astype(jnp.int8).reshape(1, n)
-    sqnorm_2d = sqnorm.reshape(1, n)
+    valid_col = valid.astype(jnp.int8).reshape(n, 1)
+    sqnorm_col = sqnorm.reshape(n, 1)
     n_sub = n // g
 
     kernel = functools.partial(_subtile_max_kernel, g=g, metric=metric)
-    sub_max = pl.pallas_call(
+    sub_max_t = pl.pallas_call(
         kernel,
         grid=(n // tile_n, b // q_block),
         in_specs=[
             pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_block, tile_n // g), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            (tile_n // g, q_block), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_sub), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sub, b), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=n * d * corpus.dtype.itemsize + 4 * b * n_sub,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus, valid_i8, sqnorm_2d)
+    )(queries, corpus, valid_col, sqnorm_col)
 
     # select: each query's top-k sub-tiles by max — provably a superset of
     # the sub-tiles containing the exact top-k rows (see module docstring)
     k_tiles = min(k, n_sub)
-    _, top_sub = jax.lax.top_k(sub_max, k_tiles)  # (B, k_tiles)
+    _, top_sub = jax.lax.top_k(sub_max_t.T, k_tiles)  # (B, k_tiles)
     rows = (
         top_sub[:, :, None] * g + jnp.arange(g, dtype=top_sub.dtype)[None, None, :]
     ).reshape(b, k_tiles * g)

@@ -312,3 +312,56 @@ class TestGraphScale:
         assert stats["entities"] == 8 + 40  # 8 shared areas + 40 unique
         docs = store.entity_linked_chunks("area 3 details", k=5)
         assert docs and all("area 3" in d.content for d in docs)
+
+    def test_100k_nodes_1M_edges_adjacency(self):
+        """VERDICT r1 #7: neighbors/degree/entity-chunk walks must be
+        O(degree) via the adjacency index, and entity merges must rebuild
+        the edge list once per merge batch — not once per merged entity."""
+        import time
+
+        from rag_arc_tpu.graph.schema import GraphEdge, GraphNode
+
+        store = ArrayGraphStore(HashEmbeddings(dim=16))
+        n_nodes, n_edges = 100_000, 1_000_000
+        t0 = time.time()
+        for i in range(n_nodes):
+            store.nodes["entity"][f"e{i}"] = GraphNode(
+                key=f"e{i}", kind="entity", content=f"entity {i}"
+            )
+        # ring + random chords, batch-constructed
+        for i in range(n_edges):
+            src = f"e{i % n_nodes}"
+            dst = f"e{(i * 131 + 7) % n_nodes}"
+            if src != dst:
+                store.add_edge(
+                    GraphEdge(
+                        src=src, dst=dst, edge_type="ENTITY_RELATION",
+                        properties={"relation_type": f"r{i % 97}"},
+                    )
+                )
+        build_s = time.time() - t0
+        assert len(store.edges) > 0.9 * n_edges
+
+        # O(deg) neighbor queries: 2000 lookups must be near-instant
+        t0 = time.time()
+        total = sum(len(store.neighbors("entity", f"e{i}")) for i in range(2000))
+        lookup_s = time.time() - t0
+        assert total > 0
+        assert lookup_s < 2.0, f"2000 neighbor lookups took {lookup_s:.2f}s"
+
+        # batched merge: 500 losers fold into winners in ONE edge rebuild
+        redirect = {f"e{i}": f"e{i + 50_000}" for i in range(500)}
+        t0 = time.time()
+        merged = store._apply_entity_merges(redirect)
+        merge_s = time.time() - t0
+        assert merged == 500
+        # generous bound: one pass over 1M edges, not 500 passes
+        assert merge_s < 30.0, f"batch merge took {merge_s:.2f}s"
+        assert all(f"e{i}" not in store.nodes["entity"] for i in range(500))
+        # adjacency stayed consistent with the rebuilt edge list
+        assert store.degree("e0") == 0
+        nb = store.neighbors("entity", "e50000")
+        assert all(
+            e.src == "e50000" or e.dst == "e50000" for _, e in nb
+        )
+        assert build_s < 120.0, f"graph build took {build_s:.1f}s"
