@@ -29,23 +29,33 @@ FORMAT = "rag_arc_tpu.store.v1"
 
 
 def save_store(store: TPUVectorStore, path: str | Path) -> Path:
+    from rag_arc_tpu.index.blob_docstore import BlobDocstore
+
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     index = store.index
-    docstore_rows = []
-    for doc_id, doc in store.docstore.items():
-        docstore_rows.append(
-            {
-                "id": doc_id,
-                "content": doc.content,
-                "metadata": doc.metadata,
-                "position": store.docstore.position_of(doc_id),
-            }
+    if isinstance(store.docstore, BlobDocstore):
+        # disk-backed store: snapshot blob + numpy indexes, never
+        # materialize the corpus in RAM
+        store.docstore.save(path / "docstore_blob")
+        docstore_kind = "blob"
+    else:
+        docstore_rows = []
+        for doc_id, doc in store.docstore.items():
+            docstore_rows.append(
+                {
+                    "id": doc_id,
+                    "content": doc.content,
+                    "metadata": doc.metadata,
+                    "position": store.docstore.position_of(doc_id),
+                }
+            )
+        (path / "docstore.json").write_text(
+            json.dumps(docstore_rows, ensure_ascii=False), encoding="utf-8"
         )
-    (path / "docstore.json").write_text(
-        json.dumps(docstore_rows, ensure_ascii=False), encoding="utf-8"
-    )
+        docstore_kind = "json"
     manifest: Dict[str, Any] = {
+        "docstore": docstore_kind,
         "format": FORMAT,
         "metric": store.metric,
         "index_type": store.index_type,
@@ -93,6 +103,7 @@ def load_store(
     manifest = json.loads((path / "manifest.json").read_text(encoding="utf-8"))
     if manifest.get("format") != FORMAT:
         raise ValueError(f"unrecognized store snapshot format in {path}")
+    blob_backed = manifest.get("docstore") == "blob"
     store = TPUVectorStore(
         embedding=embedding,
         dim=manifest["dim"],
@@ -103,6 +114,9 @@ def load_store(
         nlist=manifest["nlist"],
         nprobe=manifest["nprobe"],
         train_threshold=manifest["train_threshold"],
+        # blob-backed snapshots reattach in place: the loaded store reads
+        # (and, if mutated, appends) in the snapshot directory
+        docstore_path=str(path / "docstore_blob") if blob_backed else None,
     )
     kind = manifest.get("index_kind")
     if kind == "flat":
@@ -167,11 +181,12 @@ def load_store(
             metric=manifest["metric"],
             ef_search=manifest.get("ef_search", 64),
         )
-    # docstore
-    rows = json.loads((path / "docstore.json").read_text(encoding="utf-8"))
-    docs = [
-        Document(content=r["content"], metadata=r["metadata"], id=r["id"])
-        for r in rows
-    ]
-    store.docstore.add(docs, [r["position"] for r in rows])
+    # docstore (blob-backed stores reattached via docstore_path above)
+    if not blob_backed:
+        rows = json.loads((path / "docstore.json").read_text(encoding="utf-8"))
+        docs = [
+            Document(content=r["content"], metadata=r["metadata"], id=r["id"])
+            for r in rows
+        ]
+        store.docstore.add(docs, [r["position"] for r in rows])
     return store

@@ -237,6 +237,7 @@ class TPUVectorStore(VectorStore):
         nlist: int = 100,
         nprobe: int = 8,
         train_threshold: Optional[int] = None,
+        docstore_path: Optional[str] = None,
     ):
         if index_type not in ("flat", "ivf", "hnsw"):
             raise ValueError(
@@ -250,7 +251,16 @@ class TPUVectorStore(VectorStore):
         self._rw = RWLock()
         self._init_capacity = capacity
         self._dtype = dtype
-        self.docstore = Docstore()
+        # docstore_path selects the disk-backed store (content in an
+        # append-only blob, mmap reads, bounded host RAM) for 10M-doc
+        # corpora; default keeps documents in host RAM
+        self.docstore_path = docstore_path
+        if docstore_path is not None:
+            from rag_arc_tpu.index.blob_docstore import BlobDocstore
+
+            self.docstore = BlobDocstore(docstore_path)
+        else:
+            self.docstore = Docstore()
         self.index: Optional[DeviceFlatIndex] = index
         self.compact_threshold = compact_threshold
         self.index_type = index_type
