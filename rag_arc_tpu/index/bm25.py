@@ -36,7 +36,24 @@ Tokenizer = Callable[[str], List[str]]
 
 
 class DeviceBM25Index:
-    """Immutable-once-built BM25 scoring structure on device."""
+    """Immutable-once-built BM25 scoring structure.
+
+    Two scoring backends behind one interface:
+
+    - ``device``: the dense document-major kernel (``ops/bm25.py``) —
+      shards across chips with the mesh; pays O(N·Dmax) VPU work per
+      query term, so it scales with corpus size regardless of term
+      selectivity, and truncates queries to ``qmax`` unique terms.
+    - ``host``: term-major CSR postings in C++ (``native/bm25host.cpp``) —
+      term-at-a-time accumulation touches only ~df(t) entries per term
+      (the classic inverted-index engine the reference delegated to
+      rank_bm25/tantivy), no qmax truncation, threads across the batch.
+
+    ``backend="auto"`` resolves to host on a single chip and device when a
+    mesh shards the corpus (measured comparison: tools/bm25_bench.py; the
+    device path remains for mesh-sharded corpora that exceed one host's
+    memory).
+    """
 
     def __init__(
         self,
@@ -46,18 +63,86 @@ class DeviceBM25Index:
         qmax: int = 32,
         mesh: Optional[Mesh] = None,
         axis_name: str = CORPUS_AXIS,
+        backend: str = "auto",
     ):
+        if backend not in ("auto", "device", "host"):
+            raise ValueError(f"backend must be auto/device/host, got {backend!r}")
         self.k1, self.b, self.epsilon = k1, b, epsilon
         self.qmax = qmax
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        self.backend = backend
+        self._use_host = backend == "host" or (backend == "auto" and mesh is None)
         self.n_docs = 0
         self.vocab: Dict[str, int] = {}
         self.avgdl = 0.0
         self.doc_terms: Optional[jax.Array] = None
         self.doc_weights: Optional[jax.Array] = None
         self.valid: Optional[jax.Array] = None
+        self._host_handle = None
+        self._host_lib = None
+
+    def __del__(self):
+        self._free_host()
+
+    def _free_host(self) -> None:
+        if getattr(self, "_host_handle", None):
+            self._host_lib.bm25host_free(self._host_handle)
+            self._host_handle = None
+
+    def _build_host(
+        self,
+        row_offsets: np.ndarray,
+        term_ids: np.ndarray,
+        tfs: np.ndarray,
+        doc_len: np.ndarray,
+        df: np.ndarray,
+    ) -> None:
+        import ctypes
+
+        from rag_arc_tpu.native.build import load_library
+
+        lib = load_library("bm25host")
+        lib.bm25host_build.restype = ctypes.c_void_p
+        lib.bm25host_build.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ]
+        lib.bm25host_free.argtypes = [ctypes.c_void_p]
+        lib.bm25host_scores.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.bm25host_search.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+        ]
+        self._free_host()
+        row_offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+        term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+        tfs = np.ascontiguousarray(tfs, dtype=np.float32)
+        doc_len = np.ascontiguousarray(doc_len, dtype=np.int64)
+        df = np.ascontiguousarray(df, dtype=np.int64)
+        self._host_lib = lib
+        self._host_handle = lib.bm25host_build(
+            row_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            doc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            df.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.n_docs,
+            len(self.vocab),
+            self.k1,
+            self.b,
+            self.epsilon,
+        )
 
     def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
         n = len(tokenized_docs)
@@ -68,6 +153,7 @@ class DeviceBM25Index:
             self.doc_weights = None
             self.valid = None
             self.avgdl = 0.0
+            self._free_host()
             return
         doc_tfs: List[Dict[int, int]] = []
         doc_len = np.zeros(n, dtype=np.float64)
@@ -84,6 +170,23 @@ class DeviceBM25Index:
         for tf in doc_tfs:
             for tid in tf:
                 df[tid] += 1
+        if self._use_host:
+            nnz = sum(len(tf) for tf in doc_tfs)
+            row_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(tf) for tf in doc_tfs], out=row_offsets[1:])
+            term_ids = np.fromiter(
+                (t for tf in doc_tfs for t in tf), dtype=np.int32, count=nnz
+            )
+            tf_vals = np.fromiter(
+                (c for tf in doc_tfs for c in tf.values()),
+                dtype=np.float32,
+                count=nnz,
+            )
+            self._build_host(
+                row_offsets, term_ids, tf_vals,
+                doc_len.astype(np.int64), df.astype(np.int64),
+            )
+            return
         idf = compute_idf(df, n, self.epsilon)  # (V,)
 
         dmax = max((len(tf) for tf in doc_tfs), default=1)
@@ -185,6 +288,11 @@ class DeviceBM25Index:
         terms_list = vocab_bytes.raw.decode("ascii").split("\n")[:-1]
         self.vocab = {t: i for i, t in enumerate(terms_list)}
         self.avgdl = float(doc_len.mean()) if n else 0.0
+        if self._use_host:
+            self._build_host(
+                row_offsets, term_ids[:nnz], tfs[:nnz], doc_len, df
+            )
+            return
         idf = compute_idf(df.astype(np.float64), n, self.epsilon)
 
         from rag_arc_tpu.parallel.mesh import round_up as _round_up
@@ -258,11 +366,13 @@ class DeviceBM25Index:
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         b = len(tokenized_queries)
-        if self.doc_terms is None or b == 0:
+        if (self.doc_terms is None and self._host_handle is None) or b == 0:
             return (
                 np.full((b, k), -np.inf, dtype=np.float32),
                 np.full((b, k), -1, dtype=np.int64),
             )
+        if self._host_handle is not None:
+            return self._host_search(tokenized_queries, k)
         qt, qc = self.encode_queries(tokenized_queries)
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
         if b_pad > b:
@@ -315,9 +425,75 @@ class DeviceBM25Index:
 
         return run(qt, qc, self.doc_terms, self.doc_weights, self.valid)
 
+    def _encode_flat(
+        self, tokenized_queries: Sequence[Sequence[str]]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Variable-length query encoding for the host scorer — no ``qmax``
+        truncation (the host path scores every indexed query term)."""
+        import ctypes  # noqa: F401 — keeps the import near its use sites
+
+        terms: List[int] = []
+        counts: List[float] = []
+        offsets = np.zeros(len(tokenized_queries) + 1, dtype=np.int64)
+        for i, toks in enumerate(tokenized_queries):
+            c: Dict[int, int] = {}
+            for tok in toks:
+                tid = self.vocab.get(tok)
+                if tid is not None:
+                    c[tid] = c.get(tid, 0) + 1
+            terms.extend(c.keys())
+            counts.extend(float(v) for v in c.values())
+            offsets[i + 1] = len(terms)
+        return (
+            np.asarray(terms, dtype=np.int32),
+            np.asarray(counts, dtype=np.float32),
+            offsets,
+        )
+
+    def _host_search(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import ctypes
+        import os
+
+        terms, counts, offsets = self._encode_flat(tokenized_queries)
+        b = len(tokenized_queries)
+        out_scores = np.empty((b, k), dtype=np.float32)
+        out_pos = np.empty((b, k), dtype=np.int64)
+        if terms.size == 0:
+            terms = np.zeros(1, dtype=np.int32)
+            counts = np.zeros(1, dtype=np.float32)
+        self._host_lib.bm25host_search(
+            self._host_handle,
+            terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b,
+            k,
+            None,
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            min(os.cpu_count() or 1, 16),
+        )
+        return out_scores, out_pos
+
     def get_scores(self, tokenized_query: Sequence[str]) -> np.ndarray:
         """Full dense score vector for one query (reference bm25.py
         ``get_scores`` parity)."""
+        if self._host_handle is not None:
+            import ctypes
+
+            terms, counts, _ = self._encode_flat([tokenized_query])
+            out = np.zeros(self.n_docs, dtype=np.float32)
+            if terms.size:
+                self._host_lib.bm25host_scores(
+                    self._host_handle,
+                    terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    terms.size,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+            return out
         if self.doc_terms is None:
             return np.zeros(0, dtype=np.float32)
         qt, qc = self.encode_queries([tokenized_query])
@@ -330,6 +506,7 @@ class DeviceBM25Index:
     def stats(self) -> Dict[str, object]:
         return {
             "kind": "bm25",
+            "backend": "host-csr" if self._host_handle is not None else "device",
             "num_docs": self.n_docs,
             "vocab_size": len(self.vocab),
             "avgdl": self.avgdl,

@@ -1,0 +1,199 @@
+// Host CSR BM25 scorer.
+//
+// Term-at-a-time scoring over term-major postings with fully precomputed
+// per-(term, doc) BM25 weights — the classic inverted-index engine the
+// reference delegated to rank_bm25 (python, dense) and tantivy (Rust).
+// Complements the device kernel (ops/bm25.py): selective queries touch
+// only their posting lists (~df(t) entries/term), where the dense device
+// layout pays O(N·Dmax) per term. The bench (tools/bm25_bench.py) decides
+// which backend a given corpus/batch shape should use.
+//
+// Concurrency: queries in a batch are scored by a pool of worker threads;
+// each worker owns a dense accumulator + epoch-tag array (no memset per
+// query — a doc is "touched" iff tag[doc] == current epoch) and a list of
+// touched docs so top-k scans only touched entries.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Postings {
+  int64_t n_docs = 0;
+  int64_t n_vocab = 0;
+  std::vector<int64_t> offsets;  // n_vocab + 1, into docs/weights
+  std::vector<int32_t> docs;     // nnz
+  std::vector<float> weights;    // nnz — idf·tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl))
+};
+
+struct Worker {
+  std::vector<float> acc;
+  std::vector<uint32_t> tag;
+  std::vector<int32_t> touched;
+  uint32_t epoch = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bm25host_build(const int64_t* row_offsets, const int32_t* term_ids,
+                     const float* tfs, const int64_t* doc_len,
+                     const int64_t* df, int64_t n_docs, int64_t n_vocab,
+                     double k1, double b, double epsilon) {
+  auto* p = new Postings();
+  p->n_docs = n_docs;
+  p->n_vocab = n_vocab;
+  const int64_t nnz = row_offsets[n_docs];
+
+  // idf with the BM25Okapi epsilon floor (ops/bm25.py compute_idf parity)
+  std::vector<double> idf(n_vocab);
+  double pos_sum = 0.0;
+  int64_t pos_cnt = 0;
+  for (int64_t t = 0; t < n_vocab; ++t) {
+    idf[t] = std::log((n_docs - df[t] + 0.5) / (df[t] + 0.5));
+    if (idf[t] > 0) {
+      pos_sum += idf[t];
+      ++pos_cnt;
+    }
+  }
+  const double eps_floor = epsilon * (pos_cnt ? pos_sum / pos_cnt : 1.0);
+  for (int64_t t = 0; t < n_vocab; ++t)
+    if (idf[t] < 0) idf[t] = eps_floor;
+
+  double len_sum = 0.0;
+  for (int64_t d = 0; d < n_docs; ++d) len_sum += (double)doc_len[d];
+  const double avgdl = n_docs ? len_sum / n_docs : 1e-9;
+
+  // invert doc-major CSR into term-major postings (counting sort by term)
+  p->offsets.assign(n_vocab + 1, 0);
+  for (int64_t i = 0; i < nnz; ++i) p->offsets[term_ids[i] + 1]++;
+  for (int64_t t = 0; t < n_vocab; ++t) p->offsets[t + 1] += p->offsets[t];
+  p->docs.resize(nnz);
+  p->weights.resize(nnz);
+  std::vector<int64_t> cursor(p->offsets.begin(), p->offsets.end() - 1);
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const double norm =
+        k1 * (1.0 - b + b * (double)doc_len[d] / std::max(avgdl, 1e-9));
+    for (int64_t i = row_offsets[d]; i < row_offsets[d + 1]; ++i) {
+      const int32_t t = term_ids[i];
+      const double tf = (double)tfs[i];
+      const int64_t at = cursor[t]++;
+      p->docs[at] = (int32_t)d;
+      p->weights[at] = (float)(idf[t] * tf * (k1 + 1.0) / (tf + norm));
+    }
+  }
+  return p;
+}
+
+void bm25host_free(void* h) { delete static_cast<Postings*>(h); }
+
+// Dense score vector for one query (get_scores parity).
+void bm25host_scores(void* h, const int32_t* q_terms, const float* q_counts,
+                     int64_t n_terms, float* out) {
+  const Postings* p = static_cast<const Postings*>(h);
+  std::memset(out, 0, p->n_docs * sizeof(float));
+  for (int64_t j = 0; j < n_terms; ++j) {
+    const int32_t t = q_terms[j];
+    if (t < 0 || t >= p->n_vocab) continue;
+    const float c = q_counts[j];
+    for (int64_t i = p->offsets[t]; i < p->offsets[t + 1]; ++i)
+      out[p->docs[i]] += c * p->weights[i];
+  }
+}
+
+// Batched top-k. q_offsets (n_queries + 1) delimits each query's slice of
+// q_terms/q_counts. valid may be null (= all docs live). Results are
+// score-descending; empty slots carry score -inf / position -1.
+void bm25host_search(void* h, const int32_t* q_terms, const float* q_counts,
+                     const int64_t* q_offsets, int64_t n_queries, int32_t k,
+                     const uint8_t* valid, float* out_scores,
+                     int64_t* out_pos, int32_t n_threads) {
+  const Postings* p = static_cast<const Postings*>(h);
+  if (n_threads <= 0) n_threads = 1;
+  std::atomic<int64_t> next(0);
+
+  auto run = [&]() {
+    Worker w;
+    w.acc.assign(p->n_docs, 0.0f);
+    w.tag.assign(p->n_docs, 0);
+    int64_t q;
+    while ((q = next.fetch_add(1)) < n_queries) {
+      ++w.epoch;
+      w.touched.clear();
+      for (int64_t j = q_offsets[q]; j < q_offsets[q + 1]; ++j) {
+        const int32_t t = q_terms[j];
+        if (t < 0 || t >= p->n_vocab) continue;
+        const float c = q_counts[j];
+        for (int64_t i = p->offsets[t]; i < p->offsets[t + 1]; ++i) {
+          const int32_t d = p->docs[i];
+          if (w.tag[d] != w.epoch) {
+            w.tag[d] = w.epoch;
+            w.acc[d] = 0.0f;
+            w.touched.push_back(d);
+          }
+          w.acc[d] += c * p->weights[i];
+        }
+      }
+      // top-k over touched docs via a min-heap of (score, doc)
+      using Entry = std::pair<float, int64_t>;
+      std::vector<Entry> heap;
+      heap.reserve(k + 1);
+      auto cmp = [](const Entry& a, const Entry& b) {
+        return a.first > b.first ||
+               (a.first == b.first && a.second < b.second);
+      };
+      for (const int32_t d : w.touched) {
+        if (valid && !valid[d]) continue;
+        const Entry e{w.acc[d], (int64_t)d};
+        if ((int32_t)heap.size() < k) {
+          heap.push_back(e);
+          std::push_heap(heap.begin(), heap.end(), cmp);
+        } else if (cmp(e, heap.front())) {
+          std::pop_heap(heap.begin(), heap.end(), cmp);
+          heap.back() = e;
+          std::push_heap(heap.begin(), heap.end(), cmp);
+        }
+      }
+      std::sort_heap(heap.begin(), heap.end(), cmp);
+      // dense-scoring parity (rank_bm25 argsort over a dense vector):
+      // when fewer than k docs match any query term, the remaining slots
+      // carry zero-scored live docs, not empties
+      int64_t filler = 0;
+      for (int32_t i = 0; i < k; ++i) {
+        if (i < (int32_t)heap.size()) {
+          out_scores[q * k + i] = heap[i].first;
+          out_pos[q * k + i] = heap[i].second;
+          continue;
+        }
+        while (filler < p->n_docs &&
+               ((w.tag[filler] == w.epoch) || (valid && !valid[filler])))
+          ++filler;
+        if (filler < p->n_docs) {
+          out_scores[q * k + i] = 0.0f;
+          out_pos[q * k + i] = filler++;
+        } else {
+          out_scores[q * k + i] = -INFINITY;
+          out_pos[q * k + i] = -1;
+        }
+      }
+    }
+  };
+
+  if (n_threads == 1 || n_queries == 1) {
+    run();
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int32_t spawn = (int32_t)std::min<int64_t>(n_threads, n_queries);
+  pool.reserve(spawn);
+  for (int32_t i = 0; i < spawn; ++i) pool.emplace_back(run);
+  for (auto& t : pool) t.join();
+}
+
+}  // extern "C"

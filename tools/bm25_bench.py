@@ -1,0 +1,106 @@
+"""BM25 backend bench: device dense kernel vs host CSR at ≥1M docs.
+
+Synthesizes a Zipf-ish corpus (realistic df skew), builds both backends,
+and times batched top-k with the fetch-verified methodology. Prints one
+JSON line per backend.
+
+Usage: python tools/bm25_bench.py [--n 1000000] [--b 32] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def synth_corpus(rng, n_docs: int, vocab: int = 50_000, mean_len: int = 60):
+    """Zipf-distributed token ids; returns texts of space-joined pseudo-words."""
+    lens = rng.integers(mean_len // 2, mean_len * 3 // 2, size=n_docs)
+    total = int(lens.sum())
+    ids = rng.zipf(1.3, size=total) % vocab
+    texts = []
+    off = 0
+    for ln in lens:
+        texts.append(" ".join(f"w{t}" for t in ids[off : off + ln]))
+        off += ln
+    return texts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--b", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--stream", type=int, default=4)
+    ap.add_argument("--backends", type=str, default="host,device")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from rag_arc_tpu.index.bm25 import DeviceBM25Index
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    texts = synth_corpus(rng, args.n)
+    print(f"# corpus synth: {time.time()-t0:.1f}s, device={jax.devices()[0]}", flush=True)
+
+    queries = [
+        [f"w{t}" for t in (rng.zipf(1.3, size=8) % 50_000)]
+        for _ in range(args.b * args.stream)
+    ]
+    q_batches = [
+        queries[i * args.b : (i + 1) * args.b] for i in range(args.stream)
+    ]
+
+    for backend in args.backends.split(","):
+        index = DeviceBM25Index(backend=backend)
+        t0 = time.time()
+        index.build_from_texts_native(texts)
+        build_s = time.time() - t0
+        # warmup (compiles the device kernel / faults in postings)
+        s, p = index.search(q_batches[0], args.k)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            for qb in q_batches:
+                s, p = index.search(qb, args.k)
+            times.append((time.time() - t0) / args.stream)
+        ms = np.asarray(times) * 1e3
+        print(
+            json.dumps(
+                {
+                    "backend": backend,
+                    "n_docs": args.n,
+                    "batch": args.b,
+                    "build_s": round(build_s, 1),
+                    "ms_per_batch_min": round(float(ms.min()), 2),
+                    "ms_per_batch_median": round(float(np.median(ms)), 2),
+                    "qps_at_median": round(args.b / np.median(ms) * 1e3, 1),
+                    "stats": {
+                        k: v
+                        for k, v in index.stats().items()
+                        if k in ("backend", "vocab_size", "dmax", "avgdl")
+                    },
+                }
+            ),
+            flush=True,
+        )
+        del index
+
+
+if __name__ == "__main__":
+    main()
