@@ -69,9 +69,15 @@ class FlaxEncoderEmbeddings(Embeddings):
         bs = self.batch_size
         for start in range(0, len(cleaned), bs):
             chunk = cleaned[start : start + bs]
-            ids, mask = self.tokenizer.batch_encode(chunk)
-            length = self._bucket_len(ids.shape[1])
-            ids2, mask2 = self.tokenizer.batch_encode(chunk, pad_to=length)
+            # tokenize once; right-pad the encoded batch to its bucket
+            ids2, mask2 = self.tokenizer.batch_encode(chunk)
+            length = self._bucket_len(ids2.shape[1])
+            if length > ids2.shape[1]:
+                pad = length - ids2.shape[1]
+                ids2 = np.pad(ids2, ((0, 0), (0, pad)))
+                mask2 = np.pad(mask2, ((0, 0), (0, pad)))
+            elif length < ids2.shape[1]:
+                ids2, mask2 = ids2[:, :length], mask2[:, :length]
             b_pad = 1 << math.ceil(math.log2(max(len(chunk), 1)))
             if b_pad > len(chunk):
                 ids2 = np.pad(ids2, ((0, b_pad - len(chunk)), (0, 0)))

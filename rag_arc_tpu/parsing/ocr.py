@@ -162,6 +162,42 @@ def render_pdf_pages(
     )
 
 
+_CATEGORY_COLORS = {
+    "Title": (200, 40, 40),
+    "Section-header": (230, 130, 40),
+    "Text": (60, 120, 200),
+    "List-item": (60, 170, 90),
+    "Table": (150, 60, 180),
+    "Formula": (40, 170, 170),
+    "Picture": (220, 60, 130),
+    "Caption": (130, 130, 60),
+    "Footnote": (110, 110, 110),
+    "Page-header": (170, 170, 170),
+    "Page-footer": (170, 170, 170),
+}
+
+
+def _draw_layout(im, cells: List[Dict[str, Any]]) -> bytes:
+    """Debug rendering: category-colored boxes + labels on the page image
+    (ref layout_utils.py:31-112)."""
+    import io
+
+    from PIL import ImageDraw
+
+    canvas = im.copy()
+    draw = ImageDraw.Draw(canvas)
+    for cell in cells:
+        bbox = cell.get("bbox")
+        if not bbox:
+            continue
+        color = _CATEGORY_COLORS.get(cell.get("category", "Text"), (0, 0, 0))
+        draw.rectangle(bbox, outline=color, width=3)
+        draw.text((bbox[0] + 2, max(0, bbox[1] - 12)), cell.get("category", ""), fill=color)
+    buf = io.BytesIO()
+    canvas.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 class OCRParser(ParserBase):
     extensions = ("pdf", "png", "jpg", "jpeg")
 
@@ -172,23 +208,53 @@ class OCRParser(ParserBase):
         dpi: int = 200,
         num_threads: int = 16,
         renderer: Callable[..., List[Tuple[bytes, Tuple[int, int]]]] = render_pdf_pages,
+        grounding_bbox: Sequence[float] | None = None,
+        draw_layout: bool = False,
     ):
+        """``grounding_bbox`` (page coordinates, [x1, y1, x2, y2]) is
+        required for ``prompt_mode="grounding_ocr"`` — it is rescaled into
+        model-input coordinates and substituted into the prompt (the
+        reference's grounding mode takes the same argument,
+        ``dots_ocr/utils/prompts.py`` + ``pdf_parser.py`` prompt handling).
+        ``draw_layout=True`` adds a per-page debug rendering of the layout
+        boxes to the assets (ref ``layout_utils.py:31-112``)."""
         if prompt_mode not in PROMPTS:
             raise ValueError(f"prompt_mode must be one of {sorted(PROMPTS)}")
+        if prompt_mode == "grounding_ocr" and grounding_bbox is None:
+            raise ValueError("grounding_ocr requires grounding_bbox=[x1,y1,x2,y2]")
         self.vlm = vlm
         self.prompt_mode = prompt_mode
         self.dpi = dpi
         self.num_threads = num_threads
         self.renderer = renderer
+        self.grounding_bbox = (
+            list(grounding_bbox) if grounding_bbox is not None else None
+        )
+        self.draw_layout = draw_layout
         self.cleaner = OutputCleaner()
 
     # -- per-page ----------------------------------------------------------
 
+    def _render_prompt(self, page_size: Tuple[int, int]) -> str:
+        prompt = PROMPTS[self.prompt_mode]
+        if self.prompt_mode == "grounding_ocr":
+            # the VLM sees the smart-resized image, so the region must be
+            # expressed in model-input coordinates
+            w, h = page_size
+            rh, rw = smart_resize(h, w)
+            from rag_arc_tpu.parsing.layout import rescale_bbox
+
+            scaled = rescale_bbox(
+                self.grounding_bbox, from_size=(w, h), to_size=(rw, rh)
+            )
+            prompt = prompt.format(bbox=json.dumps(scaled))
+        return prompt
+
     def _parse_page(
         self, image_bytes: bytes, page_size: Tuple[int, int], page_idx: int
     ) -> Dict[str, Any]:
-        raw = self.vlm.generate(image_bytes, PROMPTS[self.prompt_mode])
-        if self.prompt_mode == "ocr":
+        raw = self.vlm.generate(image_bytes, self._render_prompt(page_size))
+        if self.prompt_mode in ("ocr", "grounding_ocr"):
             return {"page": page_idx, "markdown": raw.strip(), "layout": []}
         cells = self.cleaner.clean_model_output(raw)
         if cells is None:
@@ -198,11 +264,52 @@ class OCRParser(ParserBase):
         rh, rw = smart_resize(h, w)
         cells = rescale_layout(cells, from_size=(rw, rh), to_size=(w, h))
         cells = sort_reading_order(cells)
+        prefix = f"page_{page_idx}_picture"
+        assets = self._page_assets(image_bytes, cells, page_idx, prefix)
         return {
             "page": page_idx,
-            "markdown": layout_to_markdown(cells),
+            "markdown": layout_to_markdown(cells, picture_prefix=prefix),
             "layout": cells,
+            "assets": assets,
         }
+
+    def _page_assets(
+        self,
+        image_bytes: bytes,
+        cells: List[Dict[str, Any]],
+        page_idx: int,
+        prefix: str,
+    ) -> Dict[str, bytes]:
+        """Picture crops (so the markdown's image links resolve inside
+        ``ParsedDocument.assets`` — ref ``format_transformer.py:144-179``)
+        plus the optional layout-draw debug image."""
+        assets: Dict[str, bytes] = {}
+        pictures = [
+            c for c in cells if c.get("category") == "Picture" and c.get("bbox")
+        ]
+        if not pictures and not self.draw_layout:
+            return assets
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError:  # pragma: no cover — PIL is in the image
+            logger.warning("PIL unavailable; skipping picture-crop assets")
+            return assets
+        with Image.open(io.BytesIO(image_bytes)) as im:
+            im = im.convert("RGB")
+            for i, cell in enumerate(pictures, start=1):
+                x1, y1, x2, y2 = cell["bbox"]
+                if x2 <= x1 or y2 <= y1:
+                    continue
+                buf = io.BytesIO()
+                im.crop((x1, y1, x2, y2)).save(buf, format="PNG")
+                assets[f"{prefix}_{i}.png"] = buf.getvalue()
+            if self.draw_layout:
+                assets[f"layout/page_{page_idx}_draw.png"] = _draw_layout(
+                    im, cells
+                )
+        return assets
 
     # -- entry points ------------------------------------------------------
 
@@ -219,13 +326,16 @@ class OCRParser(ParserBase):
         pages.sort(key=lambda p: p["page"])
         markdown = "\n\n".join(p["markdown"] for p in pages if p["markdown"])
         # per-page layout sidecars (the reference writes page .json files,
-        # pdf_parser.py:308-379) plus a combined layout document
+        # pdf_parser.py:308-379) plus a combined layout document; picture
+        # crops / layout draws merge in so markdown links resolve
         assets = {
             f"layout/page_{p['page']}.json": json.dumps(
                 p["layout"], ensure_ascii=False
             ).encode("utf-8")
             for p in pages
         }
+        for p in pages:
+            assets.update(p.get("assets", {}))
         assets["layout/combined.json"] = json.dumps(
             [p["layout"] for p in pages], ensure_ascii=False
         ).encode("utf-8")

