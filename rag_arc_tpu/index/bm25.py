@@ -71,6 +71,11 @@ class DeviceBM25Index:
         self.qmax = qmax
         self.mesh = mesh
         self.axis_name = axis_name
+        if mesh is not None and "slice" in mesh.axis_names:
+            raise ValueError(
+                "DeviceBM25Index shards rows over a single-slice mesh; for "
+                "DCN multi-slice prefer the host backend per slice"
+            )
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
         self.backend = backend
         self._use_host = backend == "host" or (backend == "auto" and mesh is None)

@@ -38,6 +38,7 @@ from rag_arc_tpu.ops.scoring import NEG_INF, pairwise_scores
 from rag_arc_tpu.parallel.mesh import (
     CORPUS_AXIS,
     REPLICA_AXIS,
+    SLICE_AXIS,
     corpus_sharding,
     replicated_sharding,
     round_up,
@@ -80,6 +81,14 @@ class DeviceFlatIndex:
         self.n_replicas = (
             mesh.shape[REPLICA_AXIS]
             if mesh is not None and REPLICA_AXIS in mesh.axis_names
+            else 1
+        )
+        # DCN multi-slice: the corpus partitions across slices, shards
+        # within each slice; the query merge is hierarchical (ICI inside
+        # the slice, then one (B, k) hop per slice over DCN)
+        self.n_slices = (
+            mesh.shape[SLICE_AXIS]
+            if mesh is not None and SLICE_AXIS in mesh.axis_names
             else 1
         )
         # per-shard row count must stay a multiple of the Pallas tile so the
@@ -293,6 +302,8 @@ class DeviceFlatIndex:
         local_cap = self.capacity // self.n_shards
         metric = self.metric
         k_local = min(k, local_cap)
+        if self.n_slices > 1:
+            return self._search_sliced(q, k, k_local, local_cap)
         if self.n_replicas > 1:
             return self._search_replicated(q, k, k_local, local_cap)
         # fused Pallas kernel per shard on TPU once the local score matrix
@@ -337,6 +348,75 @@ class DeviceFlatIndex:
             s, sel = jax.lax.top_k(s_flat, k)
             return s, jnp.take_along_axis(p_flat, sel, axis=-1)
 
+        return run(q, self.emb, self.valid, self.sqnorm)
+
+    def _search_sliced(self, q: jax.Array, k: int, k_local: int, local_cap: int):
+        """("slice", "replica", "data") mesh: hierarchical top-k merge.
+
+        Each chip answers over its local rows; the per-shard (B, k)
+        candidates all-gather over the intra-slice "data" axis (ICI) and
+        reduce to the slice's top-k; only those (B, k) candidates cross
+        the inter-slice "slice" axis (DCN) for the final merge — the
+        expensive hop carries k floats+ints per query per slice, never
+        corpus-proportional traffic. Replicas within a slice split the
+        query batch exactly like _search_replicated."""
+        mesh, axis = self.mesh, self.axis_name
+        metric = self.metric
+        n_data = self.n_shards // self.n_slices
+        use_fused = (
+            jax.default_backend() in ("tpu", "axon")
+            and 4 * (q.shape[0] // self.n_replicas) * local_cap
+            > self.SCORE_BYTES_BUDGET
+        )
+        tile = ADD_BLOCK
+        while local_cap % (tile * 2) == 0 and tile < 2048:
+            tile *= 2
+
+        def merge_axis(s, p, b, axis_name, k_out):
+            s_all = jax.lax.all_gather(s, axis_name)  # (S, b, k)
+            p_all = jax.lax.all_gather(p, axis_name)
+            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+            sm, sel = jax.lax.top_k(s_flat, min(k_out, s_flat.shape[1]))
+            return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+        def local_fn(q_local, emb, valid, sqnorm):
+            if use_fused:
+                from rag_arc_tpu.ops.two_level import two_level_topk
+
+                s, idx = two_level_topk(
+                    q_local, emb, valid, sqnorm, k_local,
+                    tile_n=tile, metric=metric,
+                )
+            else:
+                scores = pairwise_scores(q_local, emb, metric, sqnorm)
+                scores = jnp.where(valid[None, :], scores, NEG_INF)
+                s, idx = jax.lax.top_k(scores, k_local)
+            shard_idx = (
+                jax.lax.axis_index(SLICE_AXIS) * n_data + jax.lax.axis_index(axis)
+            )
+            idx = idx + shard_idx * local_cap
+            b = q_local.shape[0]
+            # ICI: merge shards within the slice
+            s, idx = merge_axis(s, idx, b, axis, k)
+            # DCN: merge slice winners
+            return merge_axis(s, idx, b, SLICE_AXIS, k)
+
+        q_spec = P(REPLICA_AXIS, None) if self.n_replicas > 1 else P()
+        run = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(
+                    q_spec,
+                    P((SLICE_AXIS, axis), None),
+                    P((SLICE_AXIS, axis)),
+                    P((SLICE_AXIS, axis)),
+                ),
+                out_specs=(q_spec, q_spec),
+                check_vma=False,
+            )
+        )
         return run(q, self.emb, self.valid, self.sqnorm)
 
     def _search_replicated(self, q: jax.Array, k: int, k_local: int, local_cap: int):

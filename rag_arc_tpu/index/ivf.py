@@ -51,6 +51,12 @@ class DeviceIVFIndex:
         self.dim = dim
         self.mesh = mesh
         self.axis_name = axis_name
+        if mesh is not None and "slice" in mesh.axis_names:
+            raise ValueError(
+                "DeviceIVFIndex shards clusters over a single-slice mesh; "
+                "for DCN multi-slice use DeviceFlatIndex (hierarchical "
+                "merge) or one IVF per slice"
+            )
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
         # clusters shard across devices: each shard probes its own clusters
         # and the small candidate sets merge — so nlist pads to a multiple

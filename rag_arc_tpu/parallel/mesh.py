@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CORPUS_AXIS = "data"
 REPLICA_AXIS = "replica"
+SLICE_AXIS = "slice"
 
 
 def default_mesh(
@@ -49,14 +50,40 @@ def replica_mesh(replicas: int, shards: int) -> Mesh:
     return Mesh(grid, (REPLICA_AXIS, CORPUS_AXIS))
 
 
+def slice_mesh(slices: int, shards: int, replicas: int = 1) -> Mesh:
+    """("slice", "replica", "data") mesh — the multi-pod layout. The corpus
+    partitions across slices (DCN) and shards within each slice over its
+    chips (ICI); replicas within a slice duplicate the slice's partition
+    for QPS. Query-time merge is hierarchical: per-shard top-k merges over
+    ICI inside the slice, then only (B, k) candidates per slice cross DCN
+    (see DeviceFlatIndex._search_sliced)."""
+    devices = jax.devices()
+    need = slices * replicas * shards
+    if need > len(devices):
+        raise ValueError(
+            f"requested {slices}x{replicas}x{shards} devices, only "
+            f"{len(devices)} present"
+        )
+    grid = np.asarray(devices[:need]).reshape(slices, replicas, shards)
+    return Mesh(grid, (SLICE_AXIS, REPLICA_AXIS, CORPUS_AXIS))
+
+
+def corpus_axes(mesh: Mesh, axis_name: str = CORPUS_AXIS):
+    """The mesh axes the corpus rows shard over: ("slice", "data") on a
+    multi-slice mesh, else just the data axis."""
+    if SLICE_AXIS in mesh.axis_names:
+        return (SLICE_AXIS, axis_name)
+    return axis_name
+
+
 def corpus_sharding(mesh: Mesh, axis_name: str = CORPUS_AXIS) -> NamedSharding:
-    """Rows sharded across the corpus axis; feature dim replicated."""
-    return NamedSharding(mesh, P(axis_name, None))
+    """Rows sharded across the corpus axes; feature dim replicated."""
+    return NamedSharding(mesh, P(corpus_axes(mesh, axis_name), None))
 
 
 def row_sharding(mesh: Mesh, axis_name: str = CORPUS_AXIS) -> NamedSharding:
-    """1-D array sharded across the corpus axis (e.g. validity masks)."""
-    return NamedSharding(mesh, P(axis_name))
+    """1-D array sharded across the corpus axes (e.g. validity masks)."""
+    return NamedSharding(mesh, P(corpus_axes(mesh, axis_name)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -68,9 +95,13 @@ def round_up(value: int, multiple: int) -> int:
 
 
 def shard_count(mesh: Optional[Mesh], axis_name: str = CORPUS_AXIS) -> int:
+    """Total corpus shards: data shards × slices (when present)."""
     if mesh is None:
         return 1
-    return mesh.shape[axis_name]
+    n = mesh.shape[axis_name]
+    if SLICE_AXIS in mesh.axis_names:
+        n *= mesh.shape[SLICE_AXIS]
+    return n
 
 
 def mesh_axis_names(mesh: Mesh) -> Sequence[str]:
