@@ -45,45 +45,63 @@ class Neo4jGraphStore(ArrayGraphStore):
         password: str = "neo4j",
         database: str = "neo4j",
         max_retries: int = 3,
+        driver: Optional[Any] = None,
+        retry_wait_base: float = 2.0,
         **kwargs: Any,
     ):
-        try:
-            import neo4j  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "the neo4j driver is not installed; use ArrayGraphStore "
-                "(rag_arc_tpu.graph.store) instead"
-            ) from exc
+        """``driver`` injects any object with
+        ``session(database=...) -> ctx`` yielding ``run(query, **params)``
+        — the real ``neo4j.GraphDatabase.driver`` by default, a fake in
+        tests (no server exists in this environment, so the adapter's
+        behavior is pinned against a protocol-level double)."""
+        if driver is None:
+            try:
+                import neo4j
+            except ImportError as exc:
+                raise ImportError(
+                    "the neo4j driver is not installed; use ArrayGraphStore "
+                    "(rag_arc_tpu.graph.store) instead"
+                ) from exc
+            driver = neo4j.GraphDatabase.driver(uri, auth=(user, password))
         super().__init__(embeddings, **kwargs)
-        import neo4j
-
-        self._driver = neo4j.GraphDatabase.driver(uri, auth=(user, password))
+        self._driver = driver
         self._database = database
         self.max_retries = max_retries
+        self._retry_wait_base = retry_wait_base
         self._ensure_schema()
 
     # -- transport ----------------------------------------------------------
 
-    def _run(self, query: str, **params: Any):
-        import neo4j.exceptions as nx
+    @staticmethod
+    def _retryable_exceptions() -> tuple:
+        try:
+            import neo4j.exceptions as nx
 
+            return (nx.ServiceUnavailable, nx.TransientError, ConnectionError)
+        except ImportError:
+            return (ConnectionError,)
+
+    def _run(self, query: str, **params: Any):
+        retryable = self._retryable_exceptions()
         last: Optional[Exception] = None
         for attempt in range(self.max_retries):
             try:
                 with self._driver.session(database=self._database) as session:
                     return list(session.run(query, **params))
-            except (nx.ServiceUnavailable, nx.TransientError) as exc:
+            except retryable as exc:
                 last = exc
-                wait = min(2.0**attempt * 2, 10.0)
+                wait = min(self._retry_wait_base * (2.0**attempt), 10.0)
                 logger.warning(
-                    "neo4j transient failure (attempt %d/%d): %s; retry in %.0fs",
+                    "neo4j transient failure (attempt %d/%d): %s; retry in %.1fs",
                     attempt + 1,
                     self.max_retries,
                     exc,
                     wait,
                 )
                 time.sleep(wait)
-        raise ConnectionError(f"neo4j unreachable after {self.max_retries} tries") from last
+        raise ConnectionError(
+            f"neo4j unreachable after {self.max_retries} tries"
+        ) from last
 
     def _ensure_schema(self) -> None:
         for stmt in _CONSTRAINTS:

@@ -283,9 +283,9 @@ class DeviceFlatIndex:
         if jax.default_backend() in ("tpu", "axon"):
             from rag_arc_tpu.ops.two_level import two_level_topk
 
-            # two-level beats the r1 fused kernel ~1.6x at the bench shape
-            # (31.8 ms vs 49.7 ms, 2Mx768 bf16 B=512) and is run-to-run
-            # stable; see ops/two_level.py
+            # two-level beats the r1 fused kernel ~2.2x at the bench shape
+            # (21.3 ms vs 47.2 ms same-session, 2Mx768 bf16 B=512) and is
+            # run-to-run stable; see ops/two_level.py
             return two_level_topk(
                 q, self.emb, self.valid, self.sqnorm, k,
                 tile_n=min(self._tile_n(), 2048), metric=self.metric,

@@ -235,17 +235,30 @@ class OCRParser(ParserBase):
 
     # -- per-page ----------------------------------------------------------
 
+    def _model_size(self, page_size: Tuple[int, int]) -> Tuple[int, int]:
+        """The (w, h) the VLM actually sees. Clients that control their own
+        preprocessing (FlaxVLMClient) expose ``model_input_size`` so bbox
+        rescaling can't silently skew (r1 weak #6: the default assumed the
+        serving stack resized exactly like layout.smart_resize)."""
+        w, h = page_size
+        fn = getattr(self.vlm, "model_input_size", None)
+        if fn is not None:
+            return fn(w, h)
+        rh, rw = smart_resize(h, w)
+        return rw, rh
+
     def _render_prompt(self, page_size: Tuple[int, int]) -> str:
         prompt = PROMPTS[self.prompt_mode]
         if self.prompt_mode == "grounding_ocr":
             # the VLM sees the smart-resized image, so the region must be
             # expressed in model-input coordinates
             w, h = page_size
-            rh, rw = smart_resize(h, w)
             from rag_arc_tpu.parsing.layout import rescale_bbox
 
             scaled = rescale_bbox(
-                self.grounding_bbox, from_size=(w, h), to_size=(rw, rh)
+                self.grounding_bbox,
+                from_size=(w, h),
+                to_size=self._model_size(page_size),
             )
             prompt = prompt.format(bbox=json.dumps(scaled))
         return prompt
@@ -261,8 +274,9 @@ class OCRParser(ParserBase):
             logger.warning("page %d: unrepairable VLM output", page_idx)
             return {"page": page_idx, "markdown": "", "layout": [], "failed": True}
         w, h = page_size
-        rh, rw = smart_resize(h, w)
-        cells = rescale_layout(cells, from_size=(rw, rh), to_size=(w, h))
+        cells = rescale_layout(
+            cells, from_size=self._model_size(page_size), to_size=(w, h)
+        )
         cells = sort_reading_order(cells)
         prefix = f"page_{page_idx}_picture"
         assets = self._page_assets(image_bytes, cells, page_idx, prefix)

@@ -74,6 +74,23 @@ class FlaxVLMClient:
 
     # -- VLMClient protocol --------------------------------------------------
 
+    def model_input_size(self, width: int, height: int) -> Tuple[int, int]:
+        """Exact (w, h) the processor resizes a page to — keeps OCRParser's
+        bbox rescaling consistent with what the model actually saw."""
+        from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+            smart_resize,
+        )
+
+        p = self.image_processor
+        rh, rw = smart_resize(
+            height,
+            width,
+            factor=p.patch_size * p.merge_size,
+            min_pixels=p.min_pixels,
+            max_pixels=p.max_pixels,
+        )
+        return rw, rh
+
     def generate(self, image_bytes: bytes, prompt: str) -> str:
         from PIL import Image
 
