@@ -238,8 +238,11 @@ class DeviceFlatIndex:
         q[:b] = queries
 
         scores, positions = self.search_device(jnp.asarray(q), k_eff)
-        scores = np.asarray(jax.device_get(scores))[:b]
-        positions = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
+        # ONE fetch for both outputs: device_get of the pair is a single
+        # host round trip (35 ms RTT through this box's tunnel each)
+        scores, positions = jax.device_get((scores, positions))
+        scores = np.asarray(scores)[:b]
+        positions = np.asarray(positions)[:b].astype(np.int64)
         positions = np.where(np.isneginf(scores), -1, positions)
         if k_eff < k:  # index smaller than k: pad result
             pad = k - k_eff

