@@ -47,11 +47,14 @@ class BM25Retriever(BaseRetriever):
         preprocess_func: Callable[[str], List[str]] = default_preprocess,
         mesh: Optional[Mesh] = None,
         name: Optional[str] = None,
+        backend: str = "auto",
     ):
         super().__init__(name=name)
         self.k = k
         self.preprocess_func = preprocess_func
-        self.index = DeviceBM25Index(k1=k1, b=b, epsilon=epsilon, mesh=mesh)
+        self.index = DeviceBM25Index(
+            k1=k1, b=b, epsilon=epsilon, mesh=mesh, backend=backend
+        )
         self.docs: List[Document] = []
         self._cjk_warned = False
         if documents:

@@ -113,6 +113,7 @@ class DenseRetrieverConfig(AbstractConfig):
     search_type: str = "similarity"
     k: int = 10
     store_path: Optional[str] = None  # restore a saved index
+    docstore_path: Optional[str] = None  # disk-backed docstore (10M-doc path)
 
     def build(self, **_: Any):
         from rag_arc_tpu.index.vector_store import TPUVectorStore
@@ -130,6 +131,7 @@ class DenseRetrieverConfig(AbstractConfig):
                 index_type=self.index_type,
                 nlist=self.nlist,
                 nprobe=self.nprobe,
+                docstore_path=self.docstore_path,
             )
         return store.as_retriever(
             search_type=self.search_type, search_kwargs={"k": self.k}
@@ -142,6 +144,7 @@ class BM25RetrieverConfig(AbstractConfig):
     k1: float = 1.5
     b: float = 0.75
     epsilon: float = 0.25
+    backend: str = "auto"  # auto | host (C++ CSR) | device (mesh kernel)
     snapshot_path: Optional[str] = None
 
     def build(self, **_: Any):
@@ -149,7 +152,10 @@ class BM25RetrieverConfig(AbstractConfig):
 
         if self.snapshot_path:
             return BM25Retriever.load_from_disk(self.snapshot_path)
-        return BM25Retriever(k=self.k, k1=self.k1, b=self.b, epsilon=self.epsilon)
+        return BM25Retriever(
+            k=self.k, k1=self.k1, b=self.b, epsilon=self.epsilon,
+            backend=self.backend,
+        )
 
 
 RetrieverUnion = Annotated[
