@@ -13,12 +13,14 @@
 // Binding: ctypes (rag_arc_tpu/index/hnsw.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -267,9 +269,28 @@ int64_t hnsw_add(void* h, const float* vecs, int64_t count) {
 void hnsw_search(void* h, const float* queries, int64_t nq, int k, int ef,
                  float* out_scores, int64_t* out_ids) {
   const Hnsw* index = static_cast<const Hnsw*>(h);
-  for (int64_t i = 0; i < nq; ++i)
-    index->search(queries + i * index->dim, k, ef, out_scores + i * k,
-                  out_ids + i * k);
+  // batch queries fan out across a thread pool: searches only read the
+  // graph, so they are embarrassingly parallel (single-writer model —
+  // the store's RW lock already serializes adds against searches)
+  const int64_t hw = (int64_t)std::thread::hardware_concurrency();
+  const int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>({hw, nq, 16}));
+  if (n_threads == 1) {
+    for (int64_t i = 0; i < nq; ++i)
+      index->search(queries + i * index->dim, k, ef, out_scores + i * k,
+                    out_ids + i * k);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  auto run = [&]() {
+    int64_t i;
+    while ((i = next.fetch_add(1)) < nq)
+      index->search(queries + i * index->dim, k, ef, out_scores + i * k,
+                    out_ids + i * k);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(run);
+  for (auto& t : pool) t.join();
 }
 
 void hnsw_mark_deleted(void* h, const int64_t* ids, int64_t count) {
