@@ -598,6 +598,9 @@ class Qwen2VLGenerator:
     1-int argmax fetch used for the stop check)."""
 
     def __init__(self, model: FlaxQwen2VL, params: Dict, max_len: int = 2048):
+        """``max_len`` caps the KV cache; the actual cache for a call is
+        sized to the prompt + budget (rounded to 256 so repeat calls reuse
+        compilations)."""
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -608,10 +611,11 @@ class Qwen2VLGenerator:
             )
         )
         self._prefill = jax.jit(
-            lambda p, ids, img, pos, start: model.apply(
-                p, ids, img, pos, start, self.max_len,
+            lambda p, ids, img, pos, start, ml: model.apply(
+                p, ids, img, pos, start, ml,
                 method=FlaxQwen2VL.prefill_with_cache,
-            )
+            ),
+            static_argnums=(5,),
         )
         self._step = jax.jit(
             lambda p, tok, pos, caches, idx: model.apply(
@@ -637,12 +641,21 @@ class Qwen2VLGenerator:
         pos = rope_index_single_image(input_ids, grid_thw, cfg)
         img_idx = np.nonzero(input_ids == cfg.image_token_id)[0]
         start = int(img_idx[0]) if img_idx.size else 0
+        # cache sized to this call, bucketed for compile reuse
+        need = len(input_ids) + max_new_tokens
+        cache_len = min(-(-need // 256) * 256, max(self.max_len, 256))
+        if len(input_ids) >= cache_len:
+            raise ValueError(
+                f"prompt of {len(input_ids)} tokens exceeds the cache cap "
+                f"{cache_len} (raise max_len)"
+            )
         logits, caches = self._prefill(
             self.params,
             jnp.asarray(input_ids[None]),
             image_embeds,
             jnp.asarray(pos[:, None, :]),
             jnp.int32(start),
+            cache_len,
         )
         next_pos = next_rope_position(pos)
         cache_index = len(input_ids)
@@ -652,7 +665,7 @@ class Qwen2VLGenerator:
             if eos_token_id is not None and token == eos_token_id:
                 break
             out.append(token)
-            if cache_index >= self.max_len:
+            if cache_index >= cache_len:
                 break
             pos3 = jnp.full((3, 1, 1), next_pos, dtype=jnp.int32)
             logits, caches = self._step(

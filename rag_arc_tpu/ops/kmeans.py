@@ -67,7 +67,15 @@ def kmeans(
     train = x
     if n > sample_size:
         train = x[rng.choice(n, size=sample_size, replace=False)]
-    init = _kmeans_pp_init(train, n_clusters, rng)
+    # kmeans++ costs k sequential distance passes over its input; seed it
+    # on a bounded subsample (>= 8 points per center) so large-nlist
+    # builds don't spend minutes in python init — Lloyd iterations on the
+    # full training sample do the real work
+    init_pool = train
+    init_cap = max(n_clusters * 8, 8192)
+    if len(init_pool) > init_cap:
+        init_pool = init_pool[rng.choice(len(init_pool), size=init_cap, replace=False)]
+    init = _kmeans_pp_init(init_pool, n_clusters, rng)
     centroids, _ = _kmeans_run(
         jnp.asarray(train), jnp.asarray(init), n_clusters, n_iters
     )
