@@ -45,7 +45,8 @@ def main() -> None:
     from rag_arc_tpu.index.ivf import DeviceIVFIndex
 
     rng = np.random.default_rng(0)
-    corpus = rng.standard_normal((args.n, args.d), dtype=np.float32)
+    corpus = rng.random((args.n, args.d), dtype=np.float32)
+    corpus -= 0.5
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     print(f"# device={jax.devices()[0]}", flush=True)
 
