@@ -72,6 +72,7 @@ def ingest(
     index_type: str = "flat",
     bm25: bool = False,
     vlm_url: Optional[str] = None,
+    blob_docstore: bool = False,
 ) -> dict:
     t0 = time.time()
     embeddings = build_embedder(embedder, dim)
@@ -93,11 +94,18 @@ def ingest(
     if not documents:
         raise ValueError(f"nothing ingestible under {input_path}")
 
+    output_dir = Path(output_dir)
     store = TPUVectorStore(
-        embedding=embeddings, index_type=index_type, capacity=max(len(documents), 1024)
+        embedding=embeddings,
+        index_type=index_type,
+        capacity=max(len(documents), 1024),
+        # disk-backed content for big corpora: write the blob straight
+        # into the snapshot so save_store is a no-op copy
+        docstore_path=str(output_dir / "dense" / "docstore_blob")
+        if blob_docstore
+        else None,
     )
     store.add_documents(documents)
-    output_dir = Path(output_dir)
     save_store(store, output_dir / "dense")
     out = {
         "files": len(parsed),
@@ -130,6 +138,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--index-type", default="flat", choices=["flat", "ivf", "hnsw"])
     ap.add_argument("--bm25", action="store_true", help="also build a BM25 snapshot")
     ap.add_argument("--vlm-url", default=None, help="VLM endpoint for PDF/image OCR")
+    ap.add_argument(
+        "--blob-docstore",
+        action="store_true",
+        help="keep document content on disk (mmap) — the 10M-doc path",
+    )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     stats = ingest(
@@ -142,6 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         dim=args.dim,
         index_type=args.index_type,
         bm25=args.bm25,
+        vlm_url=args.vlm_url,
+        blob_docstore=args.blob_docstore,
     )
     for key, value in stats.items():
         print(f"{key}: {value}")

@@ -63,3 +63,22 @@ def test_empty_dir_raises(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="nothing"):
         ingest(tmp_path / "empty", tmp_path / "out")
+
+
+def test_ingest_blob_docstore(corpus_dir, tmp_path):
+    from rag_arc_tpu.index.blob_docstore import BlobDocstore
+
+    out = tmp_path / "snap_blob"
+    stats = ingest(corpus_dir, out, chunk_size=200, overlap=20, blob_docstore=True)
+    store = load_store(stats["dense_snapshot"], HashEmbeddings(dim=64))
+    assert isinstance(store.docstore, BlobDocstore)
+    hits = store.similarity_search("first paragraph continues", k=1)
+    assert "First paragraph" in hits[0].content
+
+
+def test_ingest_cli_blob_flag(corpus_dir, tmp_path, capsys):
+    rc = main(
+        [str(corpus_dir), "-o", str(tmp_path / "cli_snap"), "--blob-docstore"]
+    )
+    assert rc == 0
+    assert (tmp_path / "cli_snap" / "dense" / "docstore_blob" / "blob.jsonl").exists()
