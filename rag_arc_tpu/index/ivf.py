@@ -9,11 +9,16 @@ gather + einsum + top-k with static shapes:
   centroid scores (B, nlist) → top-nprobe clusters → gather
   (B, nprobe, Lmax, dim) → score → masked top-k over the probed slots.
 
-Trade-off note (measured, see bench): at large query batch the flat
-matmul amortizes corpus reads across the batch and is usually *faster*
-than IVF's per-query gathers on TPU — IVF wins for small-batch/low-latency
-traffic and for corpora whose flat scan exceeds the compute budget. Recall
-follows nprobe/nlist exactly as in FAISS.
+Trade-off notes (measured on v5e, tools/ivf_bench.py):
+- At large query batch the flat matmul amortizes corpus reads across the
+  batch and is usually *faster* than IVF's per-query gathers on TPU — IVF
+  wins for small-batch/low-latency traffic and for corpora whose flat
+  scan exceeds the compute budget.
+- Recall follows nprobe/nlist AND the data's cluster structure, exactly
+  as in FAISS: on a 1M uniform-random corpus (no structure) recall@10 was
+  0.04-0.11 at nprobe 8-32 — structureless corpora are the worst case and
+  belong on the flat index; clustered corpora (real embedding spaces)
+  behave per the nprobe curve.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ from rag_arc_tpu.parallel.mesh import CORPUS_AXIS, round_up, shard_count
 
 logger = logging.getLogger(__name__)
 
-SUB_BATCH = 32  # probe gather memory = SUB_BATCH * nprobe * Lmax * dim
+SUB_BATCH = 32  # max query sub-batch per dispatch
+GATHER_BUDGET_BYTES = 1 << 30  # cap on the probe gather materialization
 
 
 class DeviceIVFIndex:
@@ -313,10 +319,15 @@ class DeviceIVFIndex:
             raise ValueError("k must be positive")
         nprobe = min(nprobe or self.nprobe, self.nlist)
         k_eff = min(k, nprobe * self.lmax)
+        # the probe gathers (sub, nprobe, Lmax, dim) per dispatch; bound
+        # that materialization so large nprobe x Lmax doesn't OOM HBM
+        per_q = nprobe * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize
+        sub_batch = max(1, min(SUB_BATCH, GATHER_BUDGET_BYTES // max(per_q, 1)))
+        sub_batch = 1 << (sub_batch.bit_length() - 1)  # pow2: stable compiles
         all_scores, all_pos = [], []
-        for start in range(0, queries.shape[0], SUB_BATCH):
-            sub = queries[start : start + SUB_BATCH]
-            pad = SUB_BATCH - sub.shape[0]
+        for start in range(0, queries.shape[0], sub_batch):
+            sub = queries[start : start + sub_batch]
+            pad = sub_batch - sub.shape[0]
             if pad:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
             if self.mesh is not None:
