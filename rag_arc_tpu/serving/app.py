@@ -8,6 +8,7 @@ Endpoints:
   POST /query   {"query": str, "k": int?}        → {"documents": [...]}
   POST /batch   {"queries": [str], "k": int?}    → {"results": [[...]]}
   POST /add     {"texts": [str], "metadatas"?}   → {"ids": [...]}
+  POST /delete  {"ids": [str]}                    → {"deleted": bool}
   GET  /health                                    → {"status": "ok", ...}
   GET  /stats                                     → pipeline + batcher stats
 
@@ -92,6 +93,13 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 ]
                 ids = add(docs)
                 self._send(200, {"ids": ids})
+            elif self.path == "/delete":
+                retriever = self.pipeline.retriever
+                delete = getattr(retriever, "delete", None)
+                if delete is None:
+                    self._send(400, {"error": "retriever does not support deletes"})
+                    return
+                self._send(200, {"deleted": bool(delete(payload.get("ids", [])))})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
         except Exception as exc:  # noqa: BLE001 — HTTP boundary

@@ -257,6 +257,13 @@ class TestHTTPApp:
         with urllib.request.urlopen(f"{server}/stats", timeout=10) as resp:
             assert json.loads(resp.read())["queries"] >= 3
 
+    def test_delete_endpoint(self, server):
+        out = self._post(f"{server}/add", {"texts": ["ephemeral zebra doc"]})
+        assert self._post(f"{server}/delete", {"ids": out["ids"]})["deleted"]
+        hits = self._post(f"{server}/query", {"query": "ephemeral zebra", "k": 3})
+        assert all(d["content"] != "ephemeral zebra doc" for d in hits["documents"])
+        assert not self._post(f"{server}/delete", {"ids": ["missing"]})["deleted"]
+
     def test_error_handling(self, server):
         req = urllib.request.Request(
             f"{server}/query", data=b"{not json", headers={}
