@@ -142,6 +142,28 @@ def main() -> None:
     jax.block_until_ready(out)
     docs_per_s = float(64 * 10 / (time.time() - t0))
 
+    # end-to-end query path: tokenized batch → encoder forward → index
+    # search, chained on device, one fetch (the serving hot path). The
+    # encoder is the flagship 768x12 on 128-token queries — this is the
+    # number a user of the whole pipeline sees, not just the index scan.
+    def e2e(ids, mask):
+        q_dev = fwd(params, ids, mask)
+        return index.search_device(q_dev.astype(jnp.float32), K)
+
+    q_ids = [
+        jnp.asarray(rng.integers(4, 32768, (BATCH, 128)), jnp.int32)
+        for _ in range(4)
+    ]
+    q_mask = jnp.ones((BATCH, 128), dtype=bool)
+    _ = np.asarray(e2e(q_ids[0], q_mask)[1][:1])  # warm/compile
+    e2e_times = []
+    for _ in range(3):
+        t0 = time.time()
+        outs = [e2e(qi, q_mask) for qi in q_ids]
+        jax.device_get([o[1] for o in outs])
+        e2e_times.append((time.time() - t0) / len(q_ids))
+    e2e_qps = float(BATCH / np.median(e2e_times))
+
     result = {
         "metric": "dense_retrieval_qps_top10_2Mx768_bf16_1chip",
         "value": round(qps, 1),
@@ -155,6 +177,7 @@ def main() -> None:
         "corpus": CORPUS_N,
         "dim": DIM,
         "embed_docs_per_s_1chip": round(docs_per_s, 1),
+        "e2e_encode_search_qps": round(e2e_qps, 1),
         "index_build_s": round(build_dev_s, 2),
         "host_datagen_s": round(build_host_s, 2),
         "device": str(jax.devices()[0]),
