@@ -32,10 +32,11 @@ from rag_arc_tpu.ops.two_level import NEG
 
 
 def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
-                   tile_n: int, n_tiles: int):
+                   tile_n: int, n_tiles: int, masked: bool = True):
     qb = q_ref.shape[0]
     d = q_ref.shape[1]
     rows_out = tile_n // g
+    v_rows = tile_n // 128  # valid ships as (N/128, 128) — DMA wants 128 lanes
 
     def body(corpus_buf, valid_buf, stage, copy_sem, valid_sem, out_sem):
         q = q_ref[:]
@@ -49,7 +50,7 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
 
         def valid_dma(slot, i):
             return pltpu.make_async_copy(
-                valid_hbm.at[pl.ds(i * tile_n, tile_n), :],
+                valid_hbm.at[pl.ds(i * v_rows, v_rows), :],
                 valid_buf.at[slot],
                 valid_sem.at[slot],
             )
@@ -62,7 +63,8 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
             )
 
         tile_dma(0, 0).start()
-        valid_dma(0, 0).start()
+        if masked:
+            valid_dma(0, 0).start()
 
         def step(i, _):
             slot = jax.lax.rem(i, 2)
@@ -71,10 +73,12 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
             @pl.when(i + 1 < n_tiles)
             def _():
                 tile_dma(nxt, i + 1).start()
-                valid_dma(nxt, i + 1).start()
+                if masked:
+                    valid_dma(nxt, i + 1).start()
 
             tile_dma(slot, i).wait()
-            valid_dma(slot, i).wait()
+            if masked:
+                valid_dma(slot, i).wait()
 
             scores = jax.lax.dot_general(
                 corpus_buf[slot],
@@ -82,7 +86,13 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tile_n, qb)
-            scores = jnp.where(valid_buf[slot] != 0, scores, NEG)
+            s3 = scores.reshape(rows_out, g, qb)
+            if masked:
+                # additive mask in the 3-D grouping the grid kernel uses
+                # (Mosaic rejects 4-D int8 shape casts): 0 live, NEG dead
+                bias = (valid_buf[slot].astype(jnp.float32) - 1.0) * -NEG
+                bias3 = bias.reshape(rows_out, g)
+                s3 = s3 + bias3[:, :, None]
 
             # the staging slot was last shipped at step i-2; make sure that
             # copy drained before overwriting it
@@ -90,7 +100,7 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
             def _():
                 out_dma(slot, i - 2).wait()
 
-            stage[slot] = jnp.max(scores.reshape(rows_out, g, qb), axis=1)
+            stage[slot] = jnp.max(s3, axis=1)
             out_dma(slot, i).start()
             return 0
 
@@ -106,7 +116,7 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
     pl.run_scoped(
         body,
         corpus_buf=pltpu.VMEM((2, tile_n, d), corpus_hbm.dtype),
-        valid_buf=pltpu.VMEM((2, tile_n, 1), jnp.int8),
+        valid_buf=pltpu.VMEM((2, v_rows, 128), jnp.int8),
         stage=pltpu.VMEM((2, rows_out, qb), jnp.float32),
         copy_sem=pltpu.SemaphoreType.DMA((2,)),
         valid_sem=pltpu.SemaphoreType.DMA((2,)),
@@ -114,7 +124,9 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("g", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("g", "tile_n", "interpret", "masked")
+)
 def subtile_max_stream(
     queries: jax.Array,   # (B, d) — normalized/cast by the caller
     corpus: jax.Array,    # (N, d)
@@ -122,16 +134,19 @@ def subtile_max_stream(
     g: int = 32,
     tile_n: int = 2048,
     interpret: bool = False,
+    masked: bool = True,
 ) -> jax.Array:
     """(N/g, B) sub-tile maxima — streaming producer for two_level's
     select/rescore stages. Whole query batch in one kernel invocation."""
     n, d = corpus.shape
     b = queries.shape[0]
-    if n % tile_n or tile_n % g:
-        raise ValueError("alignment: n % tile_n == 0 and tile_n % g == 0 required")
+    if n % tile_n or tile_n % 128 or 128 % g:
+        raise ValueError(
+            "alignment: n % tile_n == 0, tile_n % 128 == 0, 128 % g == 0"
+        )
     n_tiles = n // tile_n
     kernel = functools.partial(
-        _stream_kernel, g=g, tile_n=tile_n, n_tiles=n_tiles
+        _stream_kernel, g=g, tile_n=tile_n, n_tiles=n_tiles, masked=masked
     )
     return pl.pallas_call(
         kernel,
@@ -149,4 +164,8 @@ def subtile_max_stream(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries.astype(corpus.dtype), corpus, valid.astype(jnp.int8).reshape(n, 1))
+    )(
+        queries.astype(corpus.dtype),
+        corpus,
+        valid.astype(jnp.int8).reshape(n // 128, 128),
+    )

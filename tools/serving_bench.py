@@ -1,0 +1,150 @@
+"""Serving-stack throughput: concurrent HTTP clients → micro-batcher →
+index search on the real chip.
+
+Measures the number a deployment sees (HTTP + JSON + batching + search +
+resolution), not just the kernel. Documents live in the disk-blob
+docstore; vectors are injected directly into the index so the bench isn't
+gated on embedding a synthetic corpus.
+
+Usage: python tools/serving_bench.py [--n 2000000] [--clients 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests-per-client", type=int, default=40)
+    ap.add_argument("--queries-per-request", type=int, default=64)
+    ap.add_argument("--batch-max", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import tempfile
+
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+    from rag_arc_tpu.serving.app import make_server
+    from rag_arc_tpu.serving.pipeline import RagPipeline
+    from rag_arc_tpu.utils.data_model import Document
+
+    rng = np.random.default_rng(0)
+    print(f"# device={jax.devices()[0]}", flush=True)
+
+    emb = HashEmbeddings(dim=args.d)
+    tmp = tempfile.mkdtemp(prefix="serve_bench_")
+    store = TPUVectorStore(
+        emb, dim=args.d, metric="cosine", capacity=args.n,
+        dtype=jnp.bfloat16, docstore_path=tmp,
+    )
+    # inject vectors directly (bench isolates serving+search, not embed)
+    t0 = time.time()
+    step = 1 << 17
+    docs_meta = []
+    for start in range(0, args.n, step):
+        block = rng.random((min(step, args.n - start), args.d), dtype=np.float32) - 0.5
+        positions = store.index.add(block)
+        docs = [
+            Document(content=f"doc {int(p)}", metadata={}, id=f"d{int(p)}")
+            for p in positions
+        ]
+        store.docstore.add(docs, positions.tolist())
+        del docs
+    jax.block_until_ready(store.index.emb)
+    print(f"# corpus injected: {time.time()-t0:.0f}s", flush=True)
+
+    pipeline = RagPipeline(
+        retriever=store.as_retriever(search_kwargs={"k": args.k}),
+        top_k=args.k,
+        batch_max=args.batch_max,
+        batch_wait_ms=3.0,
+    )
+    server = make_server(pipeline, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_port}/batch"
+
+    def post(queries):
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"queries": queries, "k": args.k}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    # warm (compile)
+    post([f"warm query {i}" for i in range(args.queries_per_request)])
+
+    total_queries = args.clients * args.requests_per_client * args.queries_per_request
+    errors = []
+    latencies = []
+
+    def client(cid):
+        for r in range(args.requests_per_client):
+            qs = [
+                f"client {cid} request {r} query {j} term {rng.integers(1e6)}"
+                for j in range(args.queries_per_request)
+            ]
+            t0 = time.time()
+            try:
+                out = post(qs)
+                assert len(out["results"]) == len(qs)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(str(exc))
+                return
+            latencies.append(time.time() - t0)
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    lat = np.asarray(latencies) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "serving_http_qps",
+                "qps": round(total_queries / wall, 1),
+                "total_queries": total_queries,
+                "wall_s": round(wall, 1),
+                "clients": args.clients,
+                "queries_per_request": args.queries_per_request,
+                "p50_request_ms": round(float(np.percentile(lat, 50)), 1),
+                "p95_request_ms": round(float(np.percentile(lat, 95)), 1),
+                "errors": len(errors),
+                "stats": pipeline.stats()["stages"] if "stages" in pipeline.stats() else {},
+            }
+        ),
+        flush=True,
+    )
+    server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
