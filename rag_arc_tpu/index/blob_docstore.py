@@ -139,9 +139,13 @@ class BlobDocstore:
         offset = self._blob.tell()
         ids: List[str] = []
         chunks: List[bytes] = []
+        batch_pos: Dict[str, int] = {}  # ids repeated within one batch
         for doc, pos in zip(documents, positions):
             doc_id = doc.ensure_id()
-            old = self.position_of(doc_id)
+            old = batch_pos.get(doc_id)
+            if old is None:
+                old = self.position_of(doc_id)
+            batch_pos[doc_id] = int(pos)
             if old is not None and old != int(pos):
                 self._len[old] = -1
                 self._count -= 1

@@ -157,3 +157,14 @@ class TestScale:
         # deletes and re-reads still work at scale
         assert blob.delete(["d500000"]) == [500_000]
         assert blob.get_by_position(500_000) is None
+
+
+def test_duplicate_id_within_one_batch(tmp_path):
+    blob = BlobDocstore(tmp_path / "dup")
+    blob.add(
+        [Document(content="v1", id="x"), Document(content="v2", id="x")], [0, 1]
+    )
+    assert len(blob) == 1
+    assert blob.position_of("x") == 1
+    assert blob.get_by_position(0) is None
+    assert blob.get_by_position(1).content == "v2"
