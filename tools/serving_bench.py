@@ -96,8 +96,12 @@ def main() -> None:
         with urllib.request.urlopen(req, timeout=120) as resp:
             return json.loads(resp.read())
 
-    # warm (compile)
-    post([f"warm query {i}" for i in range(args.queries_per_request)])
+    # warm (compile) directly — first compiles through this box's tunnel
+    # can exceed any reasonable HTTP timeout
+    t0 = time.time()
+    pipeline.query_batch([f"warm query {i}" for i in range(args.queries_per_request)])
+    pipeline.query_batch([f"warm2 {i}" for i in range(args.batch_max)])
+    print(f"# warm/compile: {time.time()-t0:.0f}s", flush=True)
 
     total_queries = args.clients * args.requests_per_client * args.queries_per_request
     errors = []
