@@ -71,6 +71,17 @@ class DeviceFlatIndex:
         self.dim = int(dim)
         self.metric = metric
         self.dtype = dtype
+        # int8 mode: rows store as per-row-scaled symmetric int8 (2x the
+        # rows per chip vs bf16; the int8 MXU path runs 2x the bf16 rate).
+        # Search is exact under the quantized metric (ops/two_level.py
+        # int8 notes); recall vs f32 ~matches bf16. Cosine/ip only.
+        self.quantized = jnp.dtype(dtype) == jnp.int8
+        if self.quantized and metric == "l2":
+            raise ValueError("int8 storage supports cosine/ip, not l2")
+        if self.quantized and mesh is not None:
+            raise NotImplementedError(
+                "int8 storage is single-device for now; use bf16 on meshes"
+            )
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
@@ -114,6 +125,7 @@ class DeviceFlatIndex:
         emb_s, row_s, _ = self._shardings()
         self.emb = jnp.zeros((capacity, self.dim), dtype=self.dtype)
         self.valid = jnp.zeros((capacity,), dtype=jnp.bool_)
+        # in int8 mode sqnorm doubles as the per-row dequantization scale
         self.sqnorm = jnp.zeros((capacity,), dtype=jnp.float32)
         if emb_s is not None:
             self.emb = jax.device_put(self.emb, emb_s)
@@ -152,12 +164,17 @@ class DeviceFlatIndex:
         if self.metric == "cosine":
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-12)
-        sqnorm = (vectors * vectors).sum(axis=1).astype(np.float32)
+        if self.quantized:
+            from rag_arc_tpu.ops.two_level import quantize_rows
+
+            vectors, sqnorm = quantize_rows(vectors)  # codes + row scales
+        else:
+            sqnorm = (vectors * vectors).sum(axis=1).astype(np.float32)
 
         start = self.size
         padded = _pad_pow2(n, ADD_BLOCK)
         self._grow_to(start + padded)
-        block = np.zeros((padded, self.dim), dtype=np.float32)
+        block = np.zeros((padded, self.dim), dtype=vectors.dtype)
         block[:n] = vectors
         block_sq = np.zeros((padded,), dtype=np.float32)
         block_sq[:n] = sqnorm
@@ -194,14 +211,22 @@ class DeviceFlatIndex:
         """
         valid = np.asarray(jax.device_get(self.valid[: self.size]))
         emb = np.asarray(jax.device_get(self.emb[: self.size]), dtype=np.float32)
+        if self.quantized:
+            scale = np.asarray(jax.device_get(self.sqnorm[: self.size]))
+            emb = emb * scale[:, None]
         keep = np.nonzero(valid)[0]
         mapping = {int(old): new for new, old in enumerate(keep)}
         self.size = 0
         self.n_deleted = 0
         self._alloc(self.capacity)
         if keep.size:
-            # rows were normalized/prepared at original add time
             kept = emb[keep]
+            if self.quantized:
+                # re-quantize the dequantized survivors (scale round-trips
+                # exactly: amax of codes*scale is 127*scale)
+                self.add(kept)
+                return mapping
+            # rows were normalized/prepared at original add time
             sqnorm = (kept * kept).sum(axis=1).astype(np.float32)
             padded = _pad_pow2(keep.size, ADD_BLOCK)
             self._grow_to(padded)
@@ -280,6 +305,17 @@ class DeviceFlatIndex:
         """
         if self.mesh is not None:
             return self._search_sharded(q, k)
+        if self.quantized:
+            if jax.default_backend() in ("tpu", "axon") or (
+                4 * q.shape[0] * self.capacity > self.SCORE_BYTES_BUDGET
+            ):
+                from rag_arc_tpu.ops.two_level import two_level_topk_i8
+
+                return two_level_topk_i8(
+                    q, self.emb, self.sqnorm, self.valid, k,
+                    tile_n=min(self._tile_n(), 2048),
+                )
+            return _search_single_i8(self.emb, self.sqnorm, self.valid, q, k)
         score_bytes = 4 * q.shape[0] * self.capacity
         if score_bytes <= self.SCORE_BYTES_BUDGET:
             return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
@@ -471,10 +507,17 @@ class DeviceFlatIndex:
         return run(q, self.emb, self.valid, self.sqnorm)
 
     def take(self, positions: np.ndarray) -> np.ndarray:
-        """Fetch vectors at positions (host np.float32). Used by MMR."""
+        """Fetch vectors at positions (host np.float32). Used by MMR.
+        Int8 rows dequantize through their per-row scale."""
         positions = np.asarray(positions, dtype=np.int64)
-        out = jax.device_get(jnp.take(self.emb, jnp.asarray(positions), axis=0))
-        return np.asarray(out, dtype=np.float32)
+        idx = jnp.asarray(positions)
+        out = np.asarray(
+            jax.device_get(jnp.take(self.emb, idx, axis=0)), dtype=np.float32
+        )
+        if self.quantized:
+            scale = np.asarray(jax.device_get(jnp.take(self.sqnorm, idx)))
+            out = out * scale[:, None]
+        return out
 
     # -- introspection ----------------------------------------------------
 
@@ -519,6 +562,24 @@ def _search_single(emb, valid, sqnorm, q, k, metric):
     scores = pairwise_scores(q, emb, metric, sqnorm)
     scores = jnp.where(valid[None, :], scores, NEG_INF)
     return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_single_i8(emb_i8, row_scale, valid, q, k):
+    """Small-corpus int8 path, same quantized metric as the TPU kernel."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    qn = q / jnp.maximum(norm, 1e-12)
+    qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qn / qscale), -127, 127)
+    scores = jnp.dot(
+        q_i8.astype(jnp.float32),
+        emb_i8.astype(jnp.float32).T,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * row_scale[None, :]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    s, p = jax.lax.top_k(scores, k)
+    return s * qscale, p
 
 
 @jax.jit

@@ -66,9 +66,17 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         "index_kind": None if index is None else index.stats()["kind"],
     }
     if isinstance(index, DeviceFlatIndex):
-        np.save(path / "emb.npy", np.asarray(jax.device_get(index.emb[: index.size]), dtype=np.float32))
+        emb = np.asarray(
+            jax.device_get(index.emb[: index.size]), dtype=np.float32
+        )
+        if getattr(index, "quantized", False):
+            # snapshot dequantized f32; load re-quantizes (scale round-trips)
+            scale = np.asarray(jax.device_get(index.sqnorm[: index.size]))
+            emb = emb * scale[:, None]
+        np.save(path / "emb.npy", emb)
         np.save(path / "valid.npy", np.asarray(jax.device_get(index.valid[: index.size])))
         manifest["size"] = index.size
+        manifest["quantized"] = bool(getattr(index, "quantized", False))
     elif isinstance(index, DeviceIVFIndex):
         np.save(path / "centroids.npy", np.asarray(jax.device_get(index.centroids)))
         np.save(path / "lists.npy", np.asarray(jax.device_get(index.lists), dtype=np.float32))
@@ -104,6 +112,8 @@ def load_store(
     if manifest.get("format") != FORMAT:
         raise ValueError(f"unrecognized store snapshot format in {path}")
     blob_backed = manifest.get("docstore") == "blob"
+    if dtype is None and manifest.get("quantized"):
+        dtype = jnp.int8  # restore int8 storage without caller plumbing
     store = TPUVectorStore(
         embedding=embedding,
         dim=manifest["dim"],

@@ -71,6 +71,126 @@ def _subtile_max_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_ref,
     out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
 
 
+def _subtile_max_kernel_i8(q_ref, corpus_ref, scale_ref, valid_ref, out_ref,
+                           *, g: int):
+    """Int8 variant: corpus rows are per-row-scaled int8; the MXU runs the
+    int8×int8→int32 product at twice the bf16 rate, and the row scale
+    applies before the sub-tile max (scales differ per row, so max must
+    see scaled values). The per-query quantization scale is constant per
+    column and therefore cannot change any per-query ordering — it is
+    never applied."""
+    q = q_ref[:]           # (q_block, d) int8
+    tile = corpus_ref[:]   # (tile_n, d) int8
+    scores = jax.lax.dot_general(
+        tile,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (tile_n, q_block) int32
+    scores = scores.astype(jnp.float32) * scale_ref[:]  # scale (tile_n, 1)
+    scores = jnp.where(valid_ref[:] != 0, scores, NEG)
+    tn, qb = scores.shape
+    out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
+
+
+def quantize_rows(vectors, axis: int = -1):
+    """Symmetric per-row int8 quantization: returns (int8 codes, f32
+    scales) with ``codes * scale ≈ vectors``."""
+    import numpy as _np
+
+    vectors = _np.asarray(vectors, dtype=_np.float32)
+    amax = _np.abs(vectors).max(axis=axis, keepdims=True)
+    scale = _np.maximum(amax, 1e-12) / 127.0
+    codes = _np.clip(_np.rint(vectors / scale), -127, 127).astype(_np.int8)
+    return codes, scale.squeeze(axis).astype(_np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "g", "tile_n", "q_block", "interpret"),
+)
+def two_level_topk_i8(
+    queries: jax.Array,    # (B, d) f32
+    corpus: jax.Array,     # (N, d) int8, rows pre-normalized then quantized
+    row_scale: jax.Array,  # (N,) f32
+    valid: jax.Array,      # (N,) bool
+    k: int,
+    g: int = 32,
+    tile_n: int = 2048,
+    q_block: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantized two-level top-k (cosine/ip). Pass 1 and pass 2 use the
+    SAME int8 arithmetic, so the sub-tile-selection exactness proof holds
+    for the quantized metric; the result is the exact top-k of the int8
+    dot scaled back to the cosine range (~0.1-0.5% from f32 — recall is
+    measured, not assumed; see tests and the bench)."""
+    n, d = corpus.shape
+    b = queries.shape[0]
+    q_block = min(q_block, b)
+    if tile_n % g != 0 or n % tile_n != 0 or b % q_block != 0:
+        raise ValueError("alignment: n % tile_n, tile_n % g, b % q_block")
+    norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+    qn = queries / jnp.maximum(norm, 1e-12)
+    qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qn / qscale), -127, 127).astype(jnp.int8)
+
+    valid_col = valid.astype(jnp.int8).reshape(n, 1)
+    scale_col = row_scale.reshape(n, 1)
+    n_sub = n // g
+    kernel = functools.partial(_subtile_max_kernel_i8, g=g)
+    sub_max_t = pl.pallas_call(
+        kernel,
+        grid=(n // tile_n, b // q_block),
+        in_specs=[
+            pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n // g, q_block), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_sub, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * b * n_sub,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, corpus, scale_col, valid_col)
+
+    k_tiles = min(k, n_sub)
+    top_sub, sel_live = _iterative_argmax(sub_max_t.T, k_tiles)
+    rows = (
+        top_sub[:, :, None] * g + jnp.arange(g, dtype=top_sub.dtype)[None, None, :]
+    ).reshape(b, k_tiles * g)
+    cand = jnp.take(corpus, rows, axis=0)              # (B, C, d) int8
+    cand_scale = jnp.take(row_scale, rows, axis=0)     # (B, C)
+    cand_valid = jnp.take(valid, rows, axis=0)
+    cand_valid = cand_valid & jnp.repeat(sel_live, g, axis=1)
+    ci32 = jax.lax.dot_general(
+        q_i8,
+        cand,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (B, C) — same arithmetic as pass 1
+    cscores = ci32.astype(jnp.float32) * cand_scale
+    cscores = jnp.where(cand_valid, cscores, NEG)
+    k_out = min(k, cscores.shape[1])
+    s, ci = jax.lax.top_k(cscores, k_out)
+    pos = jnp.take_along_axis(rows, ci, axis=1).astype(jnp.int32)
+    pos = jnp.where(s <= NEG * 0.5, -1, pos)
+    # report scores in the cosine range: fold the per-query scale back in
+    s = jnp.where(s <= NEG * 0.5, s, s * qscale)
+    if k_out < k:
+        pad = k - k_out
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG)
+        pos = jnp.pad(pos, ((0, 0), (0, pad)), constant_values=-1)
+    return s, pos
+
+
 def _iterative_argmax(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """Indices of the k largest entries per row, score-descending (exact;
     ties break toward the lower index), plus a liveness flag per pick.

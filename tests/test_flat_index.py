@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from rag_arc_tpu.index.flat import DeviceFlatIndex
 from rag_arc_tpu.parallel.mesh import default_mesh
@@ -255,3 +256,63 @@ class TestSliceMesh:
 
         with pytest.raises(ValueError):
             slice_mesh(slices=4, shards=4)
+
+
+class TestInt8Index:
+    """Per-row-scaled int8 storage: half the HBM of bf16, exact under the
+    quantized metric, recall ~bf16 vs the f32 oracle."""
+
+    def test_add_search_recall(self, rng):
+        data = rng.standard_normal((4096, 64)).astype(np.float32)
+        f32 = DeviceFlatIndex(dim=64, capacity=4096)
+        f32.add(data)
+        q = data[rng.integers(0, 4096, 16)] + 0.05 * rng.standard_normal(
+            (16, 64)
+        ).astype(np.float32)
+        _, exact = f32.search(q, 10)
+        i8 = DeviceFlatIndex(dim=64, capacity=4096, dtype=jnp.int8)
+        i8.add(data)
+        assert i8.stats()["hbm_bytes"] == 4096 * 64  # 1 byte/dim
+        _, got = i8.search(q, 10)
+        recall = np.mean(
+            [len(set(exact[i]) & set(got[i])) / 10 for i in range(16)]
+        )
+        assert recall >= 0.95, recall
+
+    def test_delete_take_compact(self, rng):
+        data = rng.standard_normal((64, 16)).astype(np.float32)
+        i8 = DeviceFlatIndex(dim=16, capacity=1024, dtype=jnp.int8)
+        i8.add(data)
+        # take() dequantizes to ~the normalized original
+        got = i8.take(np.array([3]))
+        want = data[3] / np.linalg.norm(data[3])
+        np.testing.assert_allclose(got[0], want, atol=2e-2)
+        i8.mark_deleted(np.array([0, 1]))
+        mapping = i8.compact()
+        assert mapping[3] == 1  # rows 0,1 dropped
+        _, p = i8.search(data[3:4], 1)
+        assert p[0, 0] == mapping[3]
+
+    def test_l2_and_mesh_rejected(self):
+        with pytest.raises(ValueError, match="cosine/ip"):
+            DeviceFlatIndex(dim=8, metric="l2", dtype=jnp.int8)
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        with pytest.raises(NotImplementedError):
+            DeviceFlatIndex(dim=8, dtype=jnp.int8, mesh=default_mesh())
+
+    def test_store_and_persistence_roundtrip(self, rng, tmp_path):
+        from rag_arc_tpu.index.persistence import load_store, save_store
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.models.embeddings import HashEmbeddings
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(emb, dtype=jnp.int8)
+        texts = [f"doc {i} flavor {i % 6}" for i in range(40)]
+        store.add_texts(texts)
+        assert store.index.quantized
+        assert store.similarity_search(texts[7], k=1)[0].content == texts[7]
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        assert loaded.index.quantized  # restored from the manifest
+        assert loaded.similarity_search(texts[7], k=1)[0].content == texts[7]

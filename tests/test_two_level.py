@@ -129,3 +129,63 @@ def test_bf16_corpus_recall(rng):
         ]
     )
     assert recall >= 0.9
+
+
+class TestInt8:
+    """Quantized two-level search: exact under the int8 metric, high
+    recall vs the f32 oracle."""
+
+    def test_matches_int8_oracle_exactly(self, rng):
+        from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
+
+        n, d, b, k = 2048, 64, 8, 10
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        codes, scales = quantize_rows(corpus)
+        valid = np.ones(n, bool)
+        valid[7] = False
+        q = rng.standard_normal((b, d)).astype(np.float32)
+
+        s, p = two_level_topk_i8(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(valid), k=k, g=32, tile_n=1024, interpret=True,
+        )
+        # numpy oracle under the same quantized metric
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qs = np.abs(qn).max(axis=1, keepdims=True) / 127.0
+        qi = np.clip(np.rint(qn / qs), -127, 127).astype(np.int32)
+        want = (qi @ codes.astype(np.int32).T).astype(np.float32) * scales[None, :]
+        want[:, ~valid] = -np.inf
+        want_top = np.argsort(-want, axis=1, kind="stable")[:, :k]
+        for i in range(b):
+            assert set(np.asarray(p)[i].tolist()) == set(want_top[i].tolist())
+
+    def test_recall_vs_f32_exact(self, rng):
+        from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
+        from rag_arc_tpu.ops.topk import masked_topk
+
+        n, d, b, k = 4096, 64, 16, 10
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        codes, scales = quantize_rows(corpus)
+        valid = np.ones(n, bool)
+        q = corpus[rng.integers(0, n, b)] + 0.1 * rng.standard_normal((b, d)).astype(
+            np.float32
+        )
+        es, ep = masked_topk(
+            jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid), k,
+            "cosine", jnp.asarray((corpus * corpus).sum(1)),
+        )
+        qs_, qp = two_level_topk_i8(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(valid), k=k, g=32, tile_n=1024, interpret=True,
+        )
+        recall = np.mean(
+            [
+                len(set(np.asarray(ep)[i].tolist()) & set(np.asarray(qp)[i].tolist())) / k
+                for i in range(b)
+            ]
+        )
+        assert recall >= 0.95, recall
+        # reported scores sit in the cosine range
+        assert np.all(np.asarray(qs_)[:, 0] <= 1.05)
