@@ -42,7 +42,11 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from rag_arc_tpu.ops.fused_mips import fused_mips_topk
-    from rag_arc_tpu.ops.two_level import two_level_topk
+    from rag_arc_tpu.ops.two_level import (
+        quantize_rows,
+        two_level_topk,
+        two_level_topk_i8,
+    )
 
     rng = np.random.default_rng(0)
     print(f"device: {jax.devices()[0]}", flush=True)
@@ -54,6 +58,10 @@ def main() -> None:
     padded = np.zeros((n_pad, args.d), dtype=np.float32)
     padded[: args.n] = corpus
     emb = jnp.asarray(padded, dtype=jnp.bfloat16)
+    codes, scales = quantize_rows(padded)
+    emb_i8 = jnp.asarray(codes)
+    row_scale = jnp.asarray(scales)
+    del codes, scales
     valid = jnp.asarray(np.arange(n_pad) < args.n)
     sqnorm = jnp.ones((n_pad,), dtype=jnp.float32)
     del padded
@@ -123,6 +131,12 @@ def main() -> None:
                     q, emb, valid, sqnorm, args.k,
                     tile_n=cfg["tile_n"], q_block=cfg.get("q_block", 256),
                     skip_tiles=True, packed=True,
+                )
+            elif kind == "i8":
+                fn = lambda q: two_level_topk_i8(  # noqa: E731
+                    q, emb_i8, row_scale, valid, args.k,
+                    g=cfg.get("g", 32), tile_n=cfg["tile_n"],
+                    q_block=cfg.get("q_block", 512),
                 )
             else:
                 fn = lambda q: two_level_topk(  # noqa: E731
