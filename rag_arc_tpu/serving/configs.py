@@ -114,15 +114,25 @@ class DenseRetrieverConfig(AbstractConfig):
     k: int = 10
     store_path: Optional[str] = None  # restore a saved index
     docstore_path: Optional[str] = None  # disk-backed docstore (10M-doc path)
+    dtype: Optional[str] = None  # float32 | bfloat16 | int8 (2x rows/chip)
 
     def build(self, **_: Any):
         from rag_arc_tpu.index.vector_store import TPUVectorStore
 
         embedding = self.embeddings.build()
+        dtype = None
+        if self.dtype is not None:
+            import jax.numpy as jnp
+
+            dtype = {
+                "float32": jnp.float32,
+                "bfloat16": jnp.bfloat16,
+                "int8": jnp.int8,
+            }[self.dtype]
         if self.store_path:
             from rag_arc_tpu.index.persistence import load_store
 
-            store = load_store(self.store_path, embedding)
+            store = load_store(self.store_path, embedding, dtype=dtype)
         else:
             store = TPUVectorStore(
                 embedding=embedding,
@@ -132,6 +142,7 @@ class DenseRetrieverConfig(AbstractConfig):
                 nlist=self.nlist,
                 nprobe=self.nprobe,
                 docstore_path=self.docstore_path,
+                dtype=dtype,
             )
         return store.as_retriever(
             search_type=self.search_type, search_kwargs={"k": self.k}
