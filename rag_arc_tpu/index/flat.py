@@ -192,13 +192,22 @@ class DeviceFlatIndex:
         return np.arange(start, start + n, dtype=np.int64)
 
     def mark_deleted(self, positions: np.ndarray) -> None:
+        """Tombstone rows: clear their valid bits AND zero their vectors.
+
+        Zeroing makes dead rows score exactly 0 under cosine/ip, which is
+        what lets the maskless streaming kernel (ops/two_level_stream.py)
+        skip the validity stream in pass 1 — its exactness certificate
+        relies on every dead/padding row scoring 0. ``take()`` of a deleted
+        position returns zeros from then on (it was dead data anyway)."""
         positions = np.asarray(positions, dtype=np.int32)
         if positions.size == 0:
             return
         padded = _pad_pow2(positions.size, 8)
         block = np.full((padded,), positions[0], dtype=np.int32)
         block[: positions.size] = positions
-        self.valid = _clear_valid(self.valid, jnp.asarray(block))
+        self.valid, self.emb = _clear_rows(
+            self.valid, self.emb, jnp.asarray(block)
+        )
         self.n_deleted += int(positions.size)
 
     def compact(self) -> Dict[int, int]:
@@ -283,6 +292,37 @@ class DeviceFlatIndex:
     # this the chunked/fused paths kick in
     SCORE_BYTES_BUDGET = 1 << 30
 
+    # test hook: force the certified streaming path in interpret mode on
+    # CPU (the eligibility check normally requires a real TPU backend)
+    _force_stream = False
+    _last_certified = None
+
+    def _stream_eligible(self, b: int) -> bool:
+        """Can the maskless streaming producer run this search? Requires
+        dead rows zeroed (mark_deleted guarantees it), cosine/ip, a
+        single-device unquantized corpus, and the whole query batch + two
+        corpus tiles fitting VMEM (the stream kernel takes B in one
+        invocation — no query grid axis)."""
+        if self.mesh is not None or self.quantized:
+            return False
+        if self.metric not in ("cosine", "ip"):
+            return False
+        if self._force_stream:
+            return True
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        if 4 * b * self.capacity <= self.SCORE_BYTES_BUDGET:
+            return False
+        tile_n = min(self._tile_n(), 2048)
+        item = jnp.dtype(self.dtype).itemsize
+        vmem = (
+            2 * tile_n * self.dim * item   # double-buffered corpus tiles
+            + tile_n * b * 4               # (tile_n, B) score slab
+            + 2 * (tile_n // 32) * b * 4   # staging (g >= 32)
+            + b * self.dim * item          # resident query block
+        )
+        return vmem <= (12 << 20) and b <= 512
+
     def _tile_n(self) -> int:
         """Largest power-of-two multiple of ADD_BLOCK that divides capacity,
         capped at 256k rows (keeps Pallas tiles / scan chunks aligned)."""
@@ -317,8 +357,22 @@ class DeviceFlatIndex:
                 )
             return _search_single_i8(self.emb, self.sqnorm, self.valid, q, k)
         score_bytes = 4 * q.shape[0] * self.capacity
-        if score_bytes <= self.SCORE_BYTES_BUDGET:
+        if score_bytes <= self.SCORE_BYTES_BUDGET and not self._force_stream:
             return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
+        if self._stream_eligible(q.shape[0]):
+            from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified
+
+            # streaming pass-1 (one kernel invocation, manual DMA pipeline)
+            # measured ~15% over the grid producer; exactness guaranteed by
+            # the positive-kth-score certificate with an in-program grid
+            # fallback (lax.cond), so results match the masked path always
+            s, p, ok = two_level_topk_certified(
+                q, self.emb, self.valid, self.sqnorm, k,
+                tile_n=min(self._tile_n(), 2048), metric=self.metric,
+                interpret=self._force_stream,
+            )
+            self._last_certified = ok  # device scalar; stats() fetches lazily
+            return s, p
         if jax.default_backend() in ("tpu", "axon"):
             from rag_arc_tpu.ops.two_level import two_level_topk
 
@@ -526,7 +580,7 @@ class DeviceFlatIndex:
         return self.size - self.n_deleted
 
     def stats(self) -> Dict[str, object]:
-        return {
+        out = {
             "kind": "flat",
             "dim": self.dim,
             "metric": self.metric,
@@ -538,6 +592,11 @@ class DeviceFlatIndex:
             "shards": self.n_shards,
             "hbm_bytes": self.capacity * self.dim * jnp.dtype(self.dtype).itemsize,
         }
+        if self._last_certified is not None:
+            # True: last stream search was certified exact without the
+            # masked-grid fallback; False: the in-program fallback ran
+            out["stream_certified"] = bool(jax.device_get(self._last_certified))
+        return out
 
 
 # -- jitted helpers (module-level so the compile cache is shared) ---------
@@ -552,9 +611,11 @@ def _add_block(emb, valid, sqnorm, block, block_sq, start, count):
     return emb, valid, sqnorm
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _clear_valid(valid, positions):
-    return valid.at[positions].set(False)
+@partial(jax.jit, donate_argnums=(0, 1))
+def _clear_rows(valid, emb, positions):
+    valid = valid.at[positions].set(False)
+    emb = emb.at[positions, :].set(jnp.zeros((), dtype=emb.dtype))
+    return valid, emb
 
 
 @partial(jax.jit, static_argnames=("k", "metric"))

@@ -274,6 +274,17 @@ def two_level_topk(
         interpret=interpret,
     )(queries, corpus, valid_col, sqnorm_col)
 
+    return select_rescore(queries, corpus, valid, sqnorm, sub_max_t, k, g, metric)
+
+
+def select_rescore(queries, corpus, valid, sqnorm, sub_max_t, k, g, metric):
+    """Stages 2+3 of the two-level search: select each query's top-k
+    sub-tiles from the (N/g, B) sub-max matrix, gather + exactly rescore
+    their rows, global top-k. Shared by the grid producer above and the
+    streaming producer (ops/two_level_stream.py). ``queries`` must already
+    be normalized (cosine) and cast to the corpus dtype."""
+    b = queries.shape[0]
+    n_sub = sub_max_t.shape[0]
     # select: each query's top-k sub-tiles by max — provably a superset of
     # the sub-tiles containing the exact top-k rows (see module docstring).
     # NOT lax.top_k: XLA lowers that to a full variadic sort (~30 ms on the

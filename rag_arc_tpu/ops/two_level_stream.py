@@ -17,6 +17,13 @@ DMA, so VMEM holds only two corpus buffers + the score slab + staging.
 Exactness and the select/rescore stages are identical to two_level.py —
 this swaps only the sub-tile-max producer. Cosine/ip only (l2 would need
 a second sqnorm stream; the grid kernel covers it).
+
+Production path: ``two_level_topk_certified`` below runs pass 1 MASKLESS
+(Mosaic cannot lower the row-mask's lane-crossing reshape, and skipping
+the mask is faster anyway). Correctness comes from the index layer
+zeroing dead rows (flat.mark_deleted) plus a positive-kth-score
+certificate with an in-program ``lax.cond`` fallback to the masked grid
+kernel — see its docstring for the proof.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rag_arc_tpu.ops.two_level import NEG
+from rag_arc_tpu.ops.two_level import NEG, select_rescore, two_level_topk
 
 
 def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
@@ -152,10 +159,10 @@ def subtile_max_stream(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n // g, b), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
@@ -169,3 +176,69 @@ def subtile_max_stream(
         corpus,
         valid.astype(jnp.int8).reshape(n // 128, 128),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "g", "tile_n", "metric", "interpret")
+)
+def two_level_topk_certified(
+    queries: jax.Array,   # (B, d) f32
+    corpus: jax.Array,    # (N, d), DEAD ROWS MUST BE ZEROED (flat.mark_deleted)
+    valid: jax.Array,     # (N,) bool
+    sqnorm: jax.Array,    # (N,) f32 (unused for cosine/ip; kept for fallback)
+    k: int,
+    g: int = 32,
+    tile_n: int = 2048,
+    metric: str = "cosine",
+    interpret: bool = False,
+):
+    """Streaming two-level top-k with a device-side exactness certificate.
+
+    Pass 1 runs the maskless streaming producer (one kernel invocation, no
+    per-grid-step Mosaic cost — measured ~15% over the grid producer).
+    Dead/padding corpus rows are zeroed by the index layer, so their
+    cosine/ip scores are exactly 0 and the sub-tile-selection exactness
+    proof holds whenever the true k-th score is positive:
+
+      certificate: returned scores are a subset of true scores, so
+      returned s_k <= true s_k. If returned s_k > 0 then true s_k > 0, and
+      every zeroed-row sub-tile max (= 0) < s_k cannot displace a
+      winner-bearing sub-tile — capture is provably complete.
+
+    When any live query's k-th score is <= 0 (negative-similarity top-k,
+    or fewer than k live rows), a ``lax.cond`` falls back to the exact
+    masked grid path (ops/two_level.py) on device — no host round trip.
+    All-zero queries (batch padding) are excused from the certificate;
+    their slots are garbage either way and callers trim them.
+
+    Returns (scores (B, k), positions (B, k), certified bool scalar).
+    Cosine/ip only — l2 needs the sqnorm stream the grid kernel has.
+    """
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"stream path supports cosine/ip, not {metric!r}")
+    qnorm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+    if metric == "cosine":
+        queries = queries / jnp.maximum(qnorm, 1e-12)
+    qc = queries.astype(corpus.dtype)
+    sub = subtile_max_stream(
+        qc, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
+        masked=False,
+    )
+    s, pos = select_rescore(qc, corpus, valid, sqnorm, sub, k, g, metric)
+    is_padding = (qnorm[:, 0] == 0.0)
+    ok = jnp.all((s[:, -1] > 0.0) | is_padding)
+
+    def fallback(args):
+        q, c, v, sq = args
+        return two_level_topk(
+            q, c, v, sq, k, g=g, tile_n=tile_n, metric=metric,
+            interpret=interpret,
+        )
+
+    s, pos = jax.lax.cond(
+        ok,
+        lambda args: (s, pos),
+        fallback,
+        (queries, corpus, valid, sqnorm),
+    )
+    return s, pos, ok

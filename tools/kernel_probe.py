@@ -132,6 +132,15 @@ def main() -> None:
                     tile_n=cfg["tile_n"], q_block=cfg.get("q_block", 256),
                     skip_tiles=True, packed=True,
                 )
+            elif kind == "stream":
+                from rag_arc_tpu.ops.two_level_stream import (
+                    two_level_topk_certified,
+                )
+
+                fn = lambda q: two_level_topk_certified(  # noqa: E731
+                    q, emb, valid, sqnorm, args.k,
+                    g=cfg.get("g", 32), tile_n=cfg["tile_n"],
+                )[:2]
             elif kind == "i8":
                 fn = lambda q: two_level_topk_i8(  # noqa: E731
                     q, emb_i8, row_scale, valid, args.k,
