@@ -26,8 +26,11 @@ def _bind():
     lib = load_library("hnsw")
     lib.hnsw_create.restype = ctypes.c_void_p
     lib.hnsw_create.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_int,
     ]
+    lib.hnsw_is_quantized.restype = ctypes.c_int
+    lib.hnsw_is_quantized.argtypes = [ctypes.c_void_p]
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
     lib.hnsw_add.restype = ctypes.c_int64
     lib.hnsw_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
@@ -66,6 +69,7 @@ class HNSWIndex:
         ef_construction: int = 200,
         ef_search: int = 64,
         seed: int = 0,
+        quantize: bool = False,
         _handle: Optional[int] = None,
     ):
         if metric not in _METRIC_CODE:
@@ -76,9 +80,14 @@ class HNSWIndex:
         self.M = M
         self.ef_construction = ef_construction
         self.ef_search = ef_search
+        # SQ8: vectors store as per-vector-scaled symmetric int8 inside the
+        # C++ engine — 4x less resident memory than f32 (FAISS IndexHNSWSQ
+        # parity); graph traversal and scores use the quantized metric
+        self.quantize = bool(quantize)
         self.n_deleted = 0
         self._handle = _handle if _handle is not None else self._lib.hnsw_create(
-            dim, M, ef_construction, _METRIC_CODE[metric], seed
+            dim, M, ef_construction, _METRIC_CODE[metric], seed,
+            1 if quantize else 0,
         )
 
     def __del__(self):
@@ -165,6 +174,8 @@ class HNSWIndex:
             "size": self.size,
             "active": self.n_active,
             "deleted": self.n_deleted,
+            "quantized": self.quantize,
+            "vector_bytes": self.size * self.dim * (1 if self.quantize else 4),
             "backend": "native-c++",
         }
 
@@ -201,6 +212,7 @@ class HNSWIndex:
         index.ef_construction = efc
         index.metric = metric if metric_code == 0 else "l2"
         index.ef_search = ef_search
+        index.quantize = bool(lib.hnsw_is_quantized(handle))
         # the snapshot preserves per-node deleted flags; count them so
         # n_active / compaction-threshold logic stays correct after load
         index.n_deleted = int(lib.hnsw_count_deleted(handle))

@@ -281,9 +281,19 @@ class TPUVectorStore(VectorStore):
         the TPU's vector units — same placement the reference had via
         FAISS C++)."""
         if self.index_type == "hnsw":
+            import numpy as _np
+
             from rag_arc_tpu.index.hnsw import HNSWIndex
 
-            self.index = HNSWIndex(dim=dim, metric=self.metric)
+            # dtype=int8 selects SQ8 storage inside the C++ engine (4x less
+            # host RAM), the same knob that selects the quantized device
+            # kernel for index_type='flat'
+            quantize = (
+                self._dtype is not None and _np.dtype(self._dtype) == _np.int8
+            )
+            self.index = HNSWIndex(
+                dim=dim, metric=self.metric, quantize=quantize
+            )
             self._dim = dim
             return
         import jax.numpy as jnp

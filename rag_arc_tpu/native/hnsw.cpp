@@ -33,10 +33,14 @@ struct Hnsw {
   int maxM0;    // max neighbors at level 0 (2*M, per the paper)
   int efc;      // beam width during construction
   Metric metric;
+  bool sq8;     // scalar int8 storage (per-vector symmetric scale): 4x
+                // less resident memory than f32, FAISS IndexHNSWSQ-style
   double level_mult;
 
   int64_t n = 0;
-  std::vector<float> data;                    // n * dim
+  std::vector<float> data;                    // n * dim        (f32 mode)
+  std::vector<int8_t> codes;                  // n * dim        (sq8 mode)
+  std::vector<float> scales;                  // n              (sq8 mode)
   std::vector<int> levels;                    // per node
   std::vector<std::vector<std::vector<int>>> links;  // node -> level -> ids
   std::vector<uint8_t> deleted;
@@ -44,12 +48,13 @@ struct Hnsw {
   int max_level = -1;
   std::mt19937_64 rng;
 
-  Hnsw(int dim_, int m, int efc_, int metric_, uint64_t seed)
+  Hnsw(int dim_, int m, int efc_, int metric_, uint64_t seed, bool sq8_)
       : dim(dim_), M(m), maxM0(2 * m), efc(efc_),
-        metric(static_cast<Metric>(metric_)),
+        metric(static_cast<Metric>(metric_)), sq8(sq8_),
         level_mult(1.0 / std::log(std::max(2.0, double(m)))), rng(seed) {}
 
   inline const float* vec(int64_t id) const { return data.data() + id * dim; }
+  inline const int8_t* code(int64_t id) const { return codes.data() + id * dim; }
 
   // distance: smaller is closer. ip/cosine -> negative dot product.
   inline float dist(const float* a, const float* b) const {
@@ -60,6 +65,42 @@ struct Hnsw {
     }
     for (int i = 0; i < dim; ++i) {
       const float d = a[i] - b[i];
+      acc += d * d;
+    }
+    return acc;
+  }
+
+  // f32 query vs stored node
+  inline float dist_qn(const float* q, int64_t id) const {
+    if (!sq8) return dist(q, vec(id));
+    const int8_t* c = code(id);
+    const float s = scales[id];
+    float acc = 0.f;
+    if (metric == METRIC_IP) {
+      for (int i = 0; i < dim; ++i) acc += q[i] * (float)c[i];
+      return -acc * s;
+    }
+    for (int i = 0; i < dim; ++i) {
+      const float d = q[i] - (float)c[i] * s;
+      acc += d * d;
+    }
+    return acc;
+  }
+
+  // stored node vs stored node (graph construction / link shrinking)
+  inline float dist_nn(int64_t a, int64_t b) const {
+    if (!sq8) return dist(vec(a), vec(b));
+    const int8_t* ca = code(a);
+    const int8_t* cb = code(b);
+    if (metric == METRIC_IP) {
+      int32_t acc = 0;  // |dim * 127^2| < 2^31 for dim < 130k
+      for (int i = 0; i < dim; ++i) acc += (int32_t)ca[i] * (int32_t)cb[i];
+      return -(float)acc * scales[a] * scales[b];
+    }
+    const float sa = scales[a], sb = scales[b];
+    float acc = 0.f;
+    for (int i = 0; i < dim; ++i) {
+      const float d = (float)ca[i] * sa - (float)cb[i] * sb;
       acc += d * d;
     }
     return acc;
@@ -81,7 +122,7 @@ struct Hnsw {
     // candidates: min-heap by distance; results: max-heap by distance
     std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> cands;
     std::priority_queue<Cand> results;
-    const float d0 = dist(q, vec(ep));
+    const float d0 = dist_qn(q, ep);
     visited[ep] = 1;
     cands.push({d0, ep});
     if (!skip_deleted || !deleted[ep]) results.push({d0, ep});
@@ -96,7 +137,7 @@ struct Hnsw {
       for (const int nb : nbrs) {
         if (visited[nb]) continue;
         visited[nb] = 1;
-        const float d = dist(q, vec(nb));
+        const float d = dist_qn(q, nb);
         if ((int)results.size() < ef ||
             (!results.empty() && d < results.top().first)) {
           cands.push({d, nb});
@@ -117,9 +158,9 @@ struct Hnsw {
 
   // neighbor selection heuristic (paper alg. 4): keep a candidate only if
   // it is closer to q than to every already-selected neighbor — preserves
-  // graph diversity, which simple closest-M selection loses.
-  std::vector<int> select_neighbors(const float* q,
-                                    const std::vector<Cand>& cands,
+  // graph diversity, which simple closest-M selection loses. (q enters
+  // only through the precomputed c.first distances.)
+  std::vector<int> select_neighbors(const std::vector<Cand>& cands,
                                     int m) const {
     std::vector<int> selected;
     selected.reserve(m);
@@ -127,7 +168,7 @@ struct Hnsw {
       if ((int)selected.size() >= m) break;
       bool keep = true;
       for (const int s : selected) {
-        if (dist(vec(c.second), vec(s)) < c.first) {
+        if (dist_nn(c.second, s) < c.first) {
           keep = false;
           break;
         }
@@ -152,14 +193,27 @@ struct Hnsw {
     if ((int)nbrs.size() <= cap) return;
     std::vector<Cand> cands;
     cands.reserve(nbrs.size());
-    for (const int nb : nbrs) cands.push_back({dist(vec(node), vec(nb)), nb});
+    for (const int nb : nbrs) cands.push_back({dist_nn(node, nb), nb});
     std::sort(cands.begin(), cands.end());
-    nbrs = select_neighbors(vec(node), cands, cap);
+    nbrs = select_neighbors(cands, cap);
   }
 
   int64_t add(const float* v) {
     const int64_t id = n++;
-    data.insert(data.end(), v, v + dim);
+    if (sq8) {
+      float amax = 0.f;
+      for (int i = 0; i < dim; ++i) amax = std::max(amax, std::fabs(v[i]));
+      const float scale = std::max(amax, 1e-12f) / 127.f;
+      scales.push_back(scale);
+      const float inv = 1.f / scale;
+      codes.reserve(codes.size() + dim);
+      for (int i = 0; i < dim; ++i) {
+        const float r = std::nearbyint(v[i] * inv);
+        codes.push_back((int8_t)std::max(-127.f, std::min(127.f, r)));
+      }
+    } else {
+      data.insert(data.end(), v, v + dim);
+    }
     const int level = random_level();
     levels.push_back(level);
     links.emplace_back(level + 1);
@@ -174,11 +228,11 @@ struct Hnsw {
     // greedy descent through levels above the node's level
     for (int lc = max_level; lc > level; --lc) {
       bool improved = true;
-      float cur_d = dist(v, vec(cur));
+      float cur_d = dist_qn(v, cur);
       while (improved) {
         improved = false;
         for (const int nb : links[cur][lc]) {
-          const float d = dist(v, vec(nb));
+          const float d = dist_qn(v, nb);
           if (d < cur_d) {
             cur_d = d;
             cur = nb;
@@ -191,7 +245,7 @@ struct Hnsw {
     for (int lc = std::min(level, max_level); lc >= 0; --lc) {
       auto cands = search_layer(v, cur, efc, lc, /*skip_deleted=*/false);
       const int m = lc == 0 ? maxM0 : M;
-      auto nbrs = select_neighbors(v, cands, std::min(m, M));
+      auto nbrs = select_neighbors(cands, std::min(m, M));
       links[id][lc] = nbrs;
       for (const int nb : nbrs) {
         links[nb][lc].push_back((int)id);
@@ -216,13 +270,13 @@ struct Hnsw {
       return;
     }
     int cur = entry;
-    float cur_d = dist(q, vec(cur));
+    float cur_d = dist_qn(q, cur);
     for (int lc = max_level; lc >= 1; --lc) {
       bool improved = true;
       while (improved) {
         improved = false;
         for (const int nb : links[cur][lc]) {
-          const float d = dist(q, vec(nb));
+          const float d = dist_qn(q, nb);
           if (d < cur_d) {
             cur_d = d;
             cur = nb;
@@ -253,8 +307,12 @@ struct Hnsw {
 extern "C" {
 
 void* hnsw_create(int dim, int M, int ef_construction, int metric,
-                  uint64_t seed) {
-  return new Hnsw(dim, M, ef_construction, metric, seed);
+                  uint64_t seed, int sq8) {
+  return new Hnsw(dim, M, ef_construction, metric, seed, sq8 != 0);
+}
+
+int hnsw_is_quantized(void* h) {
+  return static_cast<Hnsw*>(h)->sq8 ? 1 : 0;
 }
 
 void hnsw_free(void* h) { delete static_cast<Hnsw*>(h); }
@@ -310,6 +368,12 @@ int64_t hnsw_count_deleted(void* h) {
 
 void hnsw_get_vector(void* h, int64_t id, float* out) {
   const Hnsw* index = static_cast<const Hnsw*>(h);
+  if (index->sq8) {
+    const int8_t* c = index->code(id);
+    const float s = index->scales[id];
+    for (int i = 0; i < index->dim; ++i) out[i] = (float)c[i] * s;
+    return;
+  }
   std::memcpy(out, index->vec(id), sizeof(float) * index->dim);
 }
 
@@ -319,13 +383,21 @@ int hnsw_save(void* h, const char* path) {
   const Hnsw* x = static_cast<const Hnsw*>(h);
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  const char magic[8] = {'R', 'A', 'T', 'H', 'N', 'S', 'W', '1'};
+  // V2 adds the sq8 flag to the header and stores codes+scales instead of
+  // f32 data when set; V1 files still load (f32, header one int shorter)
+  const char magic[8] = {'R', 'A', 'T', 'H', 'N', 'S', 'W', '2'};
   std::fwrite(magic, 1, 8, f);
-  int32_t header[5] = {x->dim, x->M, x->efc, (int32_t)x->metric, x->max_level};
-  std::fwrite(header, sizeof(int32_t), 5, f);
+  int32_t header[6] = {x->dim,           x->M,         x->efc,
+                       (int32_t)x->metric, x->max_level, x->sq8 ? 1 : 0};
+  std::fwrite(header, sizeof(int32_t), 6, f);
   int64_t meta[2] = {x->n, (int64_t)x->entry};
   std::fwrite(meta, sizeof(int64_t), 2, f);
-  std::fwrite(x->data.data(), sizeof(float), x->data.size(), f);
+  if (x->sq8) {
+    std::fwrite(x->codes.data(), 1, x->codes.size(), f);
+    std::fwrite(x->scales.data(), sizeof(float), x->scales.size(), f);
+  } else {
+    std::fwrite(x->data.data(), sizeof(float), x->data.size(), f);
+  }
   std::fwrite(x->levels.data(), sizeof(int), x->levels.size(), f);
   std::fwrite(x->deleted.data(), 1, x->deleted.size(), f);
   for (int64_t i = 0; i < x->n; ++i) {
@@ -345,26 +417,39 @@ void* hnsw_load(const char* path) {
   if (!f) return nullptr;
   char magic[8];
   if (std::fread(magic, 1, 8, f) != 8 ||
-      std::memcmp(magic, "RATHNSW1", 8) != 0) {
+      std::memcmp(magic, "RATHNSW", 7) != 0 ||
+      (magic[7] != '1' && magic[7] != '2')) {
     std::fclose(f);
     return nullptr;
   }
-  int32_t header[5];
+  const bool v2 = magic[7] == '2';
+  int32_t header[6] = {0, 0, 0, 0, 0, 0};
   int64_t meta[2];
-  if (std::fread(header, sizeof(int32_t), 5, f) != 5 ||
+  const size_t nh = v2 ? 6 : 5;
+  if (std::fread(header, sizeof(int32_t), nh, f) != nh ||
       std::fread(meta, sizeof(int64_t), 2, f) != 2) {
     std::fclose(f);
     return nullptr;
   }
-  Hnsw* x = new Hnsw(header[0], header[1], header[2], header[3], 0);
+  Hnsw* x =
+      new Hnsw(header[0], header[1], header[2], header[3], 0, header[5] != 0);
   x->max_level = header[4];
   x->n = meta[0];
   x->entry = (int)meta[1];
-  x->data.resize(x->n * x->dim);
   x->levels.resize(x->n);
   x->deleted.resize(x->n);
-  bool ok = std::fread(x->data.data(), sizeof(float), x->data.size(), f) ==
-            x->data.size();
+  bool ok = true;
+  if (x->sq8) {
+    x->codes.resize(x->n * x->dim);
+    x->scales.resize(x->n);
+    ok = std::fread(x->codes.data(), 1, x->codes.size(), f) == x->codes.size();
+    ok = ok && std::fread(x->scales.data(), sizeof(float), x->n, f) ==
+                   (size_t)x->n;
+  } else {
+    x->data.resize(x->n * x->dim);
+    ok = std::fread(x->data.data(), sizeof(float), x->data.size(), f) ==
+         x->data.size();
+  }
   ok = ok && std::fread(x->levels.data(), sizeof(int), x->n, f) == (size_t)x->n;
   ok = ok && std::fread(x->deleted.data(), 1, x->n, f) == (size_t)x->n;
   x->links.resize(x->n);

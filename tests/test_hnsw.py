@@ -113,3 +113,66 @@ def test_stats():
 def test_bad_metric():
     with pytest.raises(ValueError):
         HNSWIndex(dim=8, metric="hamming")
+
+
+# -- SQ8 quantized storage --------------------------------------------------
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_sq8_recall_vs_flat(corpus, metric):
+    data, queries = corpus
+    flat = DeviceFlatIndex(dim=48, metric=metric, capacity=4096)
+    flat.add(data)
+    _, exact = flat.search(queries, 10)
+    hnsw = HNSWIndex(
+        dim=48, metric=metric, M=16, ef_construction=100, quantize=True
+    )
+    hnsw.add(data)
+    _, approx = hnsw.search(queries, 10, ef=128)
+    recall = np.mean(
+        [len(set(exact[i]) & set(approx[i])) / 10 for i in range(len(queries))]
+    )
+    assert recall > 0.85, f"SQ8 HNSW recall {recall} too low for {metric}"
+    assert hnsw.stats()["quantized"] is True
+    assert hnsw.stats()["vector_bytes"] == 3000 * 48  # 1 byte/component
+
+
+def test_sq8_take_dequantizes(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48, metric="l2", quantize=True)
+    hnsw.add(data[:100])
+    got = hnsw.take(np.arange(10))
+    # per-vector symmetric int8: relative error bounded by scale/2 = amax/254
+    amax = np.abs(data[:10]).max(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, data[:10], atol=float(amax.max()) / 200)
+
+
+def test_sq8_persistence_roundtrip(corpus, tmp_path):
+    data, queries = corpus
+    hnsw = HNSWIndex(dim=48, metric="cosine", M=16, quantize=True)
+    hnsw.add(data[:500])
+    hnsw.mark_deleted(np.asarray([3, 7]))
+    s0, p0 = hnsw.search(queries[:5], 5)
+    path = tmp_path / "sq8.hnsw"
+    hnsw.save(path)
+    back = HNSWIndex.load(path)
+    assert back.quantize is True
+    assert back.n_deleted == 2
+    s1, p1 = back.search(queries[:5], 5)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_store_dtype_int8_selects_sq8_hnsw():
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+    import numpy as _np
+
+    store = TPUVectorStore(
+        embedding=HashEmbeddings(dim=32), dim=32, index_type="hnsw",
+        dtype=_np.int8,
+    )
+    store.add_texts(["alpha beta", "gamma delta", "epsilon zeta"])
+    assert store.index.stats()["quantized"] is True
+    docs = store.similarity_search("alpha beta", k=1)
+    assert docs[0].content == "alpha beta"
