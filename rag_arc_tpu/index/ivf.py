@@ -63,6 +63,18 @@ class DeviceIVFIndex:
                 "for DCN multi-slice use DeviceFlatIndex (hierarchical "
                 "merge) or one IVF per slice"
             )
+        # int8 mode stores RESIDUALS (row − assigned centroid) as per-row
+        # scaled int8: 4x less HBM per row than f32 and half the probe
+        # gather bytes of bf16. Residuals are small (≈ cluster radius), so
+        # the quantization grid is ~5-20x finer than quantizing raw rows —
+        # scoring adds the exact centroid dot back:  q·x = q·c + q·r.
+        self.quantized = jnp.dtype(dtype) == jnp.int8
+        if self.quantized and metric == "l2":
+            raise ValueError("int8 IVF storage supports cosine/ip, not l2")
+        if self.quantized and mesh is not None:
+            raise NotImplementedError(
+                "int8 IVF storage is single-device for now; use bf16 on meshes"
+            )
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
         # clusters shard across devices: each shard probes its own clusters
         # and the small candidate sets merge — so nlist pads to a multiple
@@ -147,6 +159,13 @@ class DeviceIVFIndex:
         return vectors
 
     @staticmethod
+    def _quantize_residuals(vectors, assigned_centroids):
+        """Per-row symmetric int8 over residuals (row − its centroid)."""
+        from rag_arc_tpu.ops.two_level import quantize_rows
+
+        return quantize_rows(vectors - assigned_centroids)
+
+    @staticmethod
     def _pack_by_cluster(
         assign: np.ndarray, base_fill: np.ndarray, nlist: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -189,8 +208,13 @@ class DeviceIVFIndex:
             assign, np.zeros(self.nlist, dtype=np.int64), self.nlist
         )
         sorted_vecs = vectors[order]
-        lists[sa, slots] = sorted_vecs
-        sqnorm[sa, slots] = (sorted_vecs * sorted_vecs).sum(axis=1)
+        if self.quantized:
+            codes, scales = self._quantize_residuals(sorted_vecs, centroids[sa])
+            lists[sa, slots] = codes  # int8 values survive the _place cast
+            sqnorm[sa, slots] = scales
+        else:
+            lists[sa, slots] = sorted_vecs
+            sqnorm[sa, slots] = (sorted_vecs * sorted_vecs).sum(axis=1)
         valid[sa, slots] = True
         pos[sa, slots] = order
         self._fill = counts.astype(np.int64)
@@ -229,13 +253,18 @@ class DeviceIVFIndex:
         order, sa, slots = self._pack_by_cluster(assign, self._fill, self.nlist)
         positions = np.arange(self.size, self.size + n, dtype=np.int64)
         sorted_vecs = vectors[order]
+        if self.quantized:
+            rows, aux = self._quantize_residuals(sorted_vecs, c[sa])
+        else:
+            rows = sorted_vecs
+            aux = (sorted_vecs * sorted_vecs).sum(axis=1).astype(np.float32)
         self.lists, self.sqnorm, self.valid, self.pos = _scatter_rows(
             self.lists,
             self.sqnorm,
             self.valid,
             self.pos,
-            jnp.asarray(sorted_vecs, dtype=self.dtype),
-            jnp.asarray((sorted_vecs * sorted_vecs).sum(axis=1).astype(np.float32)),
+            jnp.asarray(rows, dtype=self.dtype),
+            jnp.asarray(aux),
             jnp.asarray(sa, dtype=jnp.int32),
             jnp.asarray(slots, dtype=jnp.int32),
             jnp.asarray(positions[order], dtype=jnp.int32),
@@ -268,6 +297,11 @@ class DeviceIVFIndex:
         order = np.argsort(old_pos)
         old_sorted = old_pos[order]
         vectors = lists[cl[order], sl[order]]
+        if self.quantized:
+            # reconstruct rows: centroid + dequantized residual (re-add
+            # below re-quantizes against the same centroids)
+            scales = np.asarray(jax.device_get(self.sqnorm))[cl[order], sl[order]]
+            vectors = self._centroids_np[cl[order]] + vectors * scales[:, None]
         mapping = {int(old): new for new, old in enumerate(old_sorted)}
         # reuse the trained centroids: reset bookkeeping and re-add (add
         # assigns by nearest centroid, which matches the original layout)
@@ -409,8 +443,13 @@ class DeviceIVFIndex:
         positions = np.asarray(positions, dtype=np.int64)
         clusters = jnp.asarray(self._pos_cluster[positions])
         slots = jnp.asarray(self._pos_slot[positions])
-        out = jax.device_get(self.lists[clusters, slots])
-        return np.asarray(out, dtype=np.float32)
+        out = np.asarray(
+            jax.device_get(self.lists[clusters, slots]), dtype=np.float32
+        )
+        if self.quantized:
+            scales = np.asarray(jax.device_get(self.sqnorm[clusters, slots]))
+            out = self._centroids_np[np.asarray(clusters)] + out * scales[:, None]
+        return out
 
     # -- introspection ----------------------------------------------------------
 
@@ -432,6 +471,8 @@ class DeviceIVFIndex:
             "deleted": self.n_deleted,
             "list_fill_mean": float(fill.mean()) if self.size else 0.0,
             "list_fill_max": int(fill.max()) if self.size else 0,
+            "dtype": str(jnp.dtype(self.dtype)),
+            "quantized": self.quantized,
             "hbm_bytes": 0
             if self.lists is None
             else self.nlist_pad * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize,
@@ -474,6 +515,7 @@ def _ivf_search(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprob
 
 
 def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric):
+    quantized = lists.dtype == jnp.int8
     if metric == "cosine":
         q = l2_normalize(q)
     cross = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
@@ -488,16 +530,30 @@ def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, 
     sub_lists = lists[probe]  # (B, nprobe, Lmax, d)
     sub_valid = valid[probe]
     sub_pos = pos[probe]
-    scores = jnp.einsum(
-        "bd,bpld->bpl",
-        q.astype(lists.dtype),
-        sub_lists,
-        preferred_element_type=jnp.float32,
-    )
-    if metric == "l2":
-        sub_sq = sqnorm[probe]
-        q_sq = jnp.sum(q * q, axis=1)
-        scores = -(q_sq[:, None, None] - 2.0 * scores + sub_sq)
+    if quantized:
+        # rows are int8 residuals (r = x − c, per-row scale in sqnorm):
+        # q·x = q·c (exact, from the centroid pass) + scale · q·r.
+        # bf16 is exact on the ±127 codes; q loses <0.4% there, applied
+        # to the *small* residual term only.
+        resid = jnp.einsum(
+            "bd,bpld->bpl",
+            q.astype(jnp.bfloat16),
+            sub_lists.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        c_probe = jnp.take_along_axis(cross, probe, axis=1)  # (B, nprobe)
+        scores = c_probe[:, :, None] + resid * sqnorm[probe]
+    else:
+        scores = jnp.einsum(
+            "bd,bpld->bpl",
+            q.astype(lists.dtype),
+            sub_lists,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            sub_sq = sqnorm[probe]
+            q_sq = jnp.sum(q * q, axis=1)
+            scores = -(q_sq[:, None, None] - 2.0 * scores + sub_sq)
     scores = jnp.where(sub_valid, scores, NEG_INF)
     b = q.shape[0]
     flat = scores.reshape(b, -1)

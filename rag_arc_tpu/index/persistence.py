@@ -79,13 +79,23 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         manifest["quantized"] = bool(getattr(index, "quantized", False))
     elif isinstance(index, DeviceIVFIndex):
         np.save(path / "centroids.npy", np.asarray(jax.device_get(index.centroids)))
-        np.save(path / "lists.npy", np.asarray(jax.device_get(index.lists), dtype=np.float32))
+        # quantized lists snapshot as raw int8 residual codes (+ scales in
+        # sqnorm.npy) — bit-exact round trip, 4x smaller on disk
+        lists_np = np.asarray(jax.device_get(index.lists))
+        if not index.quantized:
+            lists_np = lists_np.astype(np.float32)
+        np.save(path / "lists.npy", lists_np)
         np.save(path / "sqnorm.npy", np.asarray(jax.device_get(index.sqnorm)))
         np.save(path / "valid.npy", np.asarray(jax.device_get(index.valid)))
         np.save(path / "pos.npy", np.asarray(jax.device_get(index.pos)))
         np.save(path / "fill.npy", index._fill)
         manifest.update(
-            {"size": index.size, "lmax": index.lmax, "n_deleted": index.n_deleted}
+            {
+                "size": index.size,
+                "lmax": index.lmax,
+                "n_deleted": index.n_deleted,
+                "quantized": bool(index.quantized),
+            }
         )
     elif isinstance(index, HNSWIndex):
         # the native snapshot carries vectors, links, and deleted flags
@@ -145,6 +155,7 @@ def load_store(
             nlist=manifest["nlist"],
             nprobe=manifest["nprobe"],
             metric=manifest["metric"],
+            dtype=jnp.int8 if manifest.get("quantized") else jnp.float32,
             mesh=mesh,
         )
         centroids = np.load(path / "centroids.npy")

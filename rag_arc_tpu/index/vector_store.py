@@ -370,6 +370,11 @@ class TPUVectorStore(VectorStore):
         vectors = np.asarray(
             jax.device_get(flat.emb[: flat.size]), dtype=np.float32
         )
+        if flat.quantized:
+            # staging rows are int8 codes; dequantize through the per-row
+            # scale (sqnorm doubles as the scale in int8 mode)
+            scale = np.asarray(jax.device_get(flat.sqnorm[: flat.size]))
+            vectors = vectors * scale[:, None]
         valid = np.asarray(jax.device_get(flat.valid[: flat.size]))
         logger.info(
             "training IVF (nlist=%d) over %d rows", self.nlist, flat.size

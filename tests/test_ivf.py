@@ -295,3 +295,137 @@ class TestIVFScale:
         assert ivf.lmax > lmax0
         _, got = ivf.search(data[0][None, :], 1)
         assert got[0, 0] == 0
+
+
+class TestIVFQuantized:
+    """Residual int8 storage: q·x = q·c + scale·(q·r)."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "ip"])
+    def test_recall_matches_f32_ivf(self, rng, metric):
+        data, _ = clustered_corpus(rng, n_clusters=16, per=100)
+        queries = data[rng.integers(0, len(data), 32)] + 0.01 * (
+            rng.standard_normal((32, 32)).astype(np.float32)
+        )
+        import jax.numpy as jnp
+
+        flat = DeviceFlatIndex(dim=32, metric=metric, capacity=2048)
+        flat.add(data)
+        _, exact = flat.search(queries, 10)
+        q8 = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=4, metric=metric, seed=0, dtype=jnp.int8
+        )
+        assert q8.stats()["quantized"] is True
+        _, approx = q8.search(queries, 10)
+
+        # oracle that isolates MY pipeline from the quantizer: full scan
+        # over the reconstructed (dequantized) rows in f32. On this
+        # adversarial near-duplicate corpus (within-cluster score gaps
+        # ~1e-4) the SQ8 grid itself reorders the tail of the top-10 —
+        # measured 0.84 vs f32-exact for cosine — so the IVF machinery is
+        # held to the quantized oracle, plus a looser absolute floor.
+        recon = q8.take(np.arange(len(data)))
+        qn = queries
+        if metric == "cosine":
+            qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        scores = qn @ recon.T
+        qtop = np.argsort(-scores, axis=1)[:, :10]
+        recall_vs_quant = np.mean(
+            [len(set(qtop[i]) & set(approx[i])) / 10 for i in range(32)]
+        )
+        recall_vs_f32 = np.mean(
+            [len(set(exact[i]) & set(approx[i])) / 10 for i in range(32)]
+        )
+        assert recall_vs_quant > 0.9, (
+            f"int8 IVF lost {1 - recall_vs_quant:.2%} beyond the quantizer "
+            f"for {metric}"
+        )
+        assert recall_vs_f32 > 0.75, f"absolute recall {recall_vs_f32}"
+
+    def test_scores_close_to_f32(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=8, per=64)
+        import jax.numpy as jnp
+
+        q = data[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        f32 = DeviceIVFIndex.from_vectors(data, nlist=8, nprobe=8, seed=0)
+        q8 = DeviceIVFIndex.from_vectors(
+            data, nlist=8, nprobe=8, seed=0, dtype=jnp.int8
+        )
+        s_f, _ = f32.search(q, 5)
+        s_q, _ = q8.search(q, 5)
+        # residual quantization keeps scores within ~1% of f32 cosine
+        np.testing.assert_allclose(s_q, s_f, atol=0.02)
+
+    def test_add_take_delete_compact(self, rng):
+        data, _ = clustered_corpus(rng, n_clusters=8, per=40)
+        import jax.numpy as jnp
+
+        idx = DeviceIVFIndex.from_vectors(
+            data[:200], nlist=8, nprobe=8, seed=0, dtype=jnp.int8
+        )
+        pos = idx.add(data[200:320])
+        assert idx.size == 320
+        # take reconstructs within the residual quantization grid
+        got = idx.take(pos[:10])
+        want = data[200:210] / np.linalg.norm(
+            data[200:210], axis=1, keepdims=True
+        )
+        np.testing.assert_allclose(got, want, atol=0.01)
+        idx.mark_deleted(pos[:5])
+        mapping = idx.compact()
+        assert idx.n_active == 315 and idx.n_deleted == 0
+        assert len(mapping) == 315
+        s, p = idx.search(data[250][None, :], 3)
+        assert (p >= 0).all()
+
+    def test_l2_rejected(self):
+        import jax.numpy as jnp
+
+        with pytest.raises(ValueError, match="cosine/ip"):
+            DeviceIVFIndex(dim=8, metric="l2", dtype=jnp.int8)
+
+    def test_persistence_roundtrip(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from rag_arc_tpu.index.persistence import load_store, save_store
+
+        data, _ = clustered_corpus(rng, n_clusters=8, per=40, dim=32)
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(
+            embedding=emb, dim=32, index_type="ivf", nlist=8,
+            train_threshold=100, dtype=jnp.int8,
+        )
+        texts = [f"item {i}" for i in range(len(data))]
+        # drive through embeddings-independent path: add vectors directly
+        store._create_index(32)
+        from rag_arc_tpu.utils.data_model import Document
+
+        docs = [Document(content=t) for t in texts]
+        store.add_documents(docs)
+        assert store.index.stats()["kind"] == "ivf"
+        assert store.index.stats()["quantized"] is True
+        q = "item 17"
+        want = [d.content for d in store.similarity_search(q, k=5)]
+        save_store(store, tmp_path / "snap")
+        back = load_store(tmp_path / "snap", embedding=emb)
+        assert back.index.stats()["quantized"] is True
+        got = [d.content for d in back.similarity_search(q, k=5)]
+        assert got == want
+
+    def test_quantized_flat_staging_converts_cleanly(self, rng):
+        """dtype=int8 + index_type='ivf': the staging flat index holds int8
+        codes; conversion must dequantize through the row scale, not read
+        codes as embeddings."""
+        import jax.numpy as jnp
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(
+            embedding=emb, dim=32, index_type="ivf", nlist=8,
+            train_threshold=150, dtype=jnp.int8,
+        )
+        from rag_arc_tpu.utils.data_model import Document
+
+        docs = [Document(content=f"row {i} group {i % 6}") for i in range(160)]
+        store.add_documents(docs)
+        assert store.index.stats()["kind"] == "ivf"
+        hits = store.similarity_search("row 42 group 0", k=3)
+        assert hits[0].content == "row 42 group 0"
