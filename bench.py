@@ -35,6 +35,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 512))
 K = 10
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 30))
 ORACLE_QUERIES = 128
+# bfloat16 (default) | int8 (2x rows/chip, quantized metric) | float32.
+# BENCH_DTYPE=int8 BENCH_CORPUS_N=10000000 runs the north-star corpus on
+# ONE chip (10M x 768 = 7.7 GB HBM as int8).
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def main() -> None:
@@ -57,7 +61,7 @@ def main() -> None:
     build_host_s = time.time() - t0
 
     index = DeviceFlatIndex(
-        dim=DIM, metric="cosine", capacity=CORPUS_N, dtype=jnp.bfloat16
+        dim=DIM, metric="cosine", capacity=CORPUS_N, dtype=jnp.dtype(DTYPE)
     )
     t0 = time.time()
     step = 1 << 17
@@ -164,8 +168,12 @@ def main() -> None:
         e2e_times.append((time.time() - t0) / len(q_ids))
     e2e_qps = float(BATCH / np.median(e2e_times))
 
+    tag = {"bfloat16": "bf16", "int8": "int8", "float32": "f32"}[DTYPE]
     result = {
-        "metric": "dense_retrieval_qps_top10_2Mx768_bf16_1chip",
+        "metric": (
+            f"dense_retrieval_qps_top10_{CORPUS_N // 1_000_000}M"
+            f"x{DIM}_{tag}_1chip"
+        ),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 10_000.0, 3),

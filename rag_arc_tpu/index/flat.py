@@ -303,7 +303,7 @@ class DeviceFlatIndex:
         single-device unquantized corpus, and the whole query batch + two
         corpus tiles fitting VMEM (the stream kernel takes B in one
         invocation — no query grid axis)."""
-        if self.mesh is not None or self.quantized:
+        if self.mesh is not None:
             return False
         if self.metric not in ("cosine", "ip"):
             return False
@@ -346,6 +346,18 @@ class DeviceFlatIndex:
         if self.mesh is not None:
             return self._search_sharded(q, k)
         if self.quantized:
+            if self._stream_eligible(q.shape[0]):
+                from rag_arc_tpu.ops.two_level_stream import (
+                    two_level_topk_certified_i8,
+                )
+
+                s, p, ok = two_level_topk_certified_i8(
+                    q, self.emb, self.sqnorm, self.valid, k,
+                    tile_n=min(self._tile_n(), 2048),
+                    interpret=self._force_stream,
+                )
+                self._last_certified = ok
+                return s, p
             if jax.default_backend() in ("tpu", "axon") or (
                 4 * q.shape[0] * self.capacity > self.SCORE_BYTES_BUDGET
             ):

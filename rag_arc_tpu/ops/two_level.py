@@ -130,11 +130,7 @@ def two_level_topk_i8(
     q_block = min(q_block, b)
     if tile_n % g != 0 or n % tile_n != 0 or b % q_block != 0:
         raise ValueError("alignment: n % tile_n, tile_n % g, b % q_block")
-    norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
-    qn = queries / jnp.maximum(norm, 1e-12)
-    qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
-    qscale = jnp.maximum(qmax, 1e-12) / 127.0
-    q_i8 = jnp.clip(jnp.round(qn / qscale), -127, 127).astype(jnp.int8)
+    q_i8, qscale = quantize_queries(queries)
 
     valid_col = valid.astype(jnp.int8).reshape(n, 1)
     scale_col = row_scale.reshape(n, 1)
@@ -161,6 +157,29 @@ def two_level_topk_i8(
         interpret=interpret,
     )(q_i8, corpus, scale_col, valid_col)
 
+    return select_rescore_i8(
+        q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g
+    )
+
+
+def quantize_queries(queries: jax.Array):
+    """Normalize + symmetric per-query int8 quantization (the query-side
+    half of the int8 metric). Returns (codes (B, d) int8, scale (B, 1))."""
+    norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+    qn = queries / jnp.maximum(norm, 1e-12)
+    qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qn / qscale), -127, 127).astype(jnp.int8)
+    return q_i8, qscale
+
+
+def select_rescore_i8(q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g):
+    """Int8 stages 2+3: sub-tile select from the (N/g, B) sub-max matrix,
+    gather + rescore with the SAME int8 arithmetic as pass 1, global
+    top-k. Shared by the grid producer above and the streaming producer
+    (ops/two_level_stream.py)."""
+    b = q_i8.shape[0]
+    n_sub = sub_max_t.shape[0]
     k_tiles = min(k, n_sub)
     top_sub, sel_live = _iterative_argmax(sub_max_t.T, k_tiles)
     rows = (

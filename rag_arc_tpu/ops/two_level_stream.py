@@ -35,7 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rag_arc_tpu.ops.two_level import NEG, select_rescore, two_level_topk
+from rag_arc_tpu.ops.two_level import (
+    NEG,
+    quantize_queries,
+    select_rescore,
+    select_rescore_i8,
+    two_level_topk,
+    two_level_topk_i8,
+)
 
 
 def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
@@ -176,6 +183,175 @@ def subtile_max_stream(
         corpus,
         valid.astype(jnp.int8).reshape(n // 128, 128),
     )
+
+
+def _stream_kernel_i8(q_ref, corpus_hbm, scale_hbm, out_hbm, *, g: int,
+                      tile_n: int, n_tiles: int):
+    """Int8 streaming producer: codes dot on the int8 MXU (2x the bf16
+    rate), per-row dequant scale streamed as a (tile_n, 1) column — the
+    same broadcast the grid kernel uses, no lane-crossing reshape."""
+    qb = q_ref.shape[0]
+    d = q_ref.shape[1]
+    rows_out = tile_n // g
+
+    def body(corpus_buf, scale_buf, stage, copy_sem, scale_sem, out_sem):
+        q = q_ref[:]
+
+        def tile_dma(slot, i):
+            return pltpu.make_async_copy(
+                corpus_hbm.at[pl.ds(i * tile_n, tile_n), :],
+                corpus_buf.at[slot],
+                copy_sem.at[slot],
+            )
+
+        def scale_dma(slot, i):
+            return pltpu.make_async_copy(
+                scale_hbm.at[pl.ds(i * tile_n, tile_n), :],
+                scale_buf.at[slot],
+                scale_sem.at[slot],
+            )
+
+        def out_dma(slot, i):
+            return pltpu.make_async_copy(
+                stage.at[slot],
+                out_hbm.at[pl.ds(i * rows_out, rows_out), :],
+                out_sem.at[slot],
+            )
+
+        tile_dma(0, 0).start()
+        scale_dma(0, 0).start()
+
+        def step(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                tile_dma(nxt, i + 1).start()
+                scale_dma(nxt, i + 1).start()
+
+            tile_dma(slot, i).wait()
+            scale_dma(slot, i).wait()
+
+            scores = jax.lax.dot_general(
+                corpus_buf[slot],
+                q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (tile_n, qb) int32
+            scores = scores.astype(jnp.float32) * scale_buf[slot]
+            s3 = scores.reshape(rows_out, g, qb)
+
+            @pl.when(i >= 2)
+            def _():
+                out_dma(slot, i - 2).wait()
+
+            stage[slot] = jnp.max(s3, axis=1)
+            out_dma(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, step, 0)
+
+        @pl.when(n_tiles >= 2)
+        def _():
+            out_dma(jax.lax.rem(n_tiles - 2, 2), n_tiles - 2).wait()
+
+        out_dma(jax.lax.rem(n_tiles - 1, 2), n_tiles - 1).wait()
+
+    pl.run_scoped(
+        body,
+        corpus_buf=pltpu.VMEM((2, tile_n, d), jnp.int8),
+        scale_buf=pltpu.VMEM((2, tile_n, 1), jnp.float32),
+        stage=pltpu.VMEM((2, rows_out, qb), jnp.float32),
+        copy_sem=pltpu.SemaphoreType.DMA((2,)),
+        scale_sem=pltpu.SemaphoreType.DMA((2,)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "tile_n", "interpret")
+)
+def subtile_max_stream_i8(
+    q_i8: jax.Array,      # (B, d) int8 — pre-quantized by the caller
+    corpus: jax.Array,    # (N, d) int8 codes, DEAD ROWS ZEROED
+    row_scale: jax.Array, # (N,) f32 per-row dequant scale
+    g: int = 32,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """(N/g, B) sub-tile maxima over scaled int8 scores — streaming
+    producer for the int8 select/rescore stages."""
+    n, d = corpus.shape
+    b = q_i8.shape[0]
+    if n % tile_n or tile_n % 128 or 128 % g:
+        raise ValueError(
+            "alignment: n % tile_n == 0, tile_n % 128 == 0, 128 % g == 0"
+        )
+    n_tiles = n // tile_n
+    kernel = functools.partial(
+        _stream_kernel_i8, g=g, tile_n=tile_n, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n // g, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * n + 4 * b * (n // g),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, corpus, row_scale.reshape(n, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "g", "tile_n", "interpret")
+)
+def two_level_topk_certified_i8(
+    queries: jax.Array,    # (B, d) f32
+    corpus: jax.Array,     # (N, d) int8 codes, DEAD ROWS MUST BE ZEROED
+    row_scale: jax.Array,  # (N,) f32
+    valid: jax.Array,      # (N,) bool
+    k: int,
+    g: int = 32,
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Int8 variant of the certified streaming top-k. Same certificate:
+    zeroed dead codes score exactly 0 under the quantized metric, and the
+    reported scores carry the (positive) per-query scale, so sign is
+    preserved — returned kth score > 0 certifies complete capture under
+    the quantized metric. Fallback: the masked int8 grid path."""
+    qnorm = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
+    q_i8, qscale = quantize_queries(queries)
+    sub = subtile_max_stream_i8(
+        q_i8, corpus, row_scale, g=g, tile_n=tile_n, interpret=interpret
+    )
+    s, pos = select_rescore_i8(
+        q_i8, qscale, corpus, row_scale, valid, sub, k, g
+    )
+    ok = jnp.all((s[:, -1] > 0.0) | (qnorm == 0.0))
+
+    def fallback(args):
+        q, c, rs, v = args
+        return two_level_topk_i8(
+            q, c, rs, v, k, g=g, tile_n=tile_n, interpret=interpret
+        )
+
+    s, pos = jax.lax.cond(
+        ok,
+        lambda args: (s, pos),
+        fallback,
+        (queries, corpus, row_scale, valid),
+    )
+    return s, pos, ok
 
 
 @functools.partial(

@@ -153,3 +153,69 @@ def test_flat_index_stream_fallback_exact(rng):
     s2, p2 = ref.search(-v[None, :], 5)
     np.testing.assert_array_equal(p, p2)
     np.testing.assert_allclose(s, s2, rtol=1e-4, atol=1e-5)
+
+
+# -- int8 certified stream path ---------------------------------------------
+
+
+def test_certified_i8_matches_grid_i8(rng):
+    from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
+    from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified_i8
+
+    q, corpus, valid = setup(rng, b=8)
+    corpus = corpus * valid[:, None]  # dead rows zeroed BEFORE quantization
+    codes, scales = quantize_rows(corpus)
+    s, p, ok = two_level_topk_certified_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
+    assert bool(ok)
+    s2, p2 = two_level_topk_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-6)
+
+
+def test_certified_i8_falls_back_on_negative_topk(rng):
+    from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
+    from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified_i8
+
+    d = 64
+    v = rng.standard_normal(d).astype(np.float32)
+    corpus = v[None, :] + 0.1 * rng.standard_normal((2048, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    codes, scales = quantize_rows(corpus)
+    valid = np.ones(2048, bool)
+    q = -v[None, :].astype(np.float32)
+    s, p, ok = two_level_topk_certified_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
+    assert not bool(ok)
+    s2, p2 = two_level_topk_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+
+
+def test_flat_index_i8_stream_path(rng):
+    import jax.numpy as jnp2
+
+    idx = DeviceFlatIndex(dim=64, metric="cosine", capacity=4096, dtype=jnp2.int8)
+    idx._force_stream = True
+    vecs = rng.standard_normal((3000, 64)).astype(np.float32)
+    pos = idx.add(vecs)
+    idx.mark_deleted(pos[200:240])
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    s, p = idx.search(q, 5)
+    assert idx.stats()["stream_certified"] is True
+
+    ref = DeviceFlatIndex(dim=64, metric="cosine", capacity=4096, dtype=jnp2.int8)
+    ref.add(vecs)
+    ref.mark_deleted(pos[200:240])
+    s2, p2 = ref.search(q, 5)
+    np.testing.assert_array_equal(p, p2)
+    np.testing.assert_allclose(s, s2, rtol=1e-5, atol=1e-6)

@@ -141,6 +141,15 @@ def main() -> None:
                     q, emb, valid, sqnorm, args.k,
                     g=cfg.get("g", 32), tile_n=cfg["tile_n"],
                 )[:2]
+            elif kind == "i8_stream":
+                from rag_arc_tpu.ops.two_level_stream import (
+                    two_level_topk_certified_i8,
+                )
+
+                fn = lambda q: two_level_topk_certified_i8(  # noqa: E731
+                    q, emb_i8, row_scale, valid, args.k,
+                    g=cfg.get("g", 32), tile_n=cfg["tile_n"],
+                )[:2]
             elif kind == "i8":
                 fn = lambda q: two_level_topk_i8(  # noqa: E731
                     q, emb_i8, row_scale, valid, args.k,
