@@ -309,7 +309,19 @@ class DeviceFlatIndex:
             return False
         if self._force_stream:
             return True
+        if self.quantized:
+            # the int8 stream kernel needs a per-row scale stream, and
+            # Mosaic rejects the (tile_n, 1) manual DMA it would take
+            # (measured: dma_only repro fails compile) — int8 stays on the
+            # grid producer on real TPUs; interpret mode (_force_stream)
+            # exercises the kernel for tests
+            return False
         if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        # Mosaic rejects the stream kernel below 128 query lanes (B is the
+        # minor axis of the staging buffer / output DMA): b=96 fails
+        # compile, b=128 works. Serving buckets below 128 use the grid path
+        if b < 128 or b % 128 != 0:
             return False
         if 4 * b * self.capacity <= self.SCORE_BYTES_BUDGET:
             return False

@@ -151,7 +151,11 @@ def subtile_max_stream(
     masked: bool = True,
 ) -> jax.Array:
     """(N/g, B) sub-tile maxima — streaming producer for two_level's
-    select/rescore stages. Whole query batch in one kernel invocation."""
+    select/rescore stages. Whole query batch in one kernel invocation.
+
+    On real TPUs B must be a multiple of 128 (B is the minor axis of the
+    staging buffer and output DMA; Mosaic rejects partial-lane tiles —
+    b=96 fails compile, b=128 works). Interpret mode accepts any B."""
     n, d = corpus.shape
     b = queries.shape[0]
     if n % tile_n or tile_n % 128 or 128 % g:
@@ -328,7 +332,15 @@ def two_level_topk_certified_i8(
     zeroed dead codes score exactly 0 under the quantized metric, and the
     reported scores carry the (positive) per-query scale, so sign is
     preserved — returned kth score > 0 certifies complete capture under
-    the quantized metric. Fallback: the masked int8 grid path."""
+    the quantized metric. Fallback: the masked int8 grid path.
+
+    STATUS: interpret-mode only. On real TPUs Mosaic rejects the manual
+    (tile_n, 1) DMA the per-row scale stream requires (isolated repro:
+    a kernel that only starts/waits that copy fails compile), so the flat
+    index keeps int8 on the grid producer (19.1 ms at the bench shape —
+    within noise of the bf16 stream anyway). Productionizing would take a
+    per-128-row-block shared scale so the multiply can move outside the
+    kernel; parked as a round-3 candidate."""
     qnorm = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
     q_i8, qscale = quantize_queries(queries)
     sub = subtile_max_stream_i8(
