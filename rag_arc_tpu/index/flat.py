@@ -50,6 +50,8 @@ logger = logging.getLogger(__name__)
 
 ADD_BLOCK = 1024  # minimum add granularity (pads small adds up to this)
 QUERY_BUCKETS = (1, 8, 32, 128, 512)  # query-batch padding buckets
+QUANT_BLOCK = 32  # int8 mode: rows per shared quantization scale (= the
+#                   two-level kernels' default sub-tile g)
 
 
 def _pad_pow2(n: int, minimum: int) -> int:
@@ -108,6 +110,7 @@ class DeviceFlatIndex:
         self.capacity = round_up(max(capacity, self._row_multiple), self._row_multiple)
         self.size = 0  # high-water mark of written rows
         self.n_deleted = 0
+        self._gap_rows = 0  # int8 block-alignment padding rows (never valid)
         self._alloc(self.capacity)
 
     # -- allocation / sharding --------------------------------------------
@@ -165,19 +168,26 @@ class DeviceFlatIndex:
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-12)
         if self.quantized:
-            from rag_arc_tpu.ops.two_level import quantize_rows
+            from rag_arc_tpu.ops.two_level import quantize_rows_blocked
 
-            vectors, sqnorm = quantize_rows(vectors)  # codes + row scales
+            # ONE scale per 32-row aligned block (= the stream kernel's
+            # sub-tile): raw int32 sub-maxes scale exactly outside the
+            # kernel, so the certified int8 stream path stays exact under
+            # the blocked-quantized metric. Adds pad the write cursor to
+            # the block size; the ≤31 gap rows stay invalid (zero codes)
+            vectors, sqnorm = quantize_rows_blocked(vectors, QUANT_BLOCK)
+            n_write = vectors.shape[0]
         else:
             sqnorm = (vectors * vectors).sum(axis=1).astype(np.float32)
+            n_write = n
 
         start = self.size
-        padded = _pad_pow2(n, ADD_BLOCK)
+        padded = _pad_pow2(n_write, ADD_BLOCK)
         self._grow_to(start + padded)
         block = np.zeros((padded, self.dim), dtype=vectors.dtype)
-        block[:n] = vectors
+        block[:n_write] = vectors
         block_sq = np.zeros((padded,), dtype=np.float32)
-        block_sq[:n] = sqnorm
+        block_sq[:n_write] = sqnorm
 
         self.emb, self.valid, self.sqnorm = _add_block(
             self.emb,
@@ -188,7 +198,8 @@ class DeviceFlatIndex:
             jnp.int32(start),
             jnp.int32(n),
         )
-        self.size = start + n
+        self.size = start + n_write
+        self._gap_rows += n_write - n
         return np.arange(start, start + n, dtype=np.int64)
 
     def mark_deleted(self, positions: np.ndarray) -> None:
@@ -227,6 +238,7 @@ class DeviceFlatIndex:
         mapping = {int(old): new for new, old in enumerate(keep)}
         self.size = 0
         self.n_deleted = 0
+        self._gap_rows = 0  # re-adding below re-creates alignment gaps
         self._alloc(self.capacity)
         if keep.size:
             kept = emb[keep]
@@ -309,13 +321,6 @@ class DeviceFlatIndex:
             return False
         if self._force_stream:
             return True
-        if self.quantized:
-            # the int8 stream kernel needs a per-row scale stream, and
-            # Mosaic rejects the (tile_n, 1) manual DMA it would take
-            # (measured: dma_only repro fails compile) — int8 stays on the
-            # grid producer on real TPUs; interpret mode (_force_stream)
-            # exercises the kernel for tests
-            return False
         if jax.default_backend() not in ("tpu", "axon"):
             return False
         # Mosaic rejects the stream kernel below 128 query lanes (B is the
@@ -601,7 +606,7 @@ class DeviceFlatIndex:
 
     @property
     def n_active(self) -> int:
-        return self.size - self.n_deleted
+        return self.size - self.n_deleted - self._gap_rows
 
     def stats(self) -> Dict[str, object]:
         out = {
@@ -613,6 +618,7 @@ class DeviceFlatIndex:
             "active": self.n_active,
             "deleted": self.n_deleted,
             "dtype": str(self.dtype),
+            "gap_rows": self._gap_rows,
             "shards": self.n_shards,
             "hbm_bytes": self.capacity * self.dim * jnp.dtype(self.dtype).itemsize,
         }

@@ -105,6 +105,39 @@ def quantize_rows(vectors, axis: int = -1):
     return codes, scale.squeeze(axis).astype(_np.float32)
 
 
+def quantize_rows_blocked(vectors, block: int = 32):
+    """Symmetric int8 quantization with ONE shared scale per ``block``
+    consecutive rows (the streaming kernel's sub-tile). Pads the row count
+    up to a block multiple (zero rows, scale shared with their block).
+
+    Why blocks: when every row of a sub-tile shares its scale, the raw
+    int32 sub-tile max times that scale IS the exact scaled sub-max — the
+    streaming int8 producer needs no per-row scale stream (Mosaic rejects
+    the (tile_n, 1) DMA) and no upper-bound slack; the classic two-level
+    selection proof applies unchanged under the blocked-quantized metric.
+    Cost vs per-row scales: rows whose amax is below their block's max
+    use proportionally fewer levels (recall impact is measured, not
+    assumed — see tests and the bench).
+
+    Returns (codes (n_pad, d) int8, scales (n_pad,) f32 expanded per row).
+    """
+    import numpy as _np
+
+    vectors = _np.asarray(vectors, dtype=_np.float32)
+    n, d = vectors.shape
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        vectors = _np.concatenate(
+            [vectors, _np.zeros((n_pad - n, d), dtype=_np.float32)]
+        )
+    blocks = vectors.reshape(n_pad // block, block, d)
+    amax = _np.abs(blocks).max(axis=(1, 2), keepdims=True)
+    scale = _np.maximum(amax, 1e-12) / 127.0
+    codes = _np.clip(_np.rint(blocks / scale), -127, 127).astype(_np.int8)
+    scales = _np.repeat(scale[:, 0, 0].astype(_np.float32), block)
+    return codes.reshape(n_pad, d), scales
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "g", "tile_n", "q_block", "interpret"),
@@ -178,10 +211,19 @@ def select_rescore_i8(q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g):
     gather + rescore with the SAME int8 arithmetic as pass 1, global
     top-k. Shared by the grid producer above and the streaming producer
     (ops/two_level_stream.py)."""
-    b = q_i8.shape[0]
     n_sub = sub_max_t.shape[0]
     k_tiles = min(k, n_sub)
     top_sub, sel_live = _iterative_argmax(sub_max_t.T, k_tiles)
+    s, pos = rescore_i8(q_i8, corpus, row_scale, valid, top_sub, sel_live, k, g)
+    return fold_qscale(s, pos, qscale, k)
+
+
+def rescore_i8(q_i8, corpus, row_scale, valid, top_sub, sel_live, k, g):
+    """Gather the selected sub-tiles' rows and rescore exactly under the
+    per-row int8 metric. Returns RAW scores (codes·codes × row_scale, no
+    per-query fold) so callers can compare against same-unit bounds."""
+    b = q_i8.shape[0]
+    k_tiles = top_sub.shape[1]
     rows = (
         top_sub[:, :, None] * g + jnp.arange(g, dtype=top_sub.dtype)[None, None, :]
     ).reshape(b, k_tiles * g)
@@ -201,13 +243,35 @@ def select_rescore_i8(q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g):
     s, ci = jax.lax.top_k(cscores, k_out)
     pos = jnp.take_along_axis(rows, ci, axis=1).astype(jnp.int32)
     pos = jnp.where(s <= NEG * 0.5, -1, pos)
-    # report scores in the cosine range: fold the per-query scale back in
+    return s, pos
+
+
+def fold_qscale(s, pos, qscale, k):
+    """Fold the per-query quantization scale into raw int8-metric scores
+    (reporting them in the cosine range) and pad out to k columns."""
     s = jnp.where(s <= NEG * 0.5, s, s * qscale)
+    k_out = s.shape[1]
     if k_out < k:
         pad = k - k_out
         s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG)
         pos = jnp.pad(pos, ((0, 0), (0, pad)), constant_values=-1)
     return s, pos
+
+
+def iterative_argmax_resid(x: jax.Array, k: int):
+    """Like ``_iterative_argmax`` but additionally returns the row-max of
+    the UNSELECTED remainder — the a-posteriori bound the streaming int8
+    path's certificate compares against."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    out = []
+    live = []
+    for _ in range(k):
+        best = jnp.max(x, axis=1)
+        idx = jnp.argmax(x, axis=1).astype(jnp.int32)
+        out.append(idx)
+        live.append(best > NEG * 0.5)
+        x = jnp.where(cols == idx[:, None], NEG, x)
+    return jnp.stack(out, axis=1), jnp.stack(live, axis=1), jnp.max(x, axis=1)
 
 
 def _iterative_argmax(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:

@@ -39,7 +39,6 @@ from rag_arc_tpu.ops.two_level import (
     NEG,
     quantize_queries,
     select_rescore,
-    select_rescore_i8,
     two_level_topk,
     two_level_topk_i8,
 )
@@ -94,11 +93,16 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
             if masked:
                 valid_dma(slot, i).wait()
 
+            int8_mode = corpus_hbm.dtype == jnp.int8
             scores = jax.lax.dot_general(
                 corpus_buf[slot],
                 q,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                # int8 codes ride the int8 MXU path (2x the bf16 rate);
+                # the RAW int32 maxes ship out and the per-row scale
+                # applies outside the kernel as a selection upper bound
+                # (see two_level_topk_certified_i8)
+                preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
             )  # (tile_n, qb)
             s3 = scores.reshape(rows_out, g, qb)
             if masked:
@@ -114,7 +118,7 @@ def _stream_kernel(q_ref, corpus_hbm, valid_hbm, out_hbm, *, g: int,
             def _():
                 out_dma(slot, i - 2).wait()
 
-            stage[slot] = jnp.max(s3, axis=1)
+            stage[slot] = jnp.max(s3, axis=1).astype(jnp.float32)
             out_dma(slot, i).start()
             return 0
 
@@ -162,6 +166,9 @@ def subtile_max_stream(
         raise ValueError(
             "alignment: n % tile_n == 0, tile_n % 128 == 0, 128 % g == 0"
         )
+    if masked and corpus.dtype == jnp.int8:
+        raise ValueError("masked mode is f32/bf16-only; int8 uses the "
+                         "upper-bound certified path")
     n_tiles = n // tile_n
     kernel = functools.partial(
         _stream_kernel, g=g, tile_n=tile_n, n_tiles=n_tiles, masked=masked
@@ -189,132 +196,6 @@ def subtile_max_stream(
     )
 
 
-def _stream_kernel_i8(q_ref, corpus_hbm, scale_hbm, out_hbm, *, g: int,
-                      tile_n: int, n_tiles: int):
-    """Int8 streaming producer: codes dot on the int8 MXU (2x the bf16
-    rate), per-row dequant scale streamed as a (tile_n, 1) column — the
-    same broadcast the grid kernel uses, no lane-crossing reshape."""
-    qb = q_ref.shape[0]
-    d = q_ref.shape[1]
-    rows_out = tile_n // g
-
-    def body(corpus_buf, scale_buf, stage, copy_sem, scale_sem, out_sem):
-        q = q_ref[:]
-
-        def tile_dma(slot, i):
-            return pltpu.make_async_copy(
-                corpus_hbm.at[pl.ds(i * tile_n, tile_n), :],
-                corpus_buf.at[slot],
-                copy_sem.at[slot],
-            )
-
-        def scale_dma(slot, i):
-            return pltpu.make_async_copy(
-                scale_hbm.at[pl.ds(i * tile_n, tile_n), :],
-                scale_buf.at[slot],
-                scale_sem.at[slot],
-            )
-
-        def out_dma(slot, i):
-            return pltpu.make_async_copy(
-                stage.at[slot],
-                out_hbm.at[pl.ds(i * rows_out, rows_out), :],
-                out_sem.at[slot],
-            )
-
-        tile_dma(0, 0).start()
-        scale_dma(0, 0).start()
-
-        def step(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_tiles)
-            def _():
-                tile_dma(nxt, i + 1).start()
-                scale_dma(nxt, i + 1).start()
-
-            tile_dma(slot, i).wait()
-            scale_dma(slot, i).wait()
-
-            scores = jax.lax.dot_general(
-                corpus_buf[slot],
-                q,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (tile_n, qb) int32
-            scores = scores.astype(jnp.float32) * scale_buf[slot]
-            s3 = scores.reshape(rows_out, g, qb)
-
-            @pl.when(i >= 2)
-            def _():
-                out_dma(slot, i - 2).wait()
-
-            stage[slot] = jnp.max(s3, axis=1)
-            out_dma(slot, i).start()
-            return 0
-
-        jax.lax.fori_loop(0, n_tiles, step, 0)
-
-        @pl.when(n_tiles >= 2)
-        def _():
-            out_dma(jax.lax.rem(n_tiles - 2, 2), n_tiles - 2).wait()
-
-        out_dma(jax.lax.rem(n_tiles - 1, 2), n_tiles - 1).wait()
-
-    pl.run_scoped(
-        body,
-        corpus_buf=pltpu.VMEM((2, tile_n, d), jnp.int8),
-        scale_buf=pltpu.VMEM((2, tile_n, 1), jnp.float32),
-        stage=pltpu.VMEM((2, rows_out, qb), jnp.float32),
-        copy_sem=pltpu.SemaphoreType.DMA((2,)),
-        scale_sem=pltpu.SemaphoreType.DMA((2,)),
-        out_sem=pltpu.SemaphoreType.DMA((2,)),
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("g", "tile_n", "interpret")
-)
-def subtile_max_stream_i8(
-    q_i8: jax.Array,      # (B, d) int8 — pre-quantized by the caller
-    corpus: jax.Array,    # (N, d) int8 codes, DEAD ROWS ZEROED
-    row_scale: jax.Array, # (N,) f32 per-row dequant scale
-    g: int = 32,
-    tile_n: int = 2048,
-    interpret: bool = False,
-) -> jax.Array:
-    """(N/g, B) sub-tile maxima over scaled int8 scores — streaming
-    producer for the int8 select/rescore stages."""
-    n, d = corpus.shape
-    b = q_i8.shape[0]
-    if n % tile_n or tile_n % 128 or 128 % g:
-        raise ValueError(
-            "alignment: n % tile_n == 0, tile_n % 128 == 0, 128 % g == 0"
-        )
-    n_tiles = n // tile_n
-    kernel = functools.partial(
-        _stream_kernel_i8, g=g, tile_n=tile_n, n_tiles=n_tiles
-    )
-    return pl.pallas_call(
-        kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n // g, b), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d + 4 * n + 4 * b * (n // g),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(q_i8, corpus, row_scale.reshape(n, 1))
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "g", "tile_n", "interpret")
 )
@@ -328,28 +209,57 @@ def two_level_topk_certified_i8(
     tile_n: int = 2048,
     interpret: bool = False,
 ):
-    """Int8 variant of the certified streaming top-k. Same certificate:
-    zeroed dead codes score exactly 0 under the quantized metric, and the
-    reported scores carry the (positive) per-query scale, so sign is
-    preserved — returned kth score > 0 certifies complete capture under
-    the quantized metric. Fallback: the masked int8 grid path.
+    """Int8 certified streaming top-k — upper-bound selection.
 
-    STATUS: interpret-mode only. On real TPUs Mosaic rejects the manual
-    (tile_n, 1) DMA the per-row scale stream requires (isolated repro:
-    a kernel that only starts/waits that copy fails compile), so the flat
-    index keeps int8 on the grid producer (19.1 ms at the bench shape —
-    within noise of the bf16 stream anyway). Productionizing would take a
-    per-128-row-block shared scale so the multiply can move outside the
-    kernel; parked as a round-3 candidate."""
+    The maskless stream kernel outputs RAW int32 sub-tile maxes (int8
+    MXU path, no per-row scale stream — Mosaic rejects the (tile_n, 1)
+    manual DMA that would need). Selection then uses an admissible
+    per-sub-tile upper bound computed outside the kernel:
+
+        ub = smax·raw  if raw >= 0  else  smin·raw
+
+    where smax/smin are each sub-tile's max/min row scale. For any row r
+    in the sub-tile, score_r = s_r·x_r <= ub (case x_r >= 0: s_r <= smax;
+    case all x_r < 0: s_r >= smin flips under the negative sign), so the
+    bound never under-ranks a winner-bearing sub-tile. Rescore is exact
+    per-row int8 (identical to the grid path's metric), and the
+    a-posteriori certificate
+
+        returned k-th raw score >= max ub over UNSELECTED sub-tiles
+
+    proves no winner was left behind: an unselected row's score is <=
+    its sub-tile's ub <= that max <= s_k. On failure a ``lax.cond``
+    falls back to the masked int8 grid kernel in-program. Zero queries
+    (batch padding) are excused. RAW int32 maxes convert exactly to f32
+    for d <= 1040 (|dot| <= d·127² < 2^24).
+
+    Returns (scores (B, k) in the cosine range, positions, certified).
+    """
+    from rag_arc_tpu.ops.two_level import (
+        fold_qscale,
+        iterative_argmax_resid,
+        rescore_i8,
+    )
+
+    n = corpus.shape[0]
     qnorm = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
     q_i8, qscale = quantize_queries(queries)
-    sub = subtile_max_stream_i8(
-        q_i8, corpus, row_scale, g=g, tile_n=tile_n, interpret=interpret
+    raw = subtile_max_stream(
+        q_i8, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
+        masked=False,
+    )  # (N/g, B) f32 of raw int32 maxes
+    sg = row_scale.reshape(n // g, g)
+    smax = jnp.max(sg, axis=1)[:, None]  # (N/g, 1)
+    smin = jnp.min(sg, axis=1)[:, None]
+    ub = jnp.where(raw >= 0.0, smax * raw, smin * raw)
+
+    k_tiles = min(k, n // g)
+    top_sub, sel_live, max_unsel = iterative_argmax_resid(ub.T, k_tiles)
+    s_raw, pos = rescore_i8(
+        q_i8, corpus, row_scale, valid, top_sub, sel_live, k, g
     )
-    s, pos = select_rescore_i8(
-        q_i8, qscale, corpus, row_scale, valid, sub, k, g
-    )
-    ok = jnp.all((s[:, -1] > 0.0) | (qnorm == 0.0))
+    ok = jnp.all((s_raw[:, -1] >= max_unsel) | (qnorm == 0.0))
+    s, pos = fold_qscale(s_raw, pos, qscale, k)
 
     def fallback(args):
         q, c, rs, v = args

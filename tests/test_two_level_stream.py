@@ -158,18 +158,44 @@ def test_flat_index_stream_fallback_exact(rng):
 # -- int8 certified stream path ---------------------------------------------
 
 
-def test_certified_i8_matches_grid_i8(rng):
+def test_certified_i8_equal_scales_certifies(rng):
+    """With equal per-row scales the upper bound IS the exact scaled
+    sub-max, so the certificate must pass and results equal the grid."""
     from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
     from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified_i8
 
     q, corpus, valid = setup(rng, b=8)
     corpus = corpus * valid[:, None]  # dead rows zeroed BEFORE quantization
-    codes, scales = quantize_rows(corpus)
+    # force equal amax per live row -> equal quantization scales
+    amax = np.abs(corpus).max(axis=1, keepdims=True)
+    corpus = np.where(amax > 0, corpus * (0.2 / np.maximum(amax, 1e-12)), 0.0)
+    codes, scales = quantize_rows(corpus.astype(np.float32))
     s, p, ok = two_level_topk_certified_i8(
         jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
         jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
     )
     assert bool(ok)
+    s2, p2 = two_level_topk_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-6)
+
+
+def test_certified_i8_varying_scales_still_exact(rng):
+    """With varying per-row scales the bound may be loose and trip the
+    fallback — either way results must equal the grid path exactly."""
+    from rag_arc_tpu.ops.two_level import quantize_rows, two_level_topk_i8
+    from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified_i8
+
+    q, corpus, valid = setup(rng, b=8)
+    corpus = corpus * valid[:, None]
+    codes, scales = quantize_rows(corpus)
+    s, p, ok = two_level_topk_certified_i8(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
+    )
     s2, p2 = two_level_topk_i8(
         jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
         jnp.asarray(valid), k=5, tile_n=1024, interpret=True,
@@ -211,6 +237,8 @@ def test_flat_index_i8_stream_path(rng):
     idx.mark_deleted(pos[200:240])
     q = rng.standard_normal((6, 64)).astype(np.float32)
     s, p = idx.search(q, 5)
+    # block-shared scales make the upper bound exact, so a positive top-k
+    # must certify without the fallback
     assert idx.stats()["stream_certified"] is True
 
     ref = DeviceFlatIndex(dim=64, metric="cosine", capacity=4096, dtype=jnp2.int8)
