@@ -183,7 +183,17 @@ class DeviceFlatIndex:
 
         start = self.size
         padded = _pad_pow2(n_write, ADD_BLOCK)
-        self._grow_to(start + padded)
+        if start + padded > self.capacity:
+            # The pow2 block bucketing (bounded compile count) would spill
+            # past capacity even though the ROWS fit — e.g. the final
+            # chunk of an exactly-sized build. Growing here would double
+            # HBM for pure padding (and silently double every subsequent
+            # scan's cost); use an exact-fit ADD_BLOCK-aligned tail block
+            # instead (one extra compile per capacity-full event).
+            if start + n_write <= self.capacity:
+                padded = min(round_up(n_write, ADD_BLOCK), self.capacity - start)
+            else:
+                self._grow_to(start + padded)
         block = np.zeros((padded, self.dim), dtype=vectors.dtype)
         block[:n_write] = vectors
         block_sq = np.zeros((padded,), dtype=np.float32)
@@ -250,7 +260,11 @@ class DeviceFlatIndex:
             # rows were normalized/prepared at original add time
             sqnorm = (kept * kept).sum(axis=1).astype(np.float32)
             padded = _pad_pow2(keep.size, ADD_BLOCK)
-            self._grow_to(padded)
+            if padded > self.capacity:
+                if keep.size <= self.capacity:
+                    padded = min(round_up(keep.size, ADD_BLOCK), self.capacity)
+                else:
+                    self._grow_to(padded)
             block = np.zeros((padded, self.dim), dtype=np.float32)
             block[: keep.size] = kept
             block_sq = np.zeros((padded,), dtype=np.float32)
