@@ -111,6 +111,7 @@ class DeviceFlatIndex:
         self.size = 0  # high-water mark of written rows
         self.n_deleted = 0
         self._gap_rows = 0  # int8 block-alignment padding rows (never valid)
+        self._tail_scale = 0.0  # int8: scale of the partial tail block
         self._alloc(self.capacity)
 
     # -- allocation / sharding --------------------------------------------
@@ -167,21 +168,55 @@ class DeviceFlatIndex:
         if self.metric == "cosine":
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-12)
+        start = self.size
         if self.quantized:
             from rag_arc_tpu.ops.two_level import quantize_rows_blocked
 
-            # ONE scale per 32-row aligned block (= the stream kernel's
+            # ONE scale per 32-row ALIGNED block (= the stream kernel's
             # sub-tile): raw int32 sub-maxes scale exactly outside the
             # kernel, so the certified int8 stream path stays exact under
-            # the blocked-quantized metric. Adds pad the write cursor to
-            # the block size; the ≤31 gap rows stay invalid (zero codes)
-            vectors, sqnorm = quantize_rows_blocked(vectors, QUANT_BLOCK)
-            n_write = vectors.shape[0]
+            # the blocked-quantized metric. A partial tail block is
+            # FILLED by the next add using the cached tail-block scale
+            # (codes must share their block's scale), so single-doc adds
+            # don't burn a block each; only when a new row's amax exceeds
+            # the tail block's range does the cursor realign, leaving
+            # <= 31 gap rows (zero codes, never valid).
+            used = start % QUANT_BLOCK
+            code_parts, scale_parts = [], []
+            rest = vectors
+            if used:
+                head = rest[: QUANT_BLOCK - used]
+                amax = float(np.abs(head).max()) if head.size else 0.0
+                if self._tail_scale > 0 and amax <= 127.0 * self._tail_scale:
+                    code_parts.append(
+                        np.clip(
+                            np.rint(head / self._tail_scale), -127, 127
+                        ).astype(np.int8)
+                    )
+                    scale_parts.append(
+                        np.full(len(head), self._tail_scale, np.float32)
+                    )
+                    rest = rest[len(head):]
+                else:
+                    gap = QUANT_BLOCK - used
+                    self._gap_rows += gap
+                    start += gap
+            if len(rest):
+                c, s = quantize_rows_blocked(rest, QUANT_BLOCK)
+                code_parts.append(c[: len(rest)])
+                scale_parts.append(s[: len(rest)])
+                self._tail_scale = float(s[len(rest) - 1])
+            vectors = np.concatenate(code_parts) if code_parts else rest
+            sqnorm = (
+                np.concatenate(scale_parts)
+                if scale_parts
+                else np.empty(0, np.float32)
+            )
+            n_write = n
         else:
             sqnorm = (vectors * vectors).sum(axis=1).astype(np.float32)
             n_write = n
 
-        start = self.size
         padded = _pad_pow2(n_write, ADD_BLOCK)
         if start + padded > self.capacity:
             # The pow2 block bucketing (bounded compile count) would spill
@@ -208,8 +243,7 @@ class DeviceFlatIndex:
             jnp.int32(start),
             jnp.int32(n),
         )
-        self.size = start + n_write
-        self._gap_rows += n_write - n
+        self.size = start + n
         return np.arange(start, start + n, dtype=np.int64)
 
     def mark_deleted(self, positions: np.ndarray) -> None:
@@ -231,6 +265,35 @@ class DeviceFlatIndex:
         )
         self.n_deleted += int(positions.size)
 
+    def restore_rows(
+        self,
+        rows: np.ndarray,
+        aux: np.ndarray,
+        valid: np.ndarray,
+        n_deleted: int = 0,
+        gap_rows: int = 0,
+    ) -> None:
+        """Place snapshot rows directly (no re-quantization): ``rows`` are
+        stored values (int8 codes in quantized mode), ``aux`` the sqnorm /
+        scale column, ``valid`` the per-row liveness. Bit-exact restore
+        path for quantized snapshots (index/persistence.py)."""
+        size = int(len(rows))
+        if size == 0:
+            return
+        self._grow_to(round_up(size, self._row_multiple))
+        self.emb = _paste(self.emb, jnp.asarray(rows, dtype=self.dtype))
+        self.sqnorm = _paste_1d(self.sqnorm, jnp.asarray(aux, dtype=jnp.float32))
+        self.valid = _paste_1d(self.valid, jnp.asarray(valid, dtype=jnp.bool_))
+        self.size = size
+        self.n_deleted = int(n_deleted)
+        self._gap_rows = int(gap_rows)
+        if self.quantized and size % QUANT_BLOCK:
+            # rows always follow a realignment gap, so the row at size-1
+            # carries the (partial) tail block's scale
+            self._tail_scale = float(np.asarray(aux)[size - 1])
+        else:
+            self._tail_scale = 0.0
+
     def compact(self) -> Dict[int, int]:
         """Drop tombstoned rows; returns old→new position mapping.
 
@@ -248,7 +311,8 @@ class DeviceFlatIndex:
         mapping = {int(old): new for new, old in enumerate(keep)}
         self.size = 0
         self.n_deleted = 0
-        self._gap_rows = 0  # re-adding below re-creates alignment gaps
+        self._gap_rows = 0
+        self._tail_scale = 0.0
         self._alloc(self.capacity)
         if keep.size:
             kept = emb[keep]
@@ -324,14 +388,20 @@ class DeviceFlatIndex:
     _last_certified = None
 
     def _stream_eligible(self, b: int) -> bool:
-        """Can the maskless streaming producer run this search? Requires
+        """Can the maskless streaming producer run this search? Gates the
+        bf16/f32 certified stream AND the int8 certified stream (the
+        quantized branch of search_device calls this first). Requires
         dead rows zeroed (mark_deleted guarantees it), cosine/ip, a
-        single-device unquantized corpus, and the whole query batch + two
-        corpus tiles fitting VMEM (the stream kernel takes B in one
-        invocation — no query grid axis)."""
+        single-device corpus, and the whole query batch + two corpus
+        tiles fitting VMEM (the stream kernel takes B in one invocation —
+        no query grid axis)."""
         if self.mesh is not None:
             return False
         if self.metric not in ("cosine", "ip"):
+            return False
+        if self.quantized and self.dim > 1040:
+            # the int8 certificate needs raw int32 dots to convert to f32
+            # exactly: |dot| <= dim * 127^2 must stay under 2^24
             return False
         if self._force_stream:
             return True

@@ -518,7 +518,16 @@ def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, 
     quantized = lists.dtype == jnp.int8
     if metric == "cosine":
         q = l2_normalize(q)
-    cross = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    # quantized mode reuses q·c as the DOMINANT score term, so it must be
+    # a true f32 product — TPU default precision runs bf16 passes, which
+    # would swamp the fine residual grid (CLAUDE.md precision rule). The
+    # unquantized path only ranks clusters with it; default is fine there.
+    cross = jnp.dot(
+        q,
+        centroids.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if lists.dtype == jnp.int8 else None,
+    )
     if metric == "l2":
         c_sq = jnp.sum(centroids * centroids, axis=1)
         c_scores = 2.0 * cross - c_sq[None, :]

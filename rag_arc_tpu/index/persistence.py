@@ -66,17 +66,30 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         "index_kind": None if index is None else index.stats()["kind"],
     }
     if isinstance(index, DeviceFlatIndex):
-        emb = np.asarray(
-            jax.device_get(index.emb[: index.size]), dtype=np.float32
-        )
         if getattr(index, "quantized", False):
-            # snapshot dequantized f32; load re-quantizes (scale round-trips)
-            scale = np.asarray(jax.device_get(index.sqnorm[: index.size]))
-            emb = emb * scale[:, None]
-        np.save(path / "emb.npy", emb)
+            # snapshot RAW int8 codes + per-row (block) scales: bit-exact
+            # round trip — re-adding dequantized rows would re-normalize
+            # (dequantized rows are not unit-norm) and perturb every code
+            np.save(
+                path / "emb.npy",
+                np.asarray(jax.device_get(index.emb[: index.size])),
+            )
+            np.save(
+                path / "scales.npy",
+                np.asarray(jax.device_get(index.sqnorm[: index.size])),
+            )
+        else:
+            np.save(
+                path / "emb.npy",
+                np.asarray(
+                    jax.device_get(index.emb[: index.size]), dtype=np.float32
+                ),
+            )
         np.save(path / "valid.npy", np.asarray(jax.device_get(index.valid[: index.size])))
         manifest["size"] = index.size
         manifest["quantized"] = bool(getattr(index, "quantized", False))
+        manifest["n_deleted"] = index.n_deleted
+        manifest["gap_rows"] = index._gap_rows
     elif isinstance(index, DeviceIVFIndex):
         np.save(path / "centroids.npy", np.asarray(jax.device_get(index.centroids)))
         # quantized lists snapshot as raw int8 residual codes (+ scales in
@@ -143,12 +156,23 @@ def load_store(
         emb = np.load(path / "emb.npy")
         valid = np.load(path / "valid.npy")
         if emb.size:
-            # saved rows already went through add-time preprocessing
-            # (cosine rows are unit-norm, so re-adding is a no-op transform)
-            store.index.add(emb)
-            dead = np.nonzero(~valid)[0]
-            if dead.size:
-                store.index.mark_deleted(dead)
+            if manifest.get("quantized") and (path / "scales.npy").exists():
+                # raw-code snapshot: place codes directly, bit-exact
+                store.index.restore_rows(
+                    emb,
+                    np.load(path / "scales.npy"),
+                    valid,
+                    n_deleted=manifest.get("n_deleted", 0),
+                    gap_rows=manifest.get("gap_rows", 0),
+                )
+            else:
+                # f32 snapshot (incl. legacy quantized ones): rows already
+                # went through add-time preprocessing (cosine rows are
+                # unit-norm, so re-adding is a no-op transform)
+                store.index.add(emb)
+                dead = np.nonzero(~valid)[0]
+                if dead.size:
+                    store.index.mark_deleted(dead)
     elif kind == "ivf":
         index = DeviceIVFIndex(
             dim=manifest["dim"],

@@ -349,8 +349,13 @@ class TPUVectorStore(VectorStore):
             if stale:
                 self.index.mark_deleted(np.asarray(stale))
             positions = self.index.add(vectors)
+            # record BEFORE auto-train: training may compact the index,
+            # and the docstore must hold these rows' positions when the
+            # compaction remap is applied (else fresh docs keep stale
+            # pre-compaction positions)
+            ids = self.docstore.add(documents, positions.tolist())
             self._maybe_train_ivf()
-            return self.docstore.add(documents, positions.tolist())
+            return ids
 
     def _maybe_train_ivf(self) -> None:
         """Convert the staging flat index to IVF once enough rows exist
@@ -367,17 +372,26 @@ class TPUVectorStore(VectorStore):
         from rag_arc_tpu.index.ivf import DeviceIVFIndex
 
         flat = self.index
+        if flat.n_deleted or flat._gap_rows:
+            # compact first so k-means never trains on tombstoned or
+            # int8 block-alignment gap rows (zero vectors drag a centroid
+            # toward the origin) and the IVF accounting starts clean;
+            # positions remap through the docstore like any compaction
+            self.docstore.reassign(flat.compact())
+        # compaction leaves live rows as a contiguous prefix (int8 mode
+        # re-creates at most one tail gap block), so the slice below holds
+        # exactly the live vectors at their final positions
+        n_live = flat.size - flat._gap_rows
         vectors = np.asarray(
-            jax.device_get(flat.emb[: flat.size]), dtype=np.float32
+            jax.device_get(flat.emb[:n_live]), dtype=np.float32
         )
         if flat.quantized:
             # staging rows are int8 codes; dequantize through the per-row
             # scale (sqnorm doubles as the scale in int8 mode)
-            scale = np.asarray(jax.device_get(flat.sqnorm[: flat.size]))
+            scale = np.asarray(jax.device_get(flat.sqnorm[:n_live]))
             vectors = vectors * scale[:, None]
-        valid = np.asarray(jax.device_get(flat.valid[: flat.size]))
         logger.info(
-            "training IVF (nlist=%d) over %d rows", self.nlist, flat.size
+            "training IVF (nlist=%d) over %d rows", self.nlist, n_live
         )
         import jax.numpy as jnp
 
@@ -389,10 +403,6 @@ class TPUVectorStore(VectorStore):
             dtype=self._dtype or jnp.float32,
             mesh=self.mesh,
         )
-        dead = np.nonzero(~valid)[0]
-        if dead.size:
-            ivf.mark_deleted(dead)
-            ivf.n_deleted = flat.n_deleted
         self.index = ivf
 
     def delete(self, ids: Sequence[str]) -> bool:

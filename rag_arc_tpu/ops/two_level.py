@@ -159,6 +159,13 @@ def two_level_topk_i8(
     dot scaled back to the cosine range (~0.1-0.5% from f32 — recall is
     measured, not assumed; see tests and the bench)."""
     n, d = corpus.shape
+    b_in = queries.shape[0]
+    # Mosaic's int8 dot lowers to the int32-accumulating MXU path only for
+    # matrix RHS — a (1, d) single-query RHS takes the matrix-vector rule,
+    # which rejects preferred_element_type=int32 (isolated repro on this
+    # backend: qb=1 fails, qb>=2 compiles). Pad one zero query and slice.
+    if b_in == 1:
+        queries = jnp.concatenate([queries, jnp.zeros_like(queries)])
     b = queries.shape[0]
     q_block = min(q_block, b)
     if tile_n % g != 0 or n % tile_n != 0 or b % q_block != 0:
@@ -190,9 +197,10 @@ def two_level_topk_i8(
         interpret=interpret,
     )(q_i8, corpus, scale_col, valid_col)
 
-    return select_rescore_i8(
+    s, pos = select_rescore_i8(
         q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g
     )
+    return s[:b_in], pos[:b_in]
 
 
 def quantize_queries(queries: jax.Array):
@@ -281,16 +289,8 @@ def _iterative_argmax(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     argmax re-picks column 0 — ``live`` marks those picks so the caller
     can mask them (otherwise a sub-tile's rows would enter the candidate
     set twice and could duplicate positions in the final top-k)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    out = []
-    live = []
-    for _ in range(k):
-        best = jnp.max(x, axis=1)  # (B,)
-        idx = jnp.argmax(x, axis=1).astype(jnp.int32)  # (B,)
-        out.append(idx)
-        live.append(best > NEG * 0.5)
-        x = jnp.where(cols == idx[:, None], NEG, x)
-    return jnp.stack(out, axis=1), jnp.stack(live, axis=1)
+    idx, live, _ = iterative_argmax_resid(x, k)
+    return idx, live
 
 
 @functools.partial(

@@ -316,3 +316,133 @@ class TestInt8Index:
         loaded = load_store(tmp_path / "snap", emb)
         assert loaded.index.quantized  # restored from the manifest
         assert loaded.similarity_search(texts[7], k=1)[0].content == texts[7]
+
+    def test_tail_block_fill_shares_scale(self, rng):
+        """Sequential small adds fill the partial tail block (shared
+        scale) instead of burning a 32-row block per add."""
+        data = rng.standard_normal((10, 16)).astype(np.float32)
+        i8 = DeviceFlatIndex(dim=16, capacity=1024, dtype=jnp.int8)
+        for row in data:
+            i8.add(row[None, :])
+        # cosine rows are unit-norm, so every row's amax is comparable;
+        # occasional realignment is allowed but most adds must coalesce
+        from rag_arc_tpu.index.flat import QUANT_BLOCK
+
+        assert i8._gap_rows < 9 * (QUANT_BLOCK - 1)
+        assert i8.size == 10 + i8._gap_rows
+        # each original row must find itself
+        _, p = i8.search(data, 1)
+        got = i8.take(p[:, 0])
+        want = data / np.linalg.norm(data, axis=1, keepdims=True)
+        np.testing.assert_allclose(got, want, atol=2e-2)
+
+    def test_tail_block_realigns_on_range_overflow(self, rng):
+        """A new row whose amax exceeds the tail block's int8 range forces
+        realignment (gap rows) instead of clipping it into the old scale."""
+        from rag_arc_tpu.index.flat import QUANT_BLOCK
+
+        i8 = DeviceFlatIndex(dim=16, capacity=1024, dtype=jnp.int8)
+        flat_row = np.ones((1, 16), dtype=np.float32)  # unit-norm: 0.25/dim
+        i8.add(flat_row)
+        spike = np.zeros((1, 16), dtype=np.float32)
+        spike[0, 0] = 1.0  # unit-norm amax 1.0 = 4x the tail scale range
+        i8.add(spike)
+        assert i8._gap_rows == QUANT_BLOCK - 1
+        assert i8.size == 1 + i8._gap_rows + 1
+        # both rows remain searchable and exact-ish
+        _, p = i8.search(np.concatenate([flat_row, spike]), 1)
+        assert p[0, 0] == 0
+        assert p[1, 0] == QUANT_BLOCK
+        # gap rows never surface as results
+        s, p = i8.search(spike, 5)
+        live = p[0][s[0] > -np.inf]
+        assert set(live) <= {0, QUANT_BLOCK}
+
+    def test_quantized_snapshot_bit_exact(self, rng, tmp_path):
+        """int8 snapshots store raw codes + scales; load places them
+        without re-quantization (identical codes, bookkeeping intact)."""
+        from rag_arc_tpu.index.persistence import load_store, save_store
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.models.embeddings import HashEmbeddings
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(emb, dtype=jnp.int8)
+        texts = [f"doc {i} body {i * 17 % 11}" for i in range(50)]
+        ids = store.add_texts(texts)
+        store.delete(ids[3:6])
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        idx, lidx = store.index, loaded.index
+        assert lidx.size == idx.size
+        assert lidx.n_deleted == idx.n_deleted
+        assert lidx._gap_rows == idx._gap_rows
+        assert lidx._tail_scale == idx._tail_scale
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(lidx.emb[: idx.size])),
+            np.asarray(jax.device_get(idx.emb[: idx.size])),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(lidx.sqnorm[: idx.size])),
+            np.asarray(jax.device_get(idx.sqnorm[: idx.size])),
+        )
+        q = emb.encode([texts[9]])
+        s0, p0 = idx.search(q, 5)
+        s1, p1 = lidx.search(q, 5)
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_array_equal(s0, s1)
+        # further adds after restore keep filling the tail block
+        loaded.add_texts(["post-restore doc"])
+        assert loaded.similarity_search("post-restore doc", k=1)[
+            0
+        ].content == "post-restore doc"
+
+    def test_legacy_f32_quantized_snapshot_loads(self, rng, tmp_path):
+        """Snapshots written before the raw-code format (dequantized f32
+        emb.npy, no scales.npy) still load via the re-add path."""
+        from rag_arc_tpu.index.persistence import load_store, save_store
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.models.embeddings import HashEmbeddings
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(emb, dtype=jnp.int8)
+        texts = [f"legacy doc {i}" for i in range(30)]
+        store.add_texts(texts)
+        snap = tmp_path / "snap"
+        save_store(store, snap)
+        # rewrite as the legacy format: dequantized f32 rows, no scales
+        codes = np.load(snap / "emb.npy")
+        scales = np.load(snap / "scales.npy")
+        np.save(snap / "emb.npy", codes.astype(np.float32) * scales[:, None])
+        (snap / "scales.npy").unlink()
+        loaded = load_store(snap, emb)
+        assert loaded.index.quantized
+        assert loaded.similarity_search(texts[4], k=1)[0].content == texts[4]
+
+
+class TestIVFAutoTrainCompaction:
+    def test_auto_train_compacts_tombstones(self, rng):
+        """Deletes before the IVF auto-train point must not leave zeroed
+        tombstone rows in the k-means training set; the docstore remaps
+        through the compaction."""
+        from rag_arc_tpu.index.ivf import DeviceIVFIndex
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.models.embeddings import HashEmbeddings
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore(
+            emb, index_type="ivf", nlist=4, nprobe=4, train_threshold=60
+        )
+        ids = store.add_texts([f"early doc {i}" for i in range(40)])
+        store.delete(ids[:10])
+        store.add_texts([f"late doc {i}" for i in range(40)])
+        assert isinstance(store.index, DeviceIVFIndex)
+        assert store.index.n_deleted == 0
+        # deleted docs are gone; surviving docs still resolve correctly
+        assert store.similarity_search("early doc 25", k=1)[0].content == (
+            "early doc 25"
+        )
+        assert store.similarity_search("late doc 3", k=1)[0].content == (
+            "late doc 3"
+        )
+        got = {d.content for d in store.similarity_search("early doc 5", k=50)}
+        assert "early doc 5" not in got
