@@ -27,10 +27,18 @@ def _bind():
     lib.hnsw_create.restype = ctypes.c_void_p
     lib.hnsw_create.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ]
     lib.hnsw_is_quantized.restype = ctypes.c_int
     lib.hnsw_is_quantized.argtypes = [ctypes.c_void_p]
+    lib.hnsw_pq_m.restype = ctypes.c_int
+    lib.hnsw_pq_m.argtypes = [ctypes.c_void_p]
+    lib.hnsw_is_trained.restype = ctypes.c_int
+    lib.hnsw_is_trained.argtypes = [ctypes.c_void_p]
+    lib.hnsw_train_pq.restype = ctypes.c_int
+    lib.hnsw_train_pq.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
     lib.hnsw_add.restype = ctypes.c_int64
     lib.hnsw_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
@@ -70,10 +78,16 @@ class HNSWIndex:
         ef_search: int = 64,
         seed: int = 0,
         quantize: bool = False,
+        pq_m: int = 0,
+        pq_train_threshold: int = 4096,
         _handle: Optional[int] = None,
     ):
         if metric not in _METRIC_CODE:
             raise ValueError(f"metric must be one of {sorted(_METRIC_CODE)}")
+        if quantize and pq_m:
+            raise ValueError("choose ONE of quantize (sq8) and pq_m (pq)")
+        if pq_m and dim % pq_m != 0:
+            raise ValueError(f"pq_m must divide dim ({dim} % {pq_m} != 0)")
         self._lib = _bind()
         self.dim = dim
         self.metric = metric
@@ -84,11 +98,23 @@ class HNSWIndex:
         # C++ engine — 4x less resident memory than f32 (FAISS IndexHNSWSQ
         # parity); graph traversal and scores use the quantized metric
         self.quantize = bool(quantize)
+        # PQ: pq_m bytes/vector via product-quantization codebooks (FAISS
+        # IndexHNSWPQ parity: m sub-spaces x 256 centroids; dim=768 m=96 →
+        # 32x less resident memory than f32). Codebooks need training, so
+        # vectors STAGE on the host until pq_train_threshold rows arrive;
+        # staged search is a brute-force scan (tiny n), mirroring the
+        # flat→IVF auto-train pattern (VectorStore_Faiss.py:181-184).
+        self.pq_m = int(pq_m)
+        self.pq_train_threshold = max(256, int(pq_train_threshold))
+        self._staged: list[np.ndarray] = []
+        self._staged_deleted: set[int] = set()
         self.n_deleted = 0
+        quant = 2 if pq_m else (1 if quantize else 0)
         self._handle = _handle if _handle is not None else self._lib.hnsw_create(
-            dim, M, ef_construction, _METRIC_CODE[metric], seed,
-            1 if quantize else 0,
+            dim, M, ef_construction, _METRIC_CODE[metric], seed, quant, pq_m,
         )
+        if not self._handle:
+            raise ValueError("hnsw_create rejected the configuration")
 
     def __del__(self):
         handle = getattr(self, "_handle", None)
@@ -107,6 +133,10 @@ class HNSWIndex:
             vectors = np.ascontiguousarray(vectors)
         return vectors
 
+    @property
+    def _trained(self) -> bool:
+        return bool(self._lib.hnsw_is_trained(self._handle))
+
     def add(self, vectors: np.ndarray) -> np.ndarray:
         vectors = self._prep(np.atleast_2d(vectors))
         if vectors.shape[1] != self.dim:
@@ -114,8 +144,68 @@ class HNSWIndex:
         n = vectors.shape[0]
         if n == 0:
             return np.empty((0,), dtype=np.int64)
+        if not self._trained:
+            start = len(self._staged)
+            self._staged.extend(vectors)
+            if len(self._staged) >= self.pq_train_threshold:
+                self._train_and_flush()
+            return np.arange(start, start + n, dtype=np.int64)
         start = self._lib.hnsw_add(self._handle, _fptr(vectors), n)
         return np.arange(start, start + n, dtype=np.int64)
+
+    def _train_and_flush(self) -> None:
+        """Train the PQ codebooks on the staged rows (up to 65536 used as
+        the k-means sample), then build the graph from them in staging
+        order — positions are preserved 1:1."""
+        staged = np.ascontiguousarray(np.stack(self._staged), dtype=np.float32)
+        sample = staged[:65536]
+        rc = self._lib.hnsw_train_pq(
+            self._handle, _fptr(sample), sample.shape[0]
+        )
+        if rc != 0:
+            raise RuntimeError("hnsw_train_pq failed")
+        self._lib.hnsw_add(self._handle, _fptr(staged), staged.shape[0])
+        if self._staged_deleted:
+            dead = np.ascontiguousarray(
+                sorted(self._staged_deleted), dtype=np.int64
+            )
+            self._lib.hnsw_mark_deleted(
+                self._handle,
+                dead.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                dead.size,
+            )
+        self._staged = []
+        self._staged_deleted = set()
+
+    def _search_staged(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact brute-force over the pre-training staging buffer (bounded
+        by pq_train_threshold rows, so this is small by construction)."""
+        nq = queries.shape[0]
+        scores = np.full((nq, k), -np.inf, dtype=np.float32)
+        ids = np.full((nq, k), -1, dtype=np.int64)
+        if not self._staged:
+            return scores, ids
+        corpus = np.stack(self._staged)
+        if self.metric == "l2":
+            s = -(
+                (queries**2).sum(1, keepdims=True)
+                - 2.0 * queries @ corpus.T
+                + (corpus**2).sum(1)[None, :]
+            )
+        else:
+            s = queries @ corpus.T
+        if self._staged_deleted:
+            s[:, sorted(self._staged_deleted)] = -np.inf
+        k_eff = min(k, corpus.shape[0])
+        top = np.argpartition(-s, k_eff - 1, axis=1)[:, :k_eff]
+        top_s = np.take_along_axis(s, top, axis=1)
+        order = np.argsort(-top_s, axis=1, kind="stable")
+        scores[:, :k_eff] = np.take_along_axis(top_s, order, axis=1)
+        ids[:, :k_eff] = np.take_along_axis(top, order, axis=1)
+        ids[np.isneginf(scores)] = -1
+        return scores, ids
 
     def search(
         self, queries: np.ndarray, k: int, ef: Optional[int] = None
@@ -123,6 +213,8 @@ class HNSWIndex:
         queries = self._prep(np.atleast_2d(queries))
         if k <= 0:
             raise ValueError("k must be positive")
+        if not self._trained:
+            return self._search_staged(queries, k)
         nq = queries.shape[0]
         scores = np.empty((nq, k), dtype=np.float32)
         ids = np.empty((nq, k), dtype=np.int64)
@@ -142,6 +234,10 @@ class HNSWIndex:
         positions = np.ascontiguousarray(positions, dtype=np.int64)
         if positions.size == 0:
             return
+        if not self._trained:
+            self._staged_deleted.update(int(p) for p in positions)
+            self.n_deleted += int(positions.size)
+            return
         self._lib.hnsw_mark_deleted(
             self._handle,
             positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -150,6 +246,8 @@ class HNSWIndex:
         self.n_deleted += int(positions.size)
 
     def take(self, positions: np.ndarray) -> np.ndarray:
+        if not self._trained:
+            return np.stack([self._staged[int(p)] for p in positions])
         out = np.empty((len(positions), self.dim), dtype=np.float32)
         for i, p in enumerate(positions):
             self._lib.hnsw_get_vector(self._handle, int(p), _fptr(out[i]))
@@ -157,13 +255,23 @@ class HNSWIndex:
 
     @property
     def size(self) -> int:
-        return int(self._lib.hnsw_size(self._handle))
+        return int(self._lib.hnsw_size(self._handle)) + len(self._staged)
 
     @property
     def n_active(self) -> int:
         return self.size - self.n_deleted
 
     def stats(self) -> Dict[str, object]:
+        if self.pq_m:
+            storage = "pq"
+            # per-vector codes + the shared codebooks
+            vector_bytes = self.size * self.pq_m + self.pq_m * 256 * (
+                self.dim // self.pq_m
+            ) * 4
+        elif self.quantize:
+            storage, vector_bytes = "sq8", self.size * self.dim
+        else:
+            storage, vector_bytes = "f32", self.size * self.dim * 4
         return {
             "kind": "hnsw",
             "dim": self.dim,
@@ -175,13 +283,27 @@ class HNSWIndex:
             "active": self.n_active,
             "deleted": self.n_deleted,
             "quantized": self.quantize,
-            "vector_bytes": self.size * self.dim * (1 if self.quantize else 4),
+            "storage": storage,
+            "pq_m": self.pq_m,
+            "pq_trained": self._trained,
+            "staged": len(self._staged),
+            "vector_bytes": vector_bytes,
             "backend": "native-c++",
         }
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str | Path) -> None:
+        if not self._trained:
+            # the snapshot format stores codebooks + codes; materialize
+            # them now (or fail loudly rather than write an empty file)
+            if len(self._staged) >= 256:
+                self._train_and_flush()
+            elif self._staged:
+                raise IOError(
+                    "cannot snapshot an untrained PQ index with fewer than "
+                    "256 staged rows; add more documents first"
+                )
         rc = self._lib.hnsw_save(self._handle, str(path).encode())
         if rc != 0:
             raise IOError(f"hnsw_save failed for {path}")
@@ -212,7 +334,12 @@ class HNSWIndex:
         index.ef_construction = efc
         index.metric = metric if metric_code == 0 else "l2"
         index.ef_search = ef_search
-        index.quantize = bool(lib.hnsw_is_quantized(handle))
+        quant = int(lib.hnsw_is_quantized(handle))  # 0=f32, 1=sq8, 2=pq
+        index.quantize = quant == 1
+        index.pq_m = int(lib.hnsw_pq_m(handle))
+        index.pq_train_threshold = 4096
+        index._staged = []
+        index._staged_deleted = set()
         # the snapshot preserves per-node deleted flags; count them so
         # n_active / compaction-threshold logic stays correct after load
         index.n_deleted = int(lib.hnsw_count_deleted(handle))

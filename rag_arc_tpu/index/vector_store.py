@@ -238,6 +238,7 @@ class TPUVectorStore(VectorStore):
         nprobe: int = 8,
         train_threshold: Optional[int] = None,
         docstore_path: Optional[str] = None,
+        hnsw_pq_m: int = 0,
     ):
         if index_type not in ("flat", "ivf", "hnsw"):
             raise ValueError(
@@ -269,6 +270,9 @@ class TPUVectorStore(VectorStore):
         # FAISS-parity auto-train point (VectorStore_Faiss.py:181-184):
         # rows accumulate in a flat index until the IVF can be trained
         self.train_threshold = train_threshold or max(100, nlist)
+        # hnsw_pq_m > 0 selects product-quantized HNSW storage (m bytes
+        # per vector, FAISS IndexHNSWPQ parity); 0 keeps f32/sq8
+        self.hnsw_pq_m = int(hnsw_pq_m)
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
             self._create_index(self._dim)
@@ -289,10 +293,15 @@ class TPUVectorStore(VectorStore):
             # host RAM), the same knob that selects the quantized device
             # kernel for index_type='flat'
             quantize = (
-                self._dtype is not None and _np.dtype(self._dtype) == _np.int8
+                self.hnsw_pq_m == 0
+                and self._dtype is not None
+                and _np.dtype(self._dtype) == _np.int8
             )
             self.index = HNSWIndex(
-                dim=dim, metric=self.metric, quantize=quantize
+                dim=dim,
+                metric=self.metric,
+                quantize=quantize,
+                pq_m=self.hnsw_pq_m,
             )
             self._dim = dim
             return

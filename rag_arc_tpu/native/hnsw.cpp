@@ -27,6 +27,8 @@ namespace {
 
 enum Metric { METRIC_IP = 0, METRIC_L2 = 1 };
 
+enum Quant { QUANT_F32 = 0, QUANT_SQ8 = 1, QUANT_PQ = 2 };
+
 struct Hnsw {
   int dim;
   int M;        // max neighbors per node, levels > 0
@@ -35,12 +37,22 @@ struct Hnsw {
   Metric metric;
   bool sq8;     // scalar int8 storage (per-vector symmetric scale): 4x
                 // less resident memory than f32, FAISS IndexHNSWSQ-style
+  bool pq;      // product quantization (FAISS IndexHNSWPQ-style): pq_m
+                // bytes/vector + shared codebooks; query-node distances via
+                // per-query ADC lookup tables (m adds instead of dim mults)
+  int pq_m = 0;    // sub-spaces (dim % pq_m == 0); 256 centroids each
+  int dsub = 0;    // dim / pq_m
+  bool pq_trained = false;
   double level_mult;
 
   int64_t n = 0;
   std::vector<float> data;                    // n * dim        (f32 mode)
   std::vector<int8_t> codes;                  // n * dim        (sq8 mode)
   std::vector<float> scales;                  // n              (sq8 mode)
+  std::vector<uint8_t> pqcodes;               // n * pq_m       (pq mode)
+  std::vector<float> pq_centroids;            // pq_m * 256 * dsub
+  std::vector<float> pq_sym;                  // pq_m * 256 * 256 symmetric
+                                              // distance contributions
   std::vector<int> levels;                    // per node
   std::vector<std::vector<std::vector<int>>> links;  // node -> level -> ids
   std::vector<uint8_t> deleted;
@@ -48,9 +60,12 @@ struct Hnsw {
   int max_level = -1;
   std::mt19937_64 rng;
 
-  Hnsw(int dim_, int m, int efc_, int metric_, uint64_t seed, bool sq8_)
+  Hnsw(int dim_, int m, int efc_, int metric_, uint64_t seed, int quant,
+       int pq_m_ = 0)
       : dim(dim_), M(m), maxM0(2 * m), efc(efc_),
-        metric(static_cast<Metric>(metric_)), sq8(sq8_),
+        metric(static_cast<Metric>(metric_)), sq8(quant == QUANT_SQ8),
+        pq(quant == QUANT_PQ), pq_m(pq_m_),
+        dsub(pq_m_ > 0 ? dim_ / pq_m_ : 0),
         level_mult(1.0 / std::log(std::max(2.0, double(m)))), rng(seed) {}
 
   inline const float* vec(int64_t id) const { return data.data() + id * dim; }
@@ -87,8 +102,167 @@ struct Hnsw {
     return acc;
   }
 
+  // -- product quantization ------------------------------------------------
+
+  inline const float* centroid(int j, int c) const {
+    return pq_centroids.data() + ((int64_t)j * 256 + c) * dsub;
+  }
+
+  // ADC lookup table for one query: lut[j*256 + c] is sub-space j's
+  // distance contribution if the node's j-th code is c. dist(q, node) is
+  // then pq_m table adds — cheaper than a dim-length dot product.
+  void build_lut(const float* q, float* lut) const {
+    for (int j = 0; j < pq_m; ++j) {
+      const float* qs = q + j * dsub;
+      for (int c = 0; c < 256; ++c) {
+        const float* cen = centroid(j, c);
+        float acc = 0.f;
+        if (metric == METRIC_IP) {
+          for (int t = 0; t < dsub; ++t) acc -= qs[t] * cen[t];
+        } else {
+          for (int t = 0; t < dsub; ++t) {
+            const float d = qs[t] - cen[t];
+            acc += d * d;
+          }
+        }
+        lut[(j << 8) + c] = acc;
+      }
+    }
+  }
+
+  inline float dist_lut(const float* lut, int64_t id) const {
+    const uint8_t* cd = pqcodes.data() + id * pq_m;
+    float acc = 0.f;
+    for (int j = 0; j < pq_m; ++j) acc += lut[(j << 8) + cd[j]];
+    return acc;
+  }
+
+  void encode_pq(const float* v, uint8_t* out) const {
+    for (int j = 0; j < pq_m; ++j) {
+      const float* vs = v + j * dsub;
+      int best = 0;
+      float best_d = 3.0e38f;
+      for (int c = 0; c < 256; ++c) {
+        const float* cen = centroid(j, c);
+        float acc = 0.f;
+        for (int t = 0; t < dsub; ++t) {
+          const float d = vs[t] - cen[t];
+          acc += d * d;
+        }
+        if (acc < best_d) {
+          best_d = acc;
+          best = c;
+        }
+      }
+      out[j] = (uint8_t)best;
+    }
+  }
+
+  // symmetric code-to-code tables (construction-time dist_nn): same
+  // smaller-is-closer convention as dist()
+  void build_sym_tables() {
+    pq_sym.assign((size_t)pq_m * 256 * 256, 0.f);
+    for (int j = 0; j < pq_m; ++j) {
+      float* tab = pq_sym.data() + (size_t)j * 256 * 256;
+      for (int a = 0; a < 256; ++a) {
+        const float* ca = centroid(j, a);
+        for (int b = a; b < 256; ++b) {
+          const float* cb = centroid(j, b);
+          float acc = 0.f;
+          if (metric == METRIC_IP) {
+            for (int t = 0; t < dsub; ++t) acc -= ca[t] * cb[t];
+          } else {
+            for (int t = 0; t < dsub; ++t) {
+              const float d = ca[t] - cb[t];
+              acc += d * d;
+            }
+          }
+          tab[(a << 8) + b] = acc;
+          tab[(b << 8) + a] = acc;
+        }
+      }
+    }
+  }
+
+  // per-sub-space k-means (Lloyd, L2 — standard for PQ regardless of the
+  // index metric); sub-spaces are independent, so they train in parallel
+  void train_pq(const float* sample, int64_t count, int iters = 12) {
+    pq_centroids.assign((size_t)pq_m * 256 * dsub, 0.f);
+    const int64_t hw = (int64_t)std::thread::hardware_concurrency();
+    const int64_t n_threads =
+        std::max<int64_t>(1, std::min<int64_t>({hw, (int64_t)pq_m, 16}));
+    std::atomic<int> next_j(0);
+    auto train_one = [&](int j) {
+      float* cents = pq_centroids.data() + (size_t)j * 256 * dsub;
+      // init: spread over the sample (deterministic stride)
+      for (int c = 0; c < 256; ++c) {
+        const int64_t src = ((int64_t)c * count) / 256;
+        std::memcpy(cents + c * dsub, sample + src * dim + j * dsub,
+                    sizeof(float) * dsub);
+      }
+      std::vector<int> assign(count);
+      std::vector<float> sums(256 * dsub);
+      std::vector<int64_t> counts(256);
+      for (int it = 0; it < iters; ++it) {
+        std::fill(sums.begin(), sums.end(), 0.f);
+        std::fill(counts.begin(), counts.end(), 0);
+        for (int64_t i = 0; i < count; ++i) {
+          const float* vs = sample + i * dim + j * dsub;
+          int best = 0;
+          float best_d = 3.0e38f;
+          for (int c = 0; c < 256; ++c) {
+            const float* cen = cents + c * dsub;
+            float acc = 0.f;
+            for (int t = 0; t < dsub; ++t) {
+              const float d = vs[t] - cen[t];
+              acc += d * d;
+            }
+            if (acc < best_d) {
+              best_d = acc;
+              best = c;
+            }
+          }
+          assign[i] = best;
+          counts[best]++;
+          float* s = sums.data() + best * dsub;
+          for (int t = 0; t < dsub; ++t) s[t] += vs[t];
+        }
+        for (int c = 0; c < 256; ++c) {
+          if (counts[c] == 0) {
+            // re-seed an empty cluster from a sample row (deterministic)
+            const int64_t src = (int64_t)(c * 2654435761u) % count;
+            std::memcpy(cents + c * dsub, sample + src * dim + j * dsub,
+                        sizeof(float) * dsub);
+            continue;
+          }
+          const float inv = 1.f / (float)counts[c];
+          float* cen = cents + c * dsub;
+          const float* s = sums.data() + c * dsub;
+          for (int t = 0; t < dsub; ++t) cen[t] = s[t] * inv;
+        }
+      }
+    };
+    auto run = [&]() {
+      int j;
+      while ((j = next_j.fetch_add(1)) < pq_m) train_one(j);
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(run);
+    for (auto& t : pool) t.join();
+    build_sym_tables();
+    pq_trained = true;
+  }
+
   // stored node vs stored node (graph construction / link shrinking)
   inline float dist_nn(int64_t a, int64_t b) const {
+    if (pq) {
+      const uint8_t* ca = pqcodes.data() + a * pq_m;
+      const uint8_t* cb = pqcodes.data() + b * pq_m;
+      float acc = 0.f;
+      for (int j = 0; j < pq_m; ++j)
+        acc += pq_sym[((size_t)j << 16) + ((size_t)ca[j] << 8) + cb[j]];
+      return acc;
+    }
     if (!sq8) return dist(vec(a), vec(b));
     const int8_t* ca = code(a);
     const int8_t* cb = code(b);
@@ -115,14 +289,21 @@ struct Hnsw {
 
   using Cand = std::pair<float, int>;  // (distance, id)
 
+  // query-vs-node distance through whichever storage mode is active; in
+  // PQ mode the caller supplies the query's ADC table
+  inline float dist_q(const float* q, const float* lut, int64_t id) const {
+    return pq ? dist_lut(lut, id) : dist_qn(q, id);
+  }
+
   // beam search within one layer. Returns up to `ef` closest candidates.
-  std::vector<Cand> search_layer(const float* q, int ep, int ef, int level,
+  std::vector<Cand> search_layer(const float* q, const float* lut, int ep,
+                                 int ef, int level,
                                  bool skip_deleted) const {
     std::vector<uint8_t> visited(n, 0);
     // candidates: min-heap by distance; results: max-heap by distance
     std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> cands;
     std::priority_queue<Cand> results;
-    const float d0 = dist_qn(q, ep);
+    const float d0 = dist_q(q, lut, ep);
     visited[ep] = 1;
     cands.push({d0, ep});
     if (!skip_deleted || !deleted[ep]) results.push({d0, ep});
@@ -137,7 +318,7 @@ struct Hnsw {
       for (const int nb : nbrs) {
         if (visited[nb]) continue;
         visited[nb] = 1;
-        const float d = dist_qn(q, nb);
+        const float d = dist_q(q, lut, nb);
         if ((int)results.size() < ef ||
             (!results.empty() && d < results.top().first)) {
           cands.push({d, nb});
@@ -200,7 +381,13 @@ struct Hnsw {
 
   int64_t add(const float* v) {
     const int64_t id = n++;
-    if (sq8) {
+    std::vector<float> lut;
+    if (pq) {
+      pqcodes.resize(pqcodes.size() + pq_m);
+      encode_pq(v, pqcodes.data() + id * pq_m);
+      lut.resize((size_t)pq_m * 256);
+      build_lut(v, lut.data());
+    } else if (sq8) {
       float amax = 0.f;
       for (int i = 0; i < dim; ++i) amax = std::max(amax, std::fabs(v[i]));
       const float scale = std::max(amax, 1e-12f) / 127.f;
@@ -225,14 +412,15 @@ struct Hnsw {
       return id;
     }
     int cur = entry;
+    const float* lutp = pq ? lut.data() : nullptr;
     // greedy descent through levels above the node's level
     for (int lc = max_level; lc > level; --lc) {
       bool improved = true;
-      float cur_d = dist_qn(v, cur);
+      float cur_d = dist_q(v, lutp, cur);
       while (improved) {
         improved = false;
         for (const int nb : links[cur][lc]) {
-          const float d = dist_qn(v, nb);
+          const float d = dist_q(v, lutp, nb);
           if (d < cur_d) {
             cur_d = d;
             cur = nb;
@@ -243,7 +431,8 @@ struct Hnsw {
     }
     // connect at each level from min(level, max_level) down to 0
     for (int lc = std::min(level, max_level); lc >= 0; --lc) {
-      auto cands = search_layer(v, cur, efc, lc, /*skip_deleted=*/false);
+      auto cands =
+          search_layer(v, lutp, cur, efc, lc, /*skip_deleted=*/false);
       const int m = lc == 0 ? maxM0 : M;
       auto nbrs = select_neighbors(cands, std::min(m, M));
       links[id][lc] = nbrs;
@@ -269,14 +458,20 @@ struct Hnsw {
       }
       return;
     }
+    std::vector<float> lut;
+    if (pq) {
+      lut.resize((size_t)pq_m * 256);
+      build_lut(q, lut.data());
+    }
+    const float* lutp = pq ? lut.data() : nullptr;
     int cur = entry;
-    float cur_d = dist_qn(q, cur);
+    float cur_d = dist_q(q, lutp, cur);
     for (int lc = max_level; lc >= 1; --lc) {
       bool improved = true;
       while (improved) {
         improved = false;
         for (const int nb : links[cur][lc]) {
-          const float d = dist_qn(q, nb);
+          const float d = dist_q(q, lutp, nb);
           if (d < cur_d) {
             cur_d = d;
             cur = nb;
@@ -286,7 +481,7 @@ struct Hnsw {
       }
     }
     auto cands =
-        search_layer(q, cur, std::max(ef, k), 0, /*skip_deleted=*/true);
+        search_layer(q, lutp, cur, std::max(ef, k), 0, /*skip_deleted=*/true);
     for (int i = 0; i < k; ++i) {
       if (i < (int)cands.size()) {
         // report score with larger-is-better semantics like the device
@@ -307,18 +502,37 @@ struct Hnsw {
 extern "C" {
 
 void* hnsw_create(int dim, int M, int ef_construction, int metric,
-                  uint64_t seed, int sq8) {
-  return new Hnsw(dim, M, ef_construction, metric, seed, sq8 != 0);
+                  uint64_t seed, int quant, int pq_m) {
+  if (quant == QUANT_PQ && (pq_m <= 0 || dim % pq_m != 0)) return nullptr;
+  return new Hnsw(dim, M, ef_construction, metric, seed, quant, pq_m);
 }
 
 int hnsw_is_quantized(void* h) {
-  return static_cast<Hnsw*>(h)->sq8 ? 1 : 0;
+  const Hnsw* x = static_cast<const Hnsw*>(h);
+  return x->pq ? QUANT_PQ : (x->sq8 ? QUANT_SQ8 : QUANT_F32);
+}
+
+int hnsw_pq_m(void* h) { return static_cast<Hnsw*>(h)->pq_m; }
+
+int hnsw_is_trained(void* h) {
+  const Hnsw* x = static_cast<const Hnsw*>(h);
+  return (!x->pq || x->pq_trained) ? 1 : 0;
+}
+
+// Train the PQ codebooks on `count` f32 sample rows (call once, before any
+// add). Returns 0 on success.
+int hnsw_train_pq(void* h, const float* sample, int64_t count) {
+  Hnsw* x = static_cast<Hnsw*>(h);
+  if (!x->pq || x->pq_trained || count < 256) return -1;
+  x->train_pq(sample, count);
+  return 0;
 }
 
 void hnsw_free(void* h) { delete static_cast<Hnsw*>(h); }
 
 int64_t hnsw_add(void* h, const float* vecs, int64_t count) {
   Hnsw* index = static_cast<Hnsw*>(h);
+  if (index->pq && !index->pq_trained) return -1;  // train first
   const int64_t start = index->n;
   for (int64_t i = 0; i < count; ++i) index->add(vecs + i * index->dim);
   return start;
@@ -368,6 +582,13 @@ int64_t hnsw_count_deleted(void* h) {
 
 void hnsw_get_vector(void* h, int64_t id, float* out) {
   const Hnsw* index = static_cast<const Hnsw*>(h);
+  if (index->pq) {
+    const uint8_t* cd = index->pqcodes.data() + id * index->pq_m;
+    for (int j = 0; j < index->pq_m; ++j)
+      std::memcpy(out + j * index->dsub, index->centroid(j, cd[j]),
+                  sizeof(float) * index->dsub);
+    return;
+  }
   if (index->sq8) {
     const int8_t* c = index->code(id);
     const float s = index->scales[id];
@@ -383,16 +604,22 @@ int hnsw_save(void* h, const char* path) {
   const Hnsw* x = static_cast<const Hnsw*>(h);
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  // V2 adds the sq8 flag to the header and stores codes+scales instead of
-  // f32 data when set; V1 files still load (f32, header one int shorter)
-  const char magic[8] = {'R', 'A', 'T', 'H', 'N', 'S', 'W', '2'};
+  // V3 header carries the quant mode (0=f32, 1=sq8, 2=pq) and pq_m; PQ
+  // payload = codebooks + per-node codes (sym tables rebuilt at load).
+  // V2 (sq8 flag) and V1 (f32) files still load.
+  const char magic[8] = {'R', 'A', 'T', 'H', 'N', 'S', 'W', '3'};
   std::fwrite(magic, 1, 8, f);
-  int32_t header[6] = {x->dim,           x->M,         x->efc,
-                       (int32_t)x->metric, x->max_level, x->sq8 ? 1 : 0};
-  std::fwrite(header, sizeof(int32_t), 6, f);
+  const int32_t quant = x->pq ? QUANT_PQ : (x->sq8 ? QUANT_SQ8 : QUANT_F32);
+  int32_t header[7] = {x->dim,           x->M,         x->efc,
+                       (int32_t)x->metric, x->max_level, quant, x->pq_m};
+  std::fwrite(header, sizeof(int32_t), 7, f);
   int64_t meta[2] = {x->n, (int64_t)x->entry};
   std::fwrite(meta, sizeof(int64_t), 2, f);
-  if (x->sq8) {
+  if (x->pq) {
+    std::fwrite(x->pq_centroids.data(), sizeof(float), x->pq_centroids.size(),
+                f);
+    std::fwrite(x->pqcodes.data(), 1, x->pqcodes.size(), f);
+  } else if (x->sq8) {
     std::fwrite(x->codes.data(), 1, x->codes.size(), f);
     std::fwrite(x->scales.data(), sizeof(float), x->scales.size(), f);
   } else {
@@ -418,28 +645,41 @@ void* hnsw_load(const char* path) {
   char magic[8];
   if (std::fread(magic, 1, 8, f) != 8 ||
       std::memcmp(magic, "RATHNSW", 7) != 0 ||
-      (magic[7] != '1' && magic[7] != '2')) {
+      (magic[7] < '1' || magic[7] > '3')) {
     std::fclose(f);
     return nullptr;
   }
-  const bool v2 = magic[7] == '2';
-  int32_t header[6] = {0, 0, 0, 0, 0, 0};
+  const int version = magic[7] - '0';
+  int32_t header[7] = {0, 0, 0, 0, 0, 0, 0};
   int64_t meta[2];
-  const size_t nh = v2 ? 6 : 5;
+  const size_t nh = version >= 3 ? 7 : (version == 2 ? 6 : 5);
   if (std::fread(header, sizeof(int32_t), nh, f) != nh ||
       std::fread(meta, sizeof(int64_t), 2, f) != 2) {
     std::fclose(f);
     return nullptr;
   }
-  Hnsw* x =
-      new Hnsw(header[0], header[1], header[2], header[3], 0, header[5] != 0);
+  // header[5] is the V2 sq8 flag or the V3 quant enum — same values for
+  // f32/sq8, so one constructor path covers both
+  Hnsw* x = new Hnsw(header[0], header[1], header[2], header[3], 0,
+                     header[5], header[6]);
   x->max_level = header[4];
   x->n = meta[0];
   x->entry = (int)meta[1];
   x->levels.resize(x->n);
   x->deleted.resize(x->n);
   bool ok = true;
-  if (x->sq8) {
+  if (x->pq) {
+    x->pq_centroids.resize((size_t)x->pq_m * 256 * x->dsub);
+    x->pqcodes.resize(x->n * x->pq_m);
+    ok = std::fread(x->pq_centroids.data(), sizeof(float),
+                    x->pq_centroids.size(), f) == x->pq_centroids.size();
+    ok = ok && std::fread(x->pqcodes.data(), 1, x->pqcodes.size(), f) ==
+                   x->pqcodes.size();
+    if (ok) {
+      x->build_sym_tables();
+      x->pq_trained = true;
+    }
+  } else if (x->sq8) {
     x->codes.resize(x->n * x->dim);
     x->scales.resize(x->n);
     ok = std::fread(x->codes.data(), 1, x->codes.size(), f) == x->codes.size();

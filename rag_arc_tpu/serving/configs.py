@@ -115,6 +115,7 @@ class DenseRetrieverConfig(AbstractConfig):
     store_path: Optional[str] = None  # restore a saved index
     docstore_path: Optional[str] = None  # disk-backed docstore (10M-doc path)
     dtype: Optional[str] = None  # float32 | bfloat16 | int8 (2x rows/chip)
+    hnsw_pq_m: int = 0  # >0: product-quantized HNSW (m bytes/vector)
 
     def build(self, **_: Any):
         from rag_arc_tpu.index.vector_store import TPUVectorStore
@@ -143,6 +144,7 @@ class DenseRetrieverConfig(AbstractConfig):
                 nprobe=self.nprobe,
                 docstore_path=self.docstore_path,
                 dtype=dtype,
+                hnsw_pq_m=self.hnsw_pq_m,
             )
         return store.as_retriever(
             search_type=self.search_type, search_kwargs={"k": self.k}

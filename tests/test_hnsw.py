@@ -176,3 +176,130 @@ def test_store_dtype_int8_selects_sq8_hnsw():
     assert store.index.stats()["quantized"] is True
     docs = store.similarity_search("alpha beta", k=1)
     assert docs[0].content == "alpha beta"
+
+
+# -- product quantization (FAISS IndexHNSWPQ parity) ------------------------
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_pq_recall_vs_flat(corpus, metric):
+    data, queries = corpus
+    flat = DeviceFlatIndex(dim=48, metric=metric, capacity=4096)
+    flat.add(data)
+    _, exact = flat.search(queries, 10)
+    # gaussian data is PQ's worst case (no cluster structure for the
+    # codebooks to exploit); dsub=2 keeps the test meaningful — measured
+    # recall ~0.89 here vs ~0.64 at dsub=4, while real embedding corpora
+    # (low intrinsic dimension) tolerate dsub=8 (dim=768 → m=96, 32x)
+    hnsw = HNSWIndex(
+        dim=48, metric=metric, M=16, ef_construction=100,
+        pq_m=24, pq_train_threshold=1024,
+    )
+    hnsw.add(data)  # one add above the threshold: trains + builds
+    assert hnsw.stats()["pq_trained"] is True
+    assert hnsw.stats()["staged"] == 0
+    _, approx = hnsw.search(queries, 10, ef=128)
+    recall = np.mean(
+        [len(set(exact[i]) & set(approx[i])) / 10 for i in range(len(queries))]
+    )
+    assert recall > 0.8, f"PQ HNSW recall {recall} too low for {metric}"
+
+
+def test_pq_memory_stats(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48, pq_m=12, pq_train_threshold=1024)
+    hnsw.add(data)
+    stats = hnsw.stats()
+    assert stats["storage"] == "pq"
+    # 12 bytes/vector + codebooks (12 * 256 * 4 dims * 4 bytes)
+    assert stats["vector_bytes"] == 3000 * 12 + 12 * 256 * 4 * 4
+    # 16x less per-vector storage than f32
+    assert 3000 * 12 * 16 == 3000 * 48 * 4
+
+
+def test_pq_staged_search_is_exact_before_training(corpus):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48, metric="l2", pq_m=12, pq_train_threshold=4096)
+    pos = hnsw.add(data[:100])
+    np.testing.assert_array_equal(pos, np.arange(100))
+    assert hnsw.stats()["pq_trained"] is False
+    assert hnsw.size == 100
+    # staged search is a brute-force exact scan
+    s, p = hnsw.search(data[:3], 1)
+    np.testing.assert_array_equal(p[:, 0], [0, 1, 2])
+    # staged deletes and take work
+    hnsw.mark_deleted(np.asarray([1]))
+    _, p = hnsw.search(data[1:2], 1)
+    assert p[0, 0] != 1
+    np.testing.assert_allclose(hnsw.take(np.asarray([2])), data[2:3])
+
+
+def test_pq_flush_preserves_positions_and_deletes(corpus):
+    data, queries = corpus
+    hnsw = HNSWIndex(
+        dim=48, metric="l2", M=16, pq_m=12, pq_train_threshold=2048
+    )
+    hnsw.add(data[:1000])     # staged
+    hnsw.mark_deleted(np.asarray([5, 6]))
+    pos2 = hnsw.add(data[1000:3000])  # crosses threshold: trains + flushes
+    np.testing.assert_array_equal(pos2[:3], [1000, 1001, 1002])
+    assert hnsw.stats()["pq_trained"] is True
+    assert hnsw.n_deleted == 2
+    # a search for (deleted) row 5's vector must not return 5 or 6
+    _, p = hnsw.search(data[5:6], 5, ef=64)
+    assert 5 not in p[0] and 6 not in p[0]
+    # position semantics survive the flush: row 42's nearest is 42
+    _, p = hnsw.search(data[42:43], 1, ef=64)
+    assert p[0, 0] == 42
+
+
+def test_pq_persistence_roundtrip(corpus, tmp_path):
+    data, queries = corpus
+    hnsw = HNSWIndex(
+        dim=48, metric="cosine", M=16, pq_m=12, pq_train_threshold=1024
+    )
+    hnsw.add(data[:2000])
+    hnsw.mark_deleted(np.asarray([3, 7]))
+    s0, p0 = hnsw.search(queries[:5], 5)
+    path = tmp_path / "pq.hnsw"
+    hnsw.save(path)
+    back = HNSWIndex.load(path)
+    assert back.pq_m == 12
+    assert back.n_deleted == 2
+    assert back.stats()["storage"] == "pq"
+    s1, p1 = back.search(queries[:5], 5)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_pq_save_trains_pending_staging(corpus, tmp_path):
+    data, _ = corpus
+    hnsw = HNSWIndex(dim=48, pq_m=12, pq_train_threshold=4096)
+    hnsw.add(data[:500])  # staged (below threshold, above 256)
+    path = tmp_path / "staged.hnsw"
+    hnsw.save(path)  # trains on what it has rather than losing data
+    back = HNSWIndex.load(path)
+    assert back.size == 500
+    _, p = back.search(data[10:11], 1, ef=64)
+    assert p[0, 0] == 10
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError, match="divide"):
+        HNSWIndex(dim=48, pq_m=7)
+    with pytest.raises(ValueError, match="ONE of"):
+        HNSWIndex(dim=48, pq_m=12, quantize=True)
+
+
+def test_store_hnsw_pq_mode():
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+
+    store = TPUVectorStore(
+        embedding=HashEmbeddings(dim=32), dim=32, index_type="hnsw",
+        hnsw_pq_m=8,
+    )
+    store.add_texts([f"doc number {i}" for i in range(40)])
+    assert store.index.stats()["storage"] == "pq"
+    docs = store.similarity_search("doc number 17", k=1)
+    assert docs[0].content == "doc number 17"

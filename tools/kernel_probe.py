@@ -11,6 +11,7 @@ Usage: python tools/kernel_probe.py [--n 2000000] [--b 512] [--reps 5]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -43,7 +44,7 @@ def main() -> None:
 
     from rag_arc_tpu.ops.fused_mips import fused_mips_topk
     from rag_arc_tpu.ops.two_level import (
-        quantize_rows,
+        quantize_rows_blocked,
         two_level_topk,
         two_level_topk_i8,
     )
@@ -58,7 +59,9 @@ def main() -> None:
     padded = np.zeros((n_pad, args.d), dtype=np.float32)
     padded[: args.n] = corpus
     emb = jnp.asarray(padded, dtype=jnp.bfloat16)
-    codes, scales = quantize_rows(padded)
+    # block-shared scales = what DeviceFlatIndex stores (the certified i8
+    # stream's upper bound is tight — smax == smin per sub-tile)
+    codes, scales = quantize_rows_blocked(padded, 32)
     emb_i8 = jnp.asarray(codes)
     row_scale = jnp.asarray(scales)
     del codes, scales
@@ -85,22 +88,24 @@ def main() -> None:
         exact[:, s : s + step] = sub @ corpus[s : s + step].T
     exact_top = np.argpartition(-exact, args.k, axis=1)[:, : args.k]
 
-    def timed(fn):
+    def timed(fn, check_recall=True):
         # warmup + compile
         t0 = time.time()
         out = fn(dev_q[0])
         _ = np.asarray(out[1][:1])
         compile_s = time.time() - t0
-        # recall check
-        got = np.asarray(jax.device_get(fn(dev_q[0])[1]))[:128]
-        recall = float(
-            np.mean(
-                [
-                    len(set(got[i].tolist()) & set(exact_top[i].tolist())) / args.k
-                    for i in range(128)
-                ]
+        recall = None
+        if check_recall:
+            got = np.asarray(jax.device_get(fn(dev_q[0])[1]))[:128]
+            recall = float(
+                np.mean(
+                    [
+                        len(set(got[i].tolist()) & set(exact_top[i].tolist()))
+                        / args.k
+                        for i in range(128)
+                    ]
+                )
             )
-        )
         times = []
         for _ in range(args.reps):
             t0 = time.time()
@@ -156,13 +161,73 @@ def main() -> None:
                     g=cfg.get("g", 32), tile_n=cfg["tile_n"],
                     q_block=cfg.get("q_block", 512),
                 )
+            elif kind == "p1_stream":
+                # pass-1 producer alone (fetch one element to force it)
+                from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
+
+                g = cfg.get("g", 32)
+
+                @jax.jit
+                def _p1(q, _g=g, _t=cfg["tile_n"]):
+                    sub = subtile_max_stream(
+                        q.astype(emb.dtype), emb, valid, g=_g, tile_n=_t,
+                        masked=cfg.get("masked", False),
+                    )
+                    return sub[:1, :1]
+
+                fn = lambda q: (None, _p1(q))  # noqa: E731
+            elif kind == "select_only":
+                # stages 2+3 on a precomputed sub-max matrix (q mismatch is
+                # fine for timing; shapes match the real pipeline)
+                from rag_arc_tpu.ops.two_level import select_rescore
+                from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
+
+                g = cfg.get("g", 32)
+                sub_pre = jax.block_until_ready(
+                    subtile_max_stream(
+                        dev_q[0].astype(emb.dtype), emb, valid,
+                        g=g, tile_n=cfg["tile_n"], masked=False,
+                    )
+                )
+
+                @functools.partial(jax.jit, static_argnames=("k", "g"))
+                def _sel(q, sub, k, g):
+                    return select_rescore(
+                        q.astype(emb.dtype), emb, valid, sqnorm, sub, k, g,
+                        "cosine",
+                    )
+
+                fn = lambda q: _sel(q, sub_pre, args.k, g)  # noqa: E731
+            elif kind == "argmax_only":
+                # stage 2's iterative argmax alone over the sub-max matrix
+                from rag_arc_tpu.ops.two_level import iterative_argmax_resid
+                from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
+
+                g = cfg.get("g", 32)
+                sub_t_pre = jax.block_until_ready(
+                    subtile_max_stream(
+                        dev_q[0].astype(emb.dtype), emb, valid,
+                        g=g, tile_n=cfg["tile_n"], masked=False,
+                    ).T
+                )
+
+                @functools.partial(jax.jit, static_argnames=("k",))
+                def _am(sub_t, k):
+                    idx, live, resid = iterative_argmax_resid(sub_t, k)
+                    return idx, live, resid
+
+                fn = lambda q: _am(sub_t_pre, args.k)  # noqa: E731
             else:
                 fn = lambda q: two_level_topk(  # noqa: E731
                     q, emb, valid, sqnorm, args.k,
                     g=cfg.get("g", 128), tile_n=cfg["tile_n"],
                     q_block=cfg.get("q_block", 512),
                 )
-            compile_s, recall, times = timed(fn)
+            compile_s, recall, times = timed(
+                fn,
+                check_recall=kind
+                not in ("p1_stream", "select_only", "argmax_only"),
+            )
             ms = times * 1e3
             print(
                 json.dumps(
