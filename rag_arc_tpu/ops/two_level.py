@@ -266,20 +266,63 @@ def fold_qscale(s, pos, qscale, k):
     return s, pos
 
 
-def iterative_argmax_resid(x: jax.Array, k: int):
-    """Like ``_iterative_argmax`` but additionally returns the row-max of
-    the UNSELECTED remainder — the a-posteriori bound the streaming int8
-    path's certificate compares against."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
+    """Indices of the k largest entries per row (score-descending, ties
+    toward the lower index), a liveness flag per pick, and the row-max of
+    the UNSELECTED remainder (the a-posteriori bound the streaming int8
+    path's certificate compares against).
+
+    Hierarchical tournament instead of k full argmax passes: one pass
+    builds per-chunk (max, argmax); each of the k selection steps then
+    reads only the (B, n_chunks) summary, re-gathers the ONE chunk it
+    picked from, masks every prior pick that falls in it, and scatters the
+    chunk's refreshed (max, argmax) back. HBM traffic drops from 2k full
+    reads of x (e.g. ~2.5 GB at k=10 over a (512, 62500) sub-max matrix)
+    to one full read + k ~1 MB chunk gathers. Tie-breaking matches the
+    naive version: argmax picks the first chunk holding the global max,
+    then the first position inside it."""
+    b, c = x.shape
+    w = min(chunk, c)
+    n_chunks = -(-c // w)
+    c_pad = n_chunks * w
+    if c_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, c_pad - c)), constant_values=NEG)
+    xc = x.reshape(b, n_chunks, w)
+    cmax = jnp.max(xc, axis=2)                          # (B, nc)
+    carg = jnp.argmax(xc, axis=2).astype(jnp.int32)     # (B, nc)
+    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    in_chunk = jnp.arange(w, dtype=jnp.int32)[None, :]
+    picked = jnp.full((b, k), -1, dtype=jnp.int32)
     out = []
     live = []
-    for _ in range(k):
-        best = jnp.max(x, axis=1)
-        idx = jnp.argmax(x, axis=1).astype(jnp.int32)
+    for j in range(k):
+        bc = jnp.argmax(cmax, axis=1).astype(jnp.int32)           # (B,)
+        best = jnp.take_along_axis(cmax, bc[:, None], axis=1)[:, 0]
+        idx = (
+            jnp.take_along_axis(carg, bc[:, None], axis=1)[:, 0] + bc * w
+        )
+        # exhausted rows re-pick sentinel positions; clamp so downstream
+        # gathers stay in range (live marks them dead either way)
+        idx = jnp.minimum(idx, c - 1)
         out.append(idx)
         live.append(best > NEG * 0.5)
-        x = jnp.where(cols == idx[:, None], NEG, x)
-    return jnp.stack(out, axis=1), jnp.stack(live, axis=1), jnp.max(x, axis=1)
+        picked = picked.at[:, j].set(idx)
+        # refresh the picked chunk: gather it, mask ALL prior picks that
+        # land in it (several picks can share a chunk), reduce, scatter
+        vals = jnp.take_along_axis(xc, bc[:, None, None], axis=1)[:, 0, :]
+        cols = bc[:, None] * w + in_chunk                         # (B, w)
+        hit = jnp.any(cols[:, None, :] == picked[:, :, None], axis=1)
+        vals = jnp.where(hit, NEG, vals)
+        new_max = jnp.max(vals, axis=1)
+        new_arg = jnp.argmax(vals, axis=1).astype(jnp.int32)
+        sel = chunk_ids == bc[:, None]
+        cmax = jnp.where(sel, new_max[:, None], cmax)
+        carg = jnp.where(sel, new_arg[:, None], carg)
+    return (
+        jnp.stack(out, axis=1),
+        jnp.stack(live, axis=1),
+        jnp.max(cmax, axis=1),
+    )
 
 
 def _iterative_argmax(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:

@@ -4,6 +4,7 @@ XLA exact path. Mirrors tests/test_fused_mips.py's oracle style."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from rag_arc_tpu.ops.topk import masked_topk
@@ -189,3 +190,55 @@ class TestInt8:
         assert recall >= 0.95, recall
         # reported scores sit in the cosine range
         assert np.all(np.asarray(qs_)[:, 0] <= 1.05)
+
+
+class TestIterativeArgmaxTournament:
+    """The hierarchical tournament must match the naive k-pass argmax
+    exactly (same picks, same tie-breaks, same liveness, same residual)."""
+
+    @staticmethod
+    def naive(x, k):
+        from rag_arc_tpu.ops.two_level import NEG
+
+        x = np.array(x, dtype=np.float32)
+        b, c = x.shape
+        out = np.zeros((b, k), np.int32)
+        live = np.zeros((b, k), bool)
+        for j in range(k):
+            idx = np.argmax(x, axis=1)
+            best = x[np.arange(b), idx]
+            out[:, j] = np.minimum(idx, c - 1)
+            live[:, j] = best > NEG * 0.5
+            x[np.arange(b), idx] = NEG
+        return out, live, x.max(axis=1)
+
+    @pytest.mark.parametrize("shape,k,chunk", [
+        ((4, 1000), 10, 128),   # multi-chunk with padding
+        ((3, 64), 5, 512),      # single chunk (chunk > width)
+        ((2, 256), 8, 64),      # exact chunk multiple
+    ])
+    def test_matches_naive(self, rng, shape, k, chunk):
+        from rag_arc_tpu.ops.two_level import iterative_argmax_resid
+
+        x = rng.standard_normal(shape).astype(np.float32)
+        # inject ties and near-sentinel values
+        x[0, 5] = x[0, 17] = 3.5
+        got_i, got_l, got_r = jax.device_get(
+            iterative_argmax_resid(jnp.asarray(x), k, chunk=chunk)
+        )
+        want_i, want_l, want_r = self.naive(x, k)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_array_equal(got_l, want_l)
+        np.testing.assert_allclose(got_r, want_r)
+
+    def test_exhausted_rows_marked_dead(self):
+        from rag_arc_tpu.ops.two_level import NEG, iterative_argmax_resid
+
+        x = np.full((2, 100), NEG, dtype=np.float32)
+        x[0, 40] = 1.0  # row 0 has ONE live entry; row 1 none
+        idx, live, resid = jax.device_get(
+            iterative_argmax_resid(jnp.asarray(x), 4, chunk=32)
+        )
+        assert idx[0, 0] == 40 and live[0, 0]
+        assert not live[0, 1:].any() and not live[1].any()
+        assert (idx < 100).all()
