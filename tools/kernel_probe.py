@@ -162,20 +162,27 @@ def main() -> None:
                     q_block=cfg.get("q_block", 512),
                 )
             elif kind == "p1_stream":
-                # pass-1 producer alone (fetch one element to force it)
+                # pass-1 producer alone (fetch one element to force it);
+                # device arrays ride as jit ARGS, not captured constants
                 from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
 
                 g = cfg.get("g", 32)
 
-                @jax.jit
-                def _p1(q, _g=g, _t=cfg["tile_n"]):
+                @functools.partial(
+                    jax.jit, static_argnames=("g", "tile_n", "masked")
+                )
+                def _p1(q, emb, valid, g, tile_n, masked):
                     sub = subtile_max_stream(
-                        q.astype(emb.dtype), emb, valid, g=_g, tile_n=_t,
-                        masked=cfg.get("masked", False),
+                        q.astype(emb.dtype), emb, valid, g=g, tile_n=tile_n,
+                        masked=masked,
                     )
                     return sub[:1, :1]
 
-                fn = lambda q: (None, _p1(q))  # noqa: E731
+                fn = lambda q: (  # noqa: E731
+                    None,
+                    _p1(q, emb, valid, g=g, tile_n=cfg["tile_n"],
+                        masked=cfg.get("masked", False)),
+                )
             elif kind == "select_only":
                 # stages 2+3 on a precomputed sub-max matrix (q mismatch is
                 # fine for timing; shapes match the real pipeline)
@@ -191,32 +198,15 @@ def main() -> None:
                 )
 
                 @functools.partial(jax.jit, static_argnames=("k", "g"))
-                def _sel(q, sub, k, g):
+                def _sel(q, emb, valid, sqnorm, sub, k, g):
                     return select_rescore(
                         q.astype(emb.dtype), emb, valid, sqnorm, sub, k, g,
                         "cosine",
                     )
 
-                fn = lambda q: _sel(q, sub_pre, args.k, g)  # noqa: E731
-            elif kind == "argmax_only":
-                # stage 2's iterative argmax alone over the sub-max matrix
-                from rag_arc_tpu.ops.two_level import iterative_argmax_resid
-                from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
-
-                g = cfg.get("g", 32)
-                sub_t_pre = jax.block_until_ready(
-                    subtile_max_stream(
-                        dev_q[0].astype(emb.dtype), emb, valid,
-                        g=g, tile_n=cfg["tile_n"], masked=False,
-                    ).T
+                fn = lambda q: _sel(  # noqa: E731
+                    q, emb, valid, sqnorm, sub_pre, args.k, g
                 )
-
-                @functools.partial(jax.jit, static_argnames=("k",))
-                def _am(sub_t, k):
-                    idx, live, resid = iterative_argmax_resid(sub_t, k)
-                    return idx, live, resid
-
-                fn = lambda q: _am(sub_t_pre, args.k)  # noqa: E731
             else:
                 fn = lambda q: two_level_topk(  # noqa: E731
                     q, emb, valid, sqnorm, args.k,
