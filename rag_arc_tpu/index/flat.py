@@ -387,6 +387,12 @@ class DeviceFlatIndex:
     _force_stream = False
     _last_certified = None
 
+    # sub-tile rows per pass-1 max (the two-level kernels' g). 16 measured
+    # fastest with the tournament select (2Mx768 B=512 same-session sweep:
+    # g16 16.9 ms, g32 17.9, g64 21.6); must divide QUANT_BLOCK so int8
+    # sub-tiles never straddle a scale block (keeps the certificate exact)
+    SUBTILE_G = 16
+
     def _stream_eligible(self, b: int) -> bool:
         """Can the maskless streaming producer run this search? Gates the
         bf16/f32 certified stream AND the int8 certified stream (the
@@ -419,10 +425,12 @@ class DeviceFlatIndex:
         vmem = (
             2 * tile_n * self.dim * item   # double-buffered corpus tiles
             + tile_n * b * 4               # (tile_n, B) score slab
-            + 2 * (tile_n // 32) * b * 4   # staging (g >= 32)
+            + 2 * (tile_n // self.SUBTILE_G) * b * 4  # staging buffers
             + b * self.dim * item          # resident query block
         )
-        return vmem <= (12 << 20) and b <= 512
+        # 14 MB: g=16/tile=2048/B=512/d=768 bf16 sums to ~13.1 MB and
+        # compiles + runs on v5e (probe-verified); ~2 MB headroom remains
+        return vmem <= (14 << 20) and b <= 512
 
     def _tile_n(self) -> int:
         """Largest power-of-two multiple of ADD_BLOCK that divides capacity,
@@ -454,7 +462,7 @@ class DeviceFlatIndex:
 
                 s, p, ok = two_level_topk_certified_i8(
                     q, self.emb, self.sqnorm, self.valid, k,
-                    tile_n=min(self._tile_n(), 2048),
+                    g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
                     interpret=self._force_stream,
                 )
                 self._last_certified = ok
@@ -466,7 +474,7 @@ class DeviceFlatIndex:
 
                 return two_level_topk_i8(
                     q, self.emb, self.sqnorm, self.valid, k,
-                    tile_n=min(self._tile_n(), 2048),
+                    g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
                 )
             return _search_single_i8(self.emb, self.sqnorm, self.valid, q, k)
         score_bytes = 4 * q.shape[0] * self.capacity
@@ -481,8 +489,8 @@ class DeviceFlatIndex:
             # fallback (lax.cond), so results match the masked path always
             s, p, ok = two_level_topk_certified(
                 q, self.emb, self.valid, self.sqnorm, k,
-                tile_n=min(self._tile_n(), 2048), metric=self.metric,
-                interpret=self._force_stream,
+                g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
+                metric=self.metric, interpret=self._force_stream,
             )
             self._last_certified = ok  # device scalar; stats() fetches lazily
             return s, p
@@ -494,7 +502,8 @@ class DeviceFlatIndex:
             # run-to-run stable; see ops/two_level.py
             return two_level_topk(
                 q, self.emb, self.valid, self.sqnorm, k,
-                tile_n=min(self._tile_n(), 2048), metric=self.metric,
+                g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
+                metric=self.metric,
             )
         from rag_arc_tpu.ops.topk import masked_topk_chunked
 
@@ -528,7 +537,8 @@ class DeviceFlatIndex:
                 from rag_arc_tpu.ops.two_level import two_level_topk
 
                 s, idx = two_level_topk(
-                    q, emb, valid, sqnorm, k_local, tile_n=tile, metric=metric,
+                    q, emb, valid, sqnorm, k_local,
+                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
                 )
             else:
                 scores = pairwise_scores(q, emb, metric, sqnorm)

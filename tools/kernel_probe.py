@@ -224,7 +224,7 @@ def main() -> None:
                     {
                         "cfg": cfg,
                         "compile_s": round(compile_s, 1),
-                        "recall": round(recall, 4),
+                        "recall": None if recall is None else round(recall, 4),
                         "ms_min": round(float(ms.min()), 2),
                         "ms_median": round(float(np.median(ms)), 2),
                         "ms_all": [round(float(x), 2) for x in ms],
