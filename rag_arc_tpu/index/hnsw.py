@@ -104,6 +104,13 @@ class HNSWIndex:
         # vectors STAGE on the host until pq_train_threshold rows arrive;
         # staged search is a brute-force scan (tiny n), mirroring the
         # flat→IVF auto-train pattern (VectorStore_Faiss.py:181-184).
+        # Measured recall caveat (tools/hnsw_bench.py): the graph+ADC
+        # machinery recovers ~0.93 of the QUANTIZED metric's top-10, but
+        # on near-duplicate corpora (query twins inside tight clusters)
+        # the quantizer itself cannot separate twins — recall@10 vs exact
+        # fell to ~0.19 at dsub=8 where SQ8 held 0.97. PQ is for
+        # memory-bound corpora whose neighbors aren't near-duplicates;
+        # prefer dtype=int8 (SQ8) when recall is the priority.
         self.pq_m = int(pq_m)
         self.pq_train_threshold = max(256, int(pq_train_threshold))
         self._staged: list[np.ndarray] = []
