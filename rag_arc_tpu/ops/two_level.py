@@ -221,7 +221,7 @@ def select_rescore_i8(q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g):
     (ops/two_level_stream.py)."""
     n_sub = sub_max_t.shape[0]
     k_tiles = min(k, n_sub)
-    top_sub, sel_live, _ = tournament_select_cols(sub_max_t, k_tiles)
+    top_sub, sel_live = _iterative_argmax(sub_max_t.T, k_tiles)
     s, pos = rescore_i8(q_i8, corpus, row_scale, valid, top_sub, sel_live, k, g)
     return fold_qscale(s, pos, qscale, k)
 
@@ -264,56 +264,6 @@ def fold_qscale(s, pos, qscale, k):
         s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG)
         pos = jnp.pad(pos, ((0, 0), (0, pad)), constant_values=-1)
     return s, pos
-
-
-def tournament_select_cols(sub: jax.Array, k: int, chunk: int = 512):
-    """Top-k selection + liveness + unselected-residual directly on the
-    pass-1 producers' (C, B) layout — the column-major twin of
-    ``iterative_argmax_resid``.
-
-    Operating in (C, B) avoids transposing the sub-max matrix (at the
-    bench shape a 256 MB array: the transpose alone costs 512 MB of HBM
-    traffic, and the old row-major path then re-read the full matrix for
-    max AND argmax). Here: one max-reduce builds per-chunk column maxima
-    ((nc, B), tiny), and each of the k picks gathers only its winning
-    chunk's (B, w) slab — argmax is computed lazily inside the gathered
-    slab, never over the full matrix. Tie-breaking matches the naive
-    k-pass argmax: first chunk holding the global max, first position
-    within it. Returns (idx (B, k), live (B, k), residual (B,))."""
-    c, b = sub.shape
-    w = min(chunk, c)
-    while c % w:
-        w //= 2
-    nc = c // w
-    sub3 = sub.reshape(nc, w, b)
-    cmax_t = jnp.max(sub3, axis=1).T                   # (B, nc)
-    in_chunk = jnp.arange(w, dtype=jnp.int32)[None, :]
-    chunk_ids = jnp.arange(nc, dtype=jnp.int32)[None, :]
-    picked = jnp.full((b, k), -1, dtype=jnp.int32)
-    out = []
-    live = []
-    for j in range(k):
-        bc = jnp.argmax(cmax_t, axis=1).astype(jnp.int32)         # (B,)
-        idxb = jnp.broadcast_to(bc[None, None, :], (1, w, b))
-        vals = jnp.take_along_axis(sub3, idxb, axis=0)[0].T       # (B, w)
-        cols = bc[:, None] * w + in_chunk
-        hit = jnp.any(cols[:, None, :] == picked[:, :, None], axis=1)
-        vals = jnp.where(hit, NEG, vals)
-        best = jnp.max(vals, axis=1)
-        arg = jnp.argmax(vals, axis=1).astype(jnp.int32)
-        idx = jnp.minimum(bc * w + arg, c - 1)
-        out.append(idx)
-        live.append(best > NEG * 0.5)
-        picked = picked.at[:, j].set(idx)
-        vals = jnp.where(in_chunk == arg[:, None], NEG, vals)
-        new_max = jnp.max(vals, axis=1)
-        sel = chunk_ids == bc[:, None]
-        cmax_t = jnp.where(sel, new_max[:, None], cmax_t)
-    return (
-        jnp.stack(out, axis=1),
-        jnp.stack(live, axis=1),
-        jnp.max(cmax_t, axis=1),
-    )
 
 
 def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
@@ -464,11 +414,13 @@ def select_rescore(queries, corpus, valid, sqnorm, sub_max_t, k, g, metric):
     # select: each query's top-k sub-tiles by max — provably a superset of
     # the sub-tiles containing the exact top-k rows (see module docstring).
     # NOT lax.top_k: XLA lowers that to a full variadic sort (~30 ms on the
-    # (512, 15648) matrix, measured). The column-major tournament reads
-    # the matrix once in its native (N/g, B) layout — no transpose, no
-    # per-pick rescans.
+    # (512, 15648) matrix, measured). Row-major tournament after ONE
+    # transpose: a column-major variant that skipped the transpose was
+    # measured 3x SLOWER on TPU (its per-pick chunk gather along the major
+    # axis with a per-lane index lowers to a full-array cross-lane gather;
+    # the row-major per-row chunk slice is cheap).
     k_tiles = min(k, n_sub)
-    top_sub, sel_live, _ = tournament_select_cols(sub_max_t, k_tiles)
+    top_sub, sel_live = _iterative_argmax(sub_max_t.T, k_tiles)
     rows = (
         top_sub[:, :, None] * g + jnp.arange(g, dtype=top_sub.dtype)[None, None, :]
     ).reshape(b, k_tiles * g)

@@ -237,8 +237,8 @@ def two_level_topk_certified_i8(
     """
     from rag_arc_tpu.ops.two_level import (
         fold_qscale,
+        iterative_argmax_resid,
         rescore_i8,
-        tournament_select_cols,
     )
 
     n = corpus.shape[0]
@@ -254,7 +254,7 @@ def two_level_topk_certified_i8(
     ub = jnp.where(raw >= 0.0, smax * raw, smin * raw)
 
     k_tiles = min(k, n // g)
-    top_sub, sel_live, max_unsel = tournament_select_cols(ub, k_tiles)
+    top_sub, sel_live, max_unsel = iterative_argmax_resid(ub.T, k_tiles)
     s_raw, pos = rescore_i8(
         q_i8, corpus, row_scale, valid, top_sub, sel_live, k, g
     )

@@ -243,30 +243,3 @@ class TestIterativeArgmaxTournament:
         assert not live[0, 1:].any() and not live[1].any()
         assert (idx < 100).all()
 
-
-class TestTournamentSelectCols:
-    """Column-major tournament must agree with the row-major reference on
-    the transposed input (same picks, liveness, residual)."""
-
-    @pytest.mark.parametrize("shape,k,chunk", [
-        ((1000, 4), 10, 128),
-        ((64, 3), 5, 512),
-        ((256, 2), 8, 64),
-    ])
-    def test_matches_row_major(self, rng, shape, k, chunk):
-        from rag_arc_tpu.ops.two_level import (
-            iterative_argmax_resid,
-            tournament_select_cols,
-        )
-
-        x = rng.standard_normal(shape).astype(np.float32)
-        x[5, 0] = x[17, 0] = 3.5  # tie in column 0
-        gi, gl, gr = jax.device_get(
-            tournament_select_cols(jnp.asarray(x), k, chunk=chunk)
-        )
-        wi, wl, wr = jax.device_get(
-            iterative_argmax_resid(jnp.asarray(x.T), k)
-        )
-        np.testing.assert_array_equal(gi, wi)
-        np.testing.assert_array_equal(gl, wl)
-        np.testing.assert_allclose(gr, wr)
