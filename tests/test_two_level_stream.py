@@ -247,3 +247,34 @@ def test_flat_index_i8_stream_path(rng):
     s2, p2 = ref.search(q, 5)
     np.testing.assert_array_equal(p, p2)
     np.testing.assert_allclose(s, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_producer_matches_plain(rng):
+    """The two-slab software-pipelined producer must emit exactly the
+    plain maskless producer's sub-max matrix."""
+    from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
+
+    n, d, b, g = 2048, 64, 8, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    plain = subtile_max_stream(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        g=g, tile_n=512, interpret=True, masked=False,
+    )
+    piped = subtile_max_stream(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        g=g, tile_n=512, interpret=True, masked=False, pipelined=True,
+    )
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(plain))
+
+
+def test_pipelined_rejects_masked(rng):
+    from rag_arc_tpu.ops.two_level_stream import subtile_max_stream
+
+    with pytest.raises(ValueError, match="maskless"):
+        subtile_max_stream(
+            jnp.zeros((8, 64)), jnp.zeros((1024, 64)),
+            jnp.ones(1024, bool), g=16, tile_n=512, interpret=True,
+            masked=True, pipelined=True,
+        )

@@ -169,19 +169,21 @@ def main() -> None:
                 g = cfg.get("g", 32)
 
                 @functools.partial(
-                    jax.jit, static_argnames=("g", "tile_n", "masked")
+                    jax.jit,
+                    static_argnames=("g", "tile_n", "masked", "pipelined"),
                 )
-                def _p1(q, emb, valid, g, tile_n, masked):
+                def _p1(q, emb, valid, g, tile_n, masked, pipelined):
                     sub = subtile_max_stream(
                         q.astype(emb.dtype), emb, valid, g=g, tile_n=tile_n,
-                        masked=masked,
+                        masked=masked, pipelined=pipelined,
                     )
                     return sub[:1, :1]
 
                 fn = lambda q: (  # noqa: E731
                     None,
                     _p1(q, emb, valid, g=g, tile_n=cfg["tile_n"],
-                        masked=cfg.get("masked", False)),
+                        masked=cfg.get("masked", False),
+                        pipelined=cfg.get("pipelined", False)),
                 )
             elif kind == "select_only":
                 # stages 2+3 on a precomputed sub-max matrix (q mismatch is
