@@ -305,7 +305,7 @@ def subtile_max_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "g", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "g", "tile_n", "interpret", "pipelined")
 )
 def two_level_topk_certified_i8(
     queries: jax.Array,    # (B, d) f32
@@ -316,6 +316,7 @@ def two_level_topk_certified_i8(
     g: int = 32,
     tile_n: int = 2048,
     interpret: bool = False,
+    pipelined: bool = False,
 ):
     """Int8 certified streaming top-k — upper-bound selection.
 
@@ -354,7 +355,7 @@ def two_level_topk_certified_i8(
     q_i8, qscale = quantize_queries(queries)
     raw = subtile_max_stream(
         q_i8, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
-        masked=False,
+        masked=False, pipelined=pipelined,
     )  # (N/g, B) f32 of raw int32 maxes
     sg = row_scale.reshape(n // g, g)
     smax = jnp.max(sg, axis=1)[:, None]  # (N/g, 1)
@@ -385,7 +386,8 @@ def two_level_topk_certified_i8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "g", "tile_n", "metric", "interpret")
+    jax.jit,
+    static_argnames=("k", "g", "tile_n", "metric", "interpret", "pipelined"),
 )
 def two_level_topk_certified(
     queries: jax.Array,   # (B, d) f32
@@ -397,6 +399,7 @@ def two_level_topk_certified(
     tile_n: int = 2048,
     metric: str = "cosine",
     interpret: bool = False,
+    pipelined: bool = False,
 ):
     """Streaming two-level top-k with a device-side exactness certificate.
 
@@ -428,7 +431,7 @@ def two_level_topk_certified(
     qc = queries.astype(corpus.dtype)
     sub = subtile_max_stream(
         qc, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
-        masked=False,
+        masked=False, pipelined=pipelined,
     )
     s, pos = select_rescore(qc, corpus, valid, sqnorm, sub, k, g, metric)
     is_padding = (qnorm[:, 0] == 0.0)
