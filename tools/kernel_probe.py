@@ -51,8 +51,29 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     print(f"device: {jax.devices()[0]}", flush=True)
-    corpus = rng.standard_normal((args.n, args.d), dtype=np.float32)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    # host data prep is single-core on this box (~10 min at 2M x 768);
+    # cache the prepared corpus + oracle across probe invocations
+    cache = Path(f"/tmp/probe_cache_{args.n}_{args.d}_{args.b}_{args.stream}.npz")
+    if cache.exists():
+        z = np.load(cache)
+        corpus, queries, exact_top = z["corpus"], z["queries"], z["exact_top"]
+        print(f"corpus cache hit: {cache}", flush=True)
+    else:
+        corpus = rng.standard_normal((args.n, args.d), dtype=np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        q_idx = rng.integers(0, args.n, size=args.b * args.stream)
+        queries = corpus[q_idx] + 0.1 * rng.standard_normal(
+            (args.b * args.stream, args.d), dtype=np.float32
+        )
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        sub = queries[:128]
+        exact = np.empty((128, args.n), dtype=np.float32)
+        step = 1 << 18
+        for s in range(0, args.n, step):
+            exact[:, s : s + step] = sub @ corpus[s : s + step].T
+        exact_top = np.argpartition(-exact, args.k, axis=1)[:, : args.k]
+        del exact
+        np.savez(cache, corpus=corpus, queries=queries, exact_top=exact_top)
     # pad rows up to the largest tile in the sweep (invalid, like the index
     # pads capacity)
     n_pad = ((args.n + 4095) // 4096) * 4096
@@ -69,24 +90,11 @@ def main() -> None:
     sqnorm = jnp.ones((n_pad,), dtype=jnp.float32)
     del padded
 
-    q_idx = rng.integers(0, args.n, size=args.b * args.stream)
-    queries = corpus[q_idx] + 0.1 * rng.standard_normal(
-        (args.b * args.stream, args.d), dtype=np.float32
-    )
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     dev_q = [
         jax.device_put(jnp.asarray(queries[i * args.b : (i + 1) * args.b]))
         for i in range(args.stream)
     ]
     jax.block_until_ready(dev_q)
-
-    # exact oracle on a subsample for recall
-    sub = queries[:128]
-    exact = np.empty((128, args.n), dtype=np.float32)
-    step = 1 << 18
-    for s in range(0, args.n, step):
-        exact[:, s : s + step] = sub @ corpus[s : s + step].T
-    exact_top = np.argpartition(-exact, args.k, axis=1)[:, : args.k]
 
     def timed(fn, check_recall=True):
         # warmup + compile
@@ -161,6 +169,99 @@ def main() -> None:
                     g=cfg.get("g", 32), tile_n=cfg["tile_n"],
                     q_block=cfg.get("q_block", 512),
                 )
+            elif kind == "dma_only":
+                # corpus-stream bandwidth floor: same DMA pipeline as the
+                # stream producer, but the MXU never runs — isolates
+                # whether pass-1 is DMA-bound or compute-bound
+                import functools as _ft
+
+                from jax.experimental import pallas as pl
+                from jax.experimental.pallas import tpu as pltpu
+
+                tile_n = cfg["tile_n"]
+                n_pad_t = emb.shape[0]
+                n_tiles = n_pad_t // tile_n
+                d_ = emb.shape[1]
+
+                def _dma_kernel(corpus_hbm, out_hbm, *, tile_n, n_tiles):
+                    def body(buf, stage, copy_sem, out_sem):
+                        def tile_dma(slot, i):
+                            return pltpu.make_async_copy(
+                                corpus_hbm.at[pl.ds(i * tile_n, tile_n), :],
+                                buf.at[slot],
+                                copy_sem.at[slot],
+                            )
+
+                        def out_dma(slot, i):
+                            return pltpu.make_async_copy(
+                                stage.at[slot],
+                                out_hbm.at[pl.ds(i, 1), :],
+                                out_sem.at[slot],
+                            )
+
+                        tile_dma(0, 0).start()
+
+                        def step(i, _):
+                            slot = jax.lax.rem(i, 2)
+                            nxt = jax.lax.rem(i + 1, 2)
+
+                            @pl.when(i + 1 < n_tiles)
+                            def _():
+                                tile_dma(nxt, i + 1).start()
+
+                            tile_dma(slot, i).wait()
+
+                            @pl.when(i >= 2)
+                            def _():
+                                out_dma(slot, i - 2).wait()
+
+                            stage[slot] = jnp.max(
+                                buf[slot].astype(jnp.float32), axis=0,
+                                keepdims=True,
+                            )
+                            out_dma(slot, i).start()
+                            return 0
+
+                        jax.lax.fori_loop(0, n_tiles, step, 0)
+
+                        @pl.when(n_tiles >= 2)
+                        def _():
+                            out_dma(
+                                jax.lax.rem(n_tiles - 2, 2), n_tiles - 2
+                            ).wait()
+
+                        out_dma(
+                            jax.lax.rem(n_tiles - 1, 2), n_tiles - 1
+                        ).wait()
+
+                    pl.run_scoped(
+                        body,
+                        buf=pltpu.VMEM((2, tile_n, d_), corpus_hbm.dtype),
+                        stage=pltpu.VMEM((2, 1, d_), jnp.float32),
+                        copy_sem=pltpu.SemaphoreType.DMA((2,)),
+                        out_sem=pltpu.SemaphoreType.DMA((2,)),
+                    )
+
+                src = emb_i8 if cfg.get("dtype") == "int8" else emb
+
+                @jax.jit
+                def _dma(corpus):
+                    out = pl.pallas_call(
+                        _ft.partial(
+                            _dma_kernel, tile_n=tile_n, n_tiles=n_tiles
+                        ),
+                        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                        out_shape=jax.ShapeDtypeStruct(
+                            (n_tiles, d_), jnp.float32
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            has_side_effects=True
+                        ),
+                    )(corpus)
+                    return out[:1, :1]
+
+                fn = lambda q: (None, _dma(src))  # noqa: E731
             elif kind == "p1_stream":
                 # pass-1 producer alone (fetch one element to force it);
                 # device arrays ride as jit ARGS, not captured constants
