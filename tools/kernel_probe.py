@@ -82,7 +82,13 @@ def main() -> None:
     emb = jnp.asarray(padded, dtype=jnp.bfloat16)
     # block-shared scales = what DeviceFlatIndex stores (the certified i8
     # stream's upper bound is tight — smax == smin per sub-tile)
-    codes, scales = quantize_rows_blocked(padded, 32)
+    i8_cache = Path(str(cache).replace(".npz", "_i8.npz"))
+    if i8_cache.exists():
+        z = np.load(i8_cache)
+        codes, scales = z["codes"], z["scales"]
+    else:
+        codes, scales = quantize_rows_blocked(padded, 32)
+        np.savez(i8_cache, codes=codes, scales=scales)
     emb_i8 = jnp.asarray(codes)
     row_scale = jnp.asarray(scales)
     del codes, scales
