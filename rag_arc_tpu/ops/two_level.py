@@ -203,6 +203,49 @@ def two_level_topk_i8(
     return s[:b_in], pos[:b_in]
 
 
+def subtile_max_scan(
+    queries: jax.Array,   # (B, d) already normalized/cast to corpus dtype
+    corpus: jax.Array,    # (N, d) f32/bf16, or int8 codes
+    g: int = 16,
+    tile_n: int = 2048,
+) -> jax.Array:
+    """(N/g, B) sub-tile maxima via a plain ``lax.scan`` over corpus tiles
+    — the DEFAULT pass-1 producer.
+
+    Measured same-session on v5e (2M×768 bf16 B=512): 12.2 ms vs 19.0 ms
+    for the hand-written Pallas DMA-pipeline kernel
+    (ops/two_level_stream.py) — XLA fuses the sub-tile max into the
+    matmul's epilogue and pipelines the HBM prefetch deeper than the
+    manual double-buffered loop, so the "obvious" scan beats the custom
+    kernel by ~36%. It also has none of Mosaic's constraints: any B
+    (the stream kernel needs B % 128 == 0), any backend (CPU tests run
+    it without interpret mode), no VMEM budget to manage.
+
+    Maskless like the stream kernel: dead rows must be ZEROED
+    (flat.mark_deleted's invariant) and exactness comes from the
+    caller's certificate. int8 corpora emit raw int32 maxes converted
+    to f32 (exact for d ≤ 1040)."""
+    n, d = corpus.shape
+    b = queries.shape[0]
+    if n % tile_n or tile_n % g:
+        raise ValueError("alignment: n % tile_n == 0, tile_n % g == 0")
+    int8_mode = corpus.dtype == jnp.int8
+    tiles = corpus.reshape(n // tile_n, tile_n, d)
+
+    def step(carry, tile):
+        s = jax.lax.dot_general(
+            tile,
+            queries,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
+        )  # (tile_n, B)
+        sub = jnp.max(s.reshape(tile_n // g, g, b), axis=1)
+        return carry, sub.astype(jnp.float32)
+
+    _, subs = jax.lax.scan(step, 0, tiles)
+    return subs.reshape(n // g, b)
+
+
 def quantize_queries(queries: jax.Array):
     """Normalize + symmetric per-query int8 quantization (the query-side
     half of the int8 metric). Returns (codes (B, d) int8, scale (B, 1))."""

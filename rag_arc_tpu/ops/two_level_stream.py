@@ -305,7 +305,8 @@ def subtile_max_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "g", "tile_n", "interpret", "pipelined")
+    jax.jit,
+    static_argnames=("k", "g", "tile_n", "interpret", "producer"),
 )
 def two_level_topk_certified_i8(
     queries: jax.Array,    # (B, d) f32
@@ -316,7 +317,7 @@ def two_level_topk_certified_i8(
     g: int = 32,
     tile_n: int = 2048,
     interpret: bool = False,
-    pipelined: bool = False,
+    producer: str = "scan",
 ):
     """Int8 certified streaming top-k — upper-bound selection.
 
@@ -353,9 +354,8 @@ def two_level_topk_certified_i8(
     n = corpus.shape[0]
     qnorm = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
     q_i8, qscale = quantize_queries(queries)
-    raw = subtile_max_stream(
-        q_i8, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
-        masked=False, pipelined=pipelined,
+    raw = _produce(
+        q_i8, corpus, valid, g, tile_n, interpret, producer
     )  # (N/g, B) f32 of raw int32 maxes
     sg = row_scale.reshape(n // g, g)
     smax = jnp.max(sg, axis=1)[:, None]  # (N/g, 1)
@@ -385,9 +385,23 @@ def two_level_topk_certified_i8(
     return s, pos, ok
 
 
+def _produce(qc, corpus, valid, g, tile_n, interpret, producer):
+    """Dispatch pass 1 to the selected maskless producer. "scan" (the
+    measured-fastest default, plain XLA) | "stream" (manual DMA Pallas
+    kernel) | "stream_piped" (two-slab MXU/VPU-overlap variant)."""
+    from rag_arc_tpu.ops.two_level import subtile_max_scan
+
+    if producer == "scan":
+        return subtile_max_scan(qc, corpus, g=g, tile_n=tile_n)
+    return subtile_max_stream(
+        qc, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
+        masked=False, pipelined=producer == "stream_piped",
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "g", "tile_n", "metric", "interpret", "pipelined"),
+    static_argnames=("k", "g", "tile_n", "metric", "interpret", "producer"),
 )
 def two_level_topk_certified(
     queries: jax.Array,   # (B, d) f32
@@ -399,7 +413,7 @@ def two_level_topk_certified(
     tile_n: int = 2048,
     metric: str = "cosine",
     interpret: bool = False,
-    pipelined: bool = False,
+    producer: str = "scan",
 ):
     """Streaming two-level top-k with a device-side exactness certificate.
 
@@ -429,10 +443,7 @@ def two_level_topk_certified(
     if metric == "cosine":
         queries = queries / jnp.maximum(qnorm, 1e-12)
     qc = queries.astype(corpus.dtype)
-    sub = subtile_max_stream(
-        qc, corpus, valid, g=g, tile_n=tile_n, interpret=interpret,
-        masked=False, pipelined=pipelined,
-    )
+    sub = _produce(qc, corpus, valid, g, tile_n, interpret, producer)
     s, pos = select_rescore(qc, corpus, valid, sqnorm, sub, k, g, metric)
     is_padding = (qnorm[:, 0] == 0.0)
     ok = jnp.all((s[:, -1] > 0.0) | is_padding)

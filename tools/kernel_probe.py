@@ -159,6 +159,7 @@ def main() -> None:
                 fn = lambda q: two_level_topk_certified(  # noqa: E731
                     q, emb, valid, sqnorm, args.k,
                     g=cfg.get("g", 32), tile_n=cfg["tile_n"],
+                    producer=cfg.get("producer", "scan"),
                 )[:2]
             elif kind == "i8_stream":
                 from rag_arc_tpu.ops.two_level_stream import (
@@ -168,6 +169,7 @@ def main() -> None:
                 fn = lambda q: two_level_topk_certified_i8(  # noqa: E731
                     q, emb_i8, row_scale, valid, args.k,
                     g=cfg.get("g", 32), tile_n=cfg["tile_n"],
+                    producer=cfg.get("producer", "scan"),
                 )[:2]
             elif kind == "i8":
                 fn = lambda q: two_level_topk_i8(  # noqa: E731
