@@ -394,15 +394,16 @@ class DeviceFlatIndex:
     SUBTILE_G = 16
 
     def _stream_eligible(self, b: int) -> bool:
-        """Can the maskless certified path run this search? Gates the
-        bf16/f32 certified producer AND the int8 certified producer (the
+        """Can the maskless streaming producer run this search? Gates the
+        bf16/f32 certified stream AND the int8 certified stream (the
         quantized branch of search_device calls this first). Requires
-        dead rows zeroed (mark_deleted guarantees it) and cosine/ip on a
-        single-device corpus. The default producer is the XLA scan
-        (ops/two_level.py::subtile_max_scan — measured 36% faster than
-        the manual Pallas DMA kernel, with no B-alignment or VMEM
-        constraints), so the only remaining gate is "is the score matrix
-        big enough that the direct path would thrash HBM"."""
+        dead rows zeroed (mark_deleted guarantees it), cosine/ip, a
+        single-device corpus, and the whole query batch + two corpus
+        tiles fitting VMEM (the stream kernel takes B in one invocation —
+        no query grid axis). An XLA-scan producer without these Mosaic
+        constraints exists (producer="scan") but measured SLOWER at the
+        full-path level (22.0 vs 17.2 ms same-session), so small batches
+        keep the grid path."""
         if self.mesh is not None:
             return False
         if self.metric not in ("cosine", "ip"):
@@ -415,7 +416,24 @@ class DeviceFlatIndex:
             return True
         if jax.default_backend() not in ("tpu", "axon"):
             return False
-        return 4 * b * self.capacity > self.SCORE_BYTES_BUDGET
+        # Mosaic rejects the stream kernel below 128 query lanes (B is the
+        # minor axis of the staging buffer / output DMA): b=96 fails
+        # compile, b=128 works. Serving buckets below 128 use the grid path
+        if b < 128 or b % 128 != 0:
+            return False
+        if 4 * b * self.capacity <= self.SCORE_BYTES_BUDGET:
+            return False
+        tile_n = min(self._tile_n(), 2048)
+        item = jnp.dtype(self.dtype).itemsize
+        vmem = (
+            2 * tile_n * self.dim * item   # double-buffered corpus tiles
+            + tile_n * b * 4               # (tile_n, B) score slab
+            + 2 * (tile_n // self.SUBTILE_G) * b * 4  # staging buffers
+            + b * self.dim * item          # resident query block
+        )
+        # 14 MB: g=16/tile=2048/B=512/d=768 bf16 sums to ~13.1 MB and
+        # compiles + runs on v5e (probe-verified); ~2 MB headroom remains
+        return vmem <= (14 << 20) and b <= 512
 
     def _tile_n(self) -> int:
         """Largest power-of-two multiple of ADD_BLOCK that divides capacity,

@@ -209,17 +209,18 @@ def subtile_max_scan(
     g: int = 16,
     tile_n: int = 2048,
 ) -> jax.Array:
-    """(N/g, B) sub-tile maxima via a plain ``lax.scan`` over corpus tiles
-    — the DEFAULT pass-1 producer.
+    """(N/g, B) sub-tile maxima via a plain ``lax.scan`` over corpus
+    tiles — the A/B reference producer (producer="scan").
 
-    Measured same-session on v5e (2M×768 bf16 B=512): 12.2 ms vs 19.0 ms
-    for the hand-written Pallas DMA-pipeline kernel
-    (ops/two_level_stream.py) — XLA fuses the sub-tile max into the
-    matmul's epilogue and pipelines the HBM prefetch deeper than the
-    manual double-buffered loop, so the "obvious" scan beats the custom
-    kernel by ~36%. It also has none of Mosaic's constraints: any B
-    (the stream kernel needs B % 128 == 0), any backend (CPU tests run
-    it without interpret mode), no VMEM budget to manage.
+    Measured same-session on v5e (2M×768 bf16 B=512, FULL certified
+    path): scan 22.0 ms vs the Pallas stream kernel's 17.2 ms — the
+    stream kernel stays the default. (A pass-1-only probe once showed
+    the scan at 12.2 ms; that was an XLA dead-code artifact — fetching
+    one output element let XLA elide most scan steps. Pallas kernels are
+    opaque to DCE, so only full-path or fully-fetched comparisons are
+    trustworthy.) The scan's remaining virtues: no Mosaic constraints —
+    any B (the stream kernel needs B % 128 == 0), any backend (CPU runs
+    it without interpret mode), no VMEM budget.
 
     Maskless like the stream kernel: dead rows must be ZEROED
     (flat.mark_deleted's invariant) and exactness comes from the

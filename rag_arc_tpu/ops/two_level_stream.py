@@ -317,7 +317,7 @@ def two_level_topk_certified_i8(
     g: int = 32,
     tile_n: int = 2048,
     interpret: bool = False,
-    producer: str = "scan",
+    producer: str = "stream",
 ):
     """Int8 certified streaming top-k — upper-bound selection.
 
@@ -386,9 +386,15 @@ def two_level_topk_certified_i8(
 
 
 def _produce(qc, corpus, valid, g, tile_n, interpret, producer):
-    """Dispatch pass 1 to the selected maskless producer. "scan" (the
-    measured-fastest default, plain XLA) | "stream" (manual DMA Pallas
-    kernel) | "stream_piped" (two-slab MXU/VPU-overlap variant)."""
+    """Dispatch pass 1 to the selected maskless producer. "stream" (the
+    default: manual-DMA Pallas kernel) | "stream_piped" (two-slab
+    MXU/VPU-overlap variant, no measured win) | "scan" (plain XLA scan).
+
+    Measurement note (same-session v5e, 2M×768 B=512, FULL certified
+    path): stream 17.2 ms vs scan 22.0 ms. A pass-1-only probe had shown
+    the scan "faster" (12.2 vs 19.0) — that was an XLA dead-code artifact
+    (the probe fetched one output element, letting XLA elide most scan
+    steps; Pallas kernels are opaque, so their number was real)."""
     from rag_arc_tpu.ops.two_level import subtile_max_scan
 
     if producer == "scan":
@@ -413,7 +419,7 @@ def two_level_topk_certified(
     tile_n: int = 2048,
     metric: str = "cosine",
     interpret: bool = False,
-    producer: str = "scan",
+    producer: str = "stream",
 ):
     """Streaming two-level top-k with a device-side exactness certificate.
 
