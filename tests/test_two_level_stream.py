@@ -278,3 +278,42 @@ def test_pipelined_rejects_masked(rng):
             jnp.ones(1024, bool), g=16, tile_n=512, interpret=True,
             masked=True, pipelined=True,
         )
+
+
+def test_scan_producer_matches_stream(rng):
+    """The XLA-scan producer (producer='scan') must emit the same sub-max
+    matrix as the Pallas stream kernel, and the certified path must give
+    identical results through either producer."""
+    from rag_arc_tpu.ops.two_level import subtile_max_scan
+    from rag_arc_tpu.ops.two_level_stream import (
+        subtile_max_stream,
+        two_level_topk_certified,
+    )
+
+    n, d, b, g = 2048, 64, 8, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    sq = np.ones(n, np.float32)
+    stream = subtile_max_stream(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        g=g, tile_n=512, interpret=True, masked=False,
+    )
+    scan = subtile_max_scan(
+        jnp.asarray(q), jnp.asarray(corpus), g=g, tile_n=512
+    )
+    np.testing.assert_allclose(np.asarray(scan), np.asarray(stream))
+    s0, p0, ok0 = two_level_topk_certified(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        jnp.asarray(sq), 5, g=g, tile_n=512, interpret=True,
+        producer="stream",
+    )
+    s1, p1, ok1 = two_level_topk_certified(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
+        jnp.asarray(sq), 5, g=g, tile_n=512, interpret=True,
+        producer="scan",
+    )
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+    assert bool(ok0) == bool(ok1)
