@@ -33,7 +33,14 @@ g=128 → 32.4 ms, g=64 → 23.8 ms, g=32 → 21.3 ms, g=16 → 21.9 ms
 (plateau); q_block 256 and tile 1024 both lose slightly; tile 4096 fails
 compile on VMEM. The selection stage must NOT be ``lax.top_k`` — XLA
 lowers that to a full variadic sort (~30 ms on the (512, 62k) sub-max
-matrix); ``_iterative_argmax`` does k cheap passes instead.
+matrix); ``_iterative_argmax`` does a hierarchical tournament instead.
+
+Current production state: the SINGLE-invocation streaming producer
+(ops/two_level_stream.py) replaced this grid kernel on the default path,
+selection became the tournament argmax, and the sweep re-ran at the new
+select cost — g=16 now wins (smaller rescore gather). Full bench:
+35.7k QPS sustained at recall@10 0.994 (see ARCHITECTURE.md §2b for the
+measured floors and the failed-experiments record).
 """
 
 from __future__ import annotations
