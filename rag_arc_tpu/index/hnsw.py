@@ -108,9 +108,11 @@ class HNSWIndex:
         # machinery recovers ~0.93 of the QUANTIZED metric's top-10, but
         # on near-duplicate corpora (query twins inside tight clusters)
         # the quantizer itself cannot separate twins — recall@10 vs exact
-        # fell to ~0.19 at dsub=8 where SQ8 held 0.97. PQ is for
-        # memory-bound corpora whose neighbors aren't near-duplicates;
-        # prefer dtype=int8 (SQ8) when recall is the priority.
+        # fell to 0.19 (d=256) / 0.11 (d=768, m=96) at dsub=8, where SQ8
+        # held 0.97/0.93 on the same corpora. This is inherent to pure
+        # ADC (FAISS IndexHNSWPQ shares it), not a machinery bug. PQ is
+        # for memory-bound corpora whose neighbors aren't near-
+        # duplicates; prefer dtype=int8 (SQ8) when recall matters.
         self.pq_m = int(pq_m)
         self.pq_train_threshold = max(256, int(pq_train_threshold))
         self._staged: list[np.ndarray] = []
