@@ -223,8 +223,10 @@ class DeviceFlatIndex:
             # past capacity even though the ROWS fit — e.g. the final
             # chunk of an exactly-sized build. Growing here would double
             # HBM for pure padding (and silently double every subsequent
-            # scan's cost); use an exact-fit ADD_BLOCK-aligned tail block
-            # instead (one extra compile per capacity-full event).
+            # scan's cost); use an exact-fit capacity-capped tail block
+            # instead (one extra compile per capacity-full event). Note
+            # the tail is NOT necessarily ADD_BLOCK-aligned: capacity -
+            # start can be ragged after quantized-gap/ragged adds.
             if start + n_write <= self.capacity:
                 padded = min(round_up(n_write, ADD_BLOCK), self.capacity - start)
             else:

@@ -305,10 +305,23 @@ class HNSWIndex:
     def save(self, path: str | Path) -> None:
         if not self._trained:
             # the snapshot format stores codebooks + codes; materialize
-            # them now (or fail loudly rather than write an empty file)
+            # them now (or fail loudly rather than write an empty file —
+            # hnsw_load cannot read a V3 snapshot with empty codebooks)
             if len(self._staged) >= 256:
+                if len(self._staged) < self.pq_train_threshold:
+                    import warnings
+
+                    warnings.warn(
+                        f"snapshotting trains PQ codebooks on only "
+                        f"{len(self._staged)} staged rows (configured "
+                        f"pq_train_threshold={self.pq_train_threshold}); "
+                        f"codebooks are frozen into the snapshot — recall "
+                        f"may be lower than a threshold-sized training set "
+                        f"would give",
+                        stacklevel=2,
+                    )
                 self._train_and_flush()
-            elif self._staged:
+            else:
                 raise IOError(
                     "cannot snapshot an untrained PQ index with fewer than "
                     "256 staged rows; add more documents first"

@@ -277,11 +277,27 @@ def test_pq_save_trains_pending_staging(corpus, tmp_path):
     hnsw = HNSWIndex(dim=48, pq_m=12, pq_train_threshold=4096)
     hnsw.add(data[:500])  # staged (below threshold, above 256)
     path = tmp_path / "staged.hnsw"
-    hnsw.save(path)  # trains on what it has rather than losing data
+    # trains on what it has rather than losing data, but warns that the
+    # training set is below the configured threshold (codebooks freeze
+    # into the snapshot)
+    with pytest.warns(UserWarning, match="pq_train_threshold"):
+        hnsw.save(path)
     back = HNSWIndex.load(path)
     assert back.size == 500
     _, p = back.search(data[10:11], 1, ef=64)
     assert p[0, 0] == 10
+
+
+def test_pq_save_empty_untrained_raises(tmp_path):
+    # an untrained PQ index with zero staged rows used to write an
+    # unloadable V3 snapshot (empty codebooks); it must raise instead
+    hnsw = HNSWIndex(dim=48, pq_m=12)
+    with pytest.raises(IOError, match="untrained PQ"):
+        hnsw.save(tmp_path / "empty.hnsw")
+    # and with a handful of rows (below the 256 minimum) it also raises
+    hnsw.add(np.random.default_rng(0).standard_normal((10, 48)).astype(np.float32))
+    with pytest.raises(IOError, match="untrained PQ"):
+        hnsw.save(tmp_path / "tiny.hnsw")
 
 
 def test_pq_validation():
