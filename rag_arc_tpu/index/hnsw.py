@@ -68,6 +68,42 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+class _RefineStore:
+    """Append-only SQ8 row store (symmetric per-row scale): the exact-
+    rescore sidecar for PQ refine. Positions mirror the graph's."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.n = 0
+        self.codes = np.empty((0, dim), dtype=np.int8)
+        self.scales = np.empty((0,), dtype=np.float32)
+
+    def append(self, rows: np.ndarray) -> None:
+        m = np.max(np.abs(rows), axis=1)
+        scales = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+        codes = np.clip(
+            np.rint(rows / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        need = self.n + rows.shape[0]
+        if need > self.codes.shape[0]:
+            cap = max(1024, 1 << int(np.ceil(np.log2(need))))
+            new_codes = np.empty((cap, self.dim), dtype=np.int8)
+            new_scales = np.empty((cap,), dtype=np.float32)
+            new_codes[: self.n] = self.codes[: self.n]
+            new_scales[: self.n] = self.scales[: self.n]
+            self.codes, self.scales = new_codes, new_scales
+        self.codes[self.n : need] = codes
+        self.scales[self.n : need] = scales
+        self.n = need
+
+    def decode(self, positions: np.ndarray) -> np.ndarray:
+        pos = np.clip(positions, 0, max(self.n - 1, 0))
+        return (
+            self.codes[pos].astype(np.float32)
+            * self.scales[pos][..., None]
+        )
+
+
 class HNSWIndex:
     def __init__(
         self,
@@ -80,6 +116,7 @@ class HNSWIndex:
         quantize: bool = False,
         pq_m: int = 0,
         pq_train_threshold: int = 4096,
+        pq_refine: bool = False,
         _handle: Optional[int] = None,
     ):
         if metric not in _METRIC_CODE:
@@ -115,6 +152,26 @@ class HNSWIndex:
         # duplicates; prefer dtype=int8 (SQ8) when recall matters.
         self.pq_m = int(pq_m)
         self.pq_train_threshold = max(256, int(pq_train_threshold))
+        # PQ refine (FAISS IndexRefine parity): keep an SQ8 copy of every
+        # row on the host (dim + 4 bytes/row); search widens the graph
+        # candidate set and rescores it against the SQ8 copy. Recovers
+        # SQ8-level recall from a PQ-coded graph at ~4x-less-than-f32
+        # memory (vs PQ-alone's 32x) — the guard rail for the measured
+        # near-duplicate recall cliff documented above.
+        self.pq_refine = bool(pq_refine) and bool(pq_m)
+        self._refine = _RefineStore(dim) if self.pq_refine else None
+        if pq_m and not self.pq_refine and dim // pq_m >= 4:
+            import warnings
+
+            warnings.warn(
+                f"PQ at dsub={dim // pq_m} floats/sub-space can cost "
+                f"substantial recall on corpora with near-duplicate "
+                f"neighbors (measured: recall@10 0.64 at dsub=4 on a "
+                f"gaussian worst case). Pass pq_refine=True to rescore "
+                f"candidates against an SQ8 copy (+{dim + 4} bytes/row), "
+                f"or use quantize=True (SQ8) if memory allows",
+                stacklevel=2,
+            )
         self._staged: list[np.ndarray] = []
         self._staged_deleted: set[int] = set()
         self.n_deleted = 0
@@ -153,6 +210,8 @@ class HNSWIndex:
         n = vectors.shape[0]
         if n == 0:
             return np.empty((0,), dtype=np.int64)
+        if self._refine is not None:
+            self._refine.append(vectors)
         if not self._trained:
             start = len(self._staged)
             self._staged.extend(vectors)
@@ -225,19 +284,37 @@ class HNSWIndex:
         if not self._trained:
             return self._search_staged(queries, k)
         nq = queries.shape[0]
-        scores = np.empty((nq, k), dtype=np.float32)
-        ids = np.empty((nq, k), dtype=np.int64)
+        k_fetch = k if self._refine is None else min(
+            max(4 * k, 32), max(int(self._lib.hnsw_size(self._handle)), k)
+        )
+        scores = np.empty((nq, k_fetch), dtype=np.float32)
+        ids = np.empty((nq, k_fetch), dtype=np.int64)
         self._lib.hnsw_search(
             self._handle,
             _fptr(queries),
             nq,
-            k,
+            k_fetch,
             int(ef or self.ef_search),
             _fptr(scores),
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         scores = np.where(ids < 0, -np.inf, scores)
-        return scores, ids
+        if self._refine is None:
+            return scores, ids
+        # exact-rescore the widened candidate set against the SQ8 copy
+        # (FAISS IndexRefine behavior), then re-top-k
+        cand = self._refine.decode(ids)  # (nq, k_fetch, dim)
+        if self.metric == "l2":
+            d = cand - queries[:, None, :]
+            exact = -np.einsum("qkd,qkd->qk", d, d)
+        else:
+            exact = np.einsum("qd,qkd->qk", queries, cand)
+        exact = np.where(ids < 0, -np.inf, exact).astype(np.float32)
+        order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        out_s = np.take_along_axis(exact, order, axis=1)
+        out_i = np.take_along_axis(ids, order, axis=1)
+        out_i = np.where(np.isneginf(out_s), -1, out_i)
+        return out_s, out_i
 
     def mark_deleted(self, positions: np.ndarray) -> None:
         positions = np.ascontiguousarray(positions, dtype=np.int64)
@@ -272,11 +349,13 @@ class HNSWIndex:
 
     def stats(self) -> Dict[str, object]:
         if self.pq_m:
-            storage = "pq"
+            storage = "pq+refine" if self.pq_refine else "pq"
             # per-vector codes + the shared codebooks
             vector_bytes = self.size * self.pq_m + self.pq_m * 256 * (
                 self.dim // self.pq_m
             ) * 4
+            if self.pq_refine:
+                vector_bytes += self.size * (self.dim + 4)  # SQ8 sidecar
         elif self.quantize:
             storage, vector_bytes = "sq8", self.size * self.dim
         else:
@@ -329,6 +408,12 @@ class HNSWIndex:
         rc = self._lib.hnsw_save(self._handle, str(path).encode())
         if rc != 0:
             raise IOError(f"hnsw_save failed for {path}")
+        if self._refine is not None:
+            np.savez(
+                str(path) + ".refine.npz",
+                codes=self._refine.codes[: self._refine.n],
+                scales=self._refine.scales[: self._refine.n],
+            )
 
     @classmethod
     def load(
@@ -365,4 +450,14 @@ class HNSWIndex:
         # the snapshot preserves per-node deleted flags; count them so
         # n_active / compaction-threshold logic stays correct after load
         index.n_deleted = int(lib.hnsw_count_deleted(handle))
+        sidecar = Path(str(path) + ".refine.npz")
+        index.pq_refine = sidecar.exists()
+        index._refine = None
+        if index.pq_refine:
+            with np.load(sidecar) as z:
+                store = _RefineStore(dim)
+                store.codes = np.ascontiguousarray(z["codes"])
+                store.scales = np.ascontiguousarray(z["scales"])
+                store.n = store.codes.shape[0]
+            index._refine = store
         return index

@@ -239,6 +239,7 @@ class TPUVectorStore(VectorStore):
         train_threshold: Optional[int] = None,
         docstore_path: Optional[str] = None,
         hnsw_pq_m: int = 0,
+        hnsw_pq_refine: bool = False,
     ):
         if index_type not in ("flat", "ivf", "hnsw"):
             raise ValueError(
@@ -273,6 +274,9 @@ class TPUVectorStore(VectorStore):
         # hnsw_pq_m > 0 selects product-quantized HNSW storage (m bytes
         # per vector, FAISS IndexHNSWPQ parity); 0 keeps f32/sq8
         self.hnsw_pq_m = int(hnsw_pq_m)
+        # hnsw_pq_refine keeps an SQ8 copy for exact candidate rescore
+        # (FAISS IndexRefine parity) — guards the PQ recall cliff
+        self.hnsw_pq_refine = bool(hnsw_pq_refine)
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
             self._create_index(self._dim)
@@ -302,6 +306,7 @@ class TPUVectorStore(VectorStore):
                 metric=self.metric,
                 quantize=quantize,
                 pq_m=self.hnsw_pq_m,
+                pq_refine=self.hnsw_pq_refine,
             )
             self._dim = dim
             return

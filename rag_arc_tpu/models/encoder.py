@@ -166,6 +166,100 @@ class CausalLM(nn.Module):
         )(x)
 
 
+class FastBlock(nn.Module):
+    """Serving-optimized block: attention stays in (B, L, H, D) layout
+    (no explicit head transposes — XLA picks layouts for the einsums),
+    probabilities cast to the compute dtype immediately after the f32
+    softmax, and the key mask kept at (B, 1, 1, L) so no (B, H, L, L)
+    bias tensor is ever materialized. Numerics match Block to ~1e-2
+    relative (bf16 rounding only); the parameter tree is identical, so
+    trained Block params load directly."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_bias: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_attn")(x)
+        qkv = nn.Dense(
+            3 * cfg.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv"
+        )(h)
+        b, l, _ = qkv.shape
+        qkv = qkv.reshape(b, l, 3, cfg.heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum(
+            "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / np.sqrt(cfg.head_dim))
+        scores = scores + key_bias  # (B, 1, 1, L) broadcasts over h, l
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(b, l, cfg.dim)
+        x = x + nn.Dense(
+            cfg.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="attn_out"
+        )(ctx)
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_mlp")(x)
+        h = nn.Dense(
+            cfg.mlp_ratio * cfg.dim,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="mlp_up",
+        )(h)
+        h = nn.gelu(h)
+        h = nn.Dense(
+            cfg.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="mlp_down"
+        )(h)
+        return x + h
+
+
+class TextEncoderFast(nn.Module):
+    """Serving twin of TextEncoder built from FastBlock (bidirectional
+    only — the causal path keeps the reference Block). Same param tree
+    as TextEncoder, so ``encoder_params["params"]`` swap in directly."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, l = ids.shape
+        trunk = self  # param scope mirror of Trunk inside TextEncoder
+
+        class _FastTrunk(nn.Module):
+            cfg: TransformerConfig
+
+            @nn.compact
+            def __call__(self, ids, mask):
+                cfg = self.cfg
+                tok = nn.Embed(
+                    cfg.vocab_size,
+                    cfg.dim,
+                    dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name="tok_embed",
+                )(ids)
+                pos = nn.Embed(
+                    cfg.max_len,
+                    cfg.dim,
+                    dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name="pos_embed",
+                )(jnp.arange(ids.shape[1])[None, :])
+                x = tok + pos
+                neg = jnp.asarray(-1e9, dtype=jnp.float32)
+                key_bias = jnp.where(mask[:, None, None, :], 0.0, neg)
+                for i in range(cfg.depth):
+                    x = FastBlock(cfg, name=f"block_{i}")(x, key_bias)
+                return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
+
+        x = _FastTrunk(cfg, name="trunk")(ids, mask)
+        m = mask[..., None].astype(jnp.float32)
+        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1.0
+        )
+        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+        return pooled / jnp.maximum(norm, 1e-12)
+
+
 # -- parameter sharding (tensor parallel) ---------------------------------
 
 _TP_RULES: Tuple[Tuple[str, P], ...] = (
