@@ -584,8 +584,19 @@ def load_hf_qwen2vl(model_name_or_path: str) -> Tuple["FlaxQwen2VL", Dict, Any, 
     cfg = config_from_hf(hf_cfg)
     torch_model = Qwen2VLForConditionalGeneration.from_pretrained(model_name_or_path)
     params = convert_torch_qwen2vl(torch_model.state_dict(), cfg)
-    processor = AutoProcessor.from_pretrained(model_name_or_path)
-    return FlaxQwen2VL(cfg), params, processor.tokenizer, processor.image_processor
+    try:
+        processor = AutoProcessor.from_pretrained(model_name_or_path)
+        tokenizer = processor.tokenizer
+        image_processor = processor.image_processor
+    except Exception:
+        # AutoProcessor can require optional deps the checkpoint never
+        # uses (e.g. the video processor needs torchvision); fall back
+        # to loading the two pieces the OCR path actually needs
+        from transformers import AutoImageProcessor, AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        image_processor = AutoImageProcessor.from_pretrained(model_name_or_path)
+    return FlaxQwen2VL(cfg), params, tokenizer, image_processor
 
 
 # -- greedy generation ------------------------------------------------------------
