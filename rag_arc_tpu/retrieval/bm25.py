@@ -36,6 +36,33 @@ def default_preprocess(text: str) -> List[str]:
     return text.lower().split()
 
 
+_CJK_RUN_RE = re.compile(r"([一-鿿぀-ヿ가-힯]+)")
+
+
+def cjk_preprocess(text: str) -> List[str]:
+    """CJK-aware fallback tokenizer: character bigrams for CJK runs
+    (the Lucene CJKAnalyzer scheme — no dictionary needed, so it works
+    without jieba), lowercased whitespace words for everything else.
+
+    The reference ships a *working* Chinese BM25 demo via jieba
+    pre-tokenization (``examples/test/tantivy_example.py:17-78``); this
+    in-tree tokenizer makes CJK corpora retrievable out of the box, and
+    a real segmenter passed as ``preprocess_func`` still wins when
+    available."""
+    tokens: List[str] = []
+    for i, piece in enumerate(_CJK_RUN_RE.split(text)):
+        if not piece:
+            continue
+        if i % 2 == 1:  # odd split() indices are the CJK run captures
+            if len(piece) == 1:
+                tokens.append(piece)
+            else:
+                tokens.extend(piece[j : j + 2] for j in range(len(piece) - 1))
+        else:
+            tokens.extend(piece.lower().split())
+    return tokens
+
+
 class BM25Retriever(BaseRetriever):
     def __init__(
         self,
@@ -95,19 +122,38 @@ class BM25Retriever(BaseRetriever):
 
     def _tokenize(self, text: str) -> List[str]:
         if (
-            not self._cjk_warned
-            and self.preprocess_func is default_preprocess
+            self.preprocess_func is default_preprocess
             and _CJK_RE.search(text)
         ):
-            self._cjk_warned = True
-            warnings.warn(
-                "CJK text detected with the default whitespace tokenizer; "
-                "pass a CJK-aware preprocess_func (e.g. jieba.lcut) for "
-                "meaningful BM25 scores"
-            )
+            # auto-upgrade: the default whitespace tokenizer produces
+            # whole-sentence tokens on CJK — switch the retriever to the
+            # in-tree bigram tokenizer so the corpus is actually
+            # retrievable (ref behavior hint: bm25.py:116-123 points at
+            # jieba; we ship a dictionary-free remedy)
+            if not self._cjk_warned:
+                self._cjk_warned = True
+                warnings.warn(
+                    "CJK text detected with the default whitespace "
+                    "tokenizer; switching to the in-tree character-bigram "
+                    "tokenizer (cjk_preprocess). Pass a real segmenter "
+                    "(e.g. jieba.lcut) as preprocess_func for even better "
+                    "relevance"
+                )
+            self.preprocess_func = cjk_preprocess
+            if self.docs:
+                self._rebuild()
         return self.preprocess_func(text)
 
     def _rebuild(self) -> None:
+        # the auto-upgrade must trigger at build time too, or corpus and
+        # query tokenizations diverge
+        if self.preprocess_func is default_preprocess and any(
+            _CJK_RE.search(d.content) for d in self.docs
+        ):
+            self._tokenize(next(
+                d.content for d in self.docs if _CJK_RE.search(d.content)
+            ))
+            return  # _tokenize recursed into _rebuild with the upgrade
         # native fast path: C++ tokenization+stats is byte-exact with the
         # default lower().split() on ASCII corpora
         if self.preprocess_func is default_preprocess and all(

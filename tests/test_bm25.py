@@ -125,6 +125,46 @@ class TestRetriever:
         with pytest.warns(UserWarning, match="CJK"):
             BM25Retriever.from_texts(["这是中文文本测试"])
 
+    def test_cjk_auto_bigram_retrieval(self):
+        # mirrors the reference's working Chinese BM25 demo
+        # (examples/test/tantivy_example.py:17-78): out of the box, a
+        # Chinese query must return the relevant doc — the default
+        # tokenizer auto-upgrades to character bigrams on CJK corpora
+        corpus = [
+            "人工智能是未来科技发展的重要方向",
+            "今天的天气很好适合出去散步",
+            "机器学习模型需要大量训练数据",
+            "这家餐厅的四川菜非常正宗",
+        ]
+        with pytest.warns(UserWarning, match="bigram"):
+            r = BM25Retriever.from_texts(corpus)
+        hits = r.invoke("人工智能的发展", k=2)
+        assert hits[0].content == corpus[0]
+        hits = r.invoke("川菜 餐厅", k=1)
+        assert hits[0].content == corpus[3]
+        assert r.get_bm25_info()["preprocess_func"] == "cjk_preprocess"
+
+    def test_cjk_bigram_tokenizer_mixed_text(self):
+        from rag_arc_tpu.retrieval.bm25 import cjk_preprocess
+
+        toks = cjk_preprocess("GPU 加速深度学习 training")
+        assert "gpu" in toks and "training" in toks
+        assert "加速" in toks and "速深" in toks and "深度" in toks
+        # single CJK char between ascii
+        assert cjk_preprocess("a 中 b") == ["a", "中", "b"]
+        assert cjk_preprocess("") == []
+
+    def test_cjk_query_on_cjk_corpus_added_later(self):
+        # corpus starts ASCII (native build), CJK docs arrive later: the
+        # upgrade must rebuild so corpus and query tokenizations agree
+        r = BM25Retriever.from_texts(["pure ascii doc about cats"])
+        with pytest.warns(UserWarning, match="bigram"):
+            r.add_texts(["数据库系统实现原理"])
+        hits = r.invoke("数据库原理", k=1)
+        assert hits[0].content == "数据库系统实现原理"
+        hits = r.invoke("cats", k=1)
+        assert hits[0].content == "pure ascii doc about cats"
+
     def test_custom_preprocess_no_cjk_warning(self, recwarn):
         r = BM25Retriever.from_texts(
             ["这是 中文 文本"], preprocess_func=lambda t: list(t.replace(" ", ""))
