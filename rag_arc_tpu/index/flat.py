@@ -80,10 +80,9 @@ class DeviceFlatIndex:
         self.quantized = jnp.dtype(dtype) == jnp.int8
         if self.quantized and metric == "l2":
             raise ValueError("int8 storage supports cosine/ip, not l2")
-        if self.quantized and mesh is not None:
-            raise NotImplementedError(
-                "int8 storage is single-device for now; use bf16 on meshes"
-            )
+        # int8 shards like bf16: QUANT_BLOCK (32) divides ADD_BLOCK (1024),
+        # so per-shard row ranges never straddle a quantization block and
+        # the (N,) scale column shards with the rows (P(axis)) unchanged
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
@@ -536,9 +535,22 @@ class DeviceFlatIndex:
         tile = ADD_BLOCK
         while local_cap % (tile * 2) == 0 and tile < 2048:
             tile *= 2
+        quantized = self.quantized
 
         def local_topk(q, emb, valid, sqnorm):
-            if use_fused:
+            if quantized:
+                # sqnorm carries the per-row int8 scales; the blocked
+                # scales are row-aligned so they sharded with the rows
+                if use_fused:
+                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
+
+                    s, idx = two_level_topk_i8(
+                        q, emb, sqnorm, valid, k_local,
+                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                    )
+                else:
+                    s, idx = _i8_topk_body(emb, sqnorm, valid, q, k_local)
+            elif use_fused:
                 from rag_arc_tpu.ops.two_level import two_level_topk
 
                 s, idx = two_level_topk(
@@ -601,13 +613,25 @@ class DeviceFlatIndex:
             sm, sel = jax.lax.top_k(s_flat, min(k_out, s_flat.shape[1]))
             return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
 
+        quantized = self.quantized
+
         def local_fn(q_local, emb, valid, sqnorm):
-            if use_fused:
+            if quantized:
+                if use_fused:
+                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
+
+                    s, idx = two_level_topk_i8(
+                        q_local, emb, sqnorm, valid, k_local,
+                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                    )
+                else:
+                    s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, k_local)
+            elif use_fused:
                 from rag_arc_tpu.ops.two_level import two_level_topk
 
                 s, idx = two_level_topk(
                     q_local, emb, valid, sqnorm, k_local,
-                    tile_n=tile, metric=metric,
+                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
                 )
             else:
                 scores = pairwise_scores(q_local, emb, metric, sqnorm)
@@ -656,13 +680,25 @@ class DeviceFlatIndex:
         while local_cap % (tile * 2) == 0 and tile < 2048:
             tile *= 2
 
+        quantized = self.quantized
+
         def local_fn(q_local, emb, valid, sqnorm):
-            if use_fused:
+            if quantized:
+                if use_fused:
+                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
+
+                    s, idx = two_level_topk_i8(
+                        q_local, emb, sqnorm, valid, k_local,
+                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                    )
+                else:
+                    s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, k_local)
+            elif use_fused:
                 from rag_arc_tpu.ops.two_level import two_level_topk
 
                 s, idx = two_level_topk(
                     q_local, emb, valid, sqnorm, k_local,
-                    tile_n=tile, metric=metric,
+                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
                 )
             else:
                 scores = pairwise_scores(q_local, emb, metric, sqnorm)
@@ -754,9 +790,10 @@ def _search_single(emb, valid, sqnorm, q, k, metric):
     return jax.lax.top_k(scores, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _search_single_i8(emb_i8, row_scale, valid, q, k):
-    """Small-corpus int8 path, same quantized metric as the TPU kernel."""
+def _i8_topk_body(emb_i8, row_scale, valid, q, k):
+    """int8 top-k body (quantized-metric scores, identical arithmetic to
+    the TPU kernels). Un-jitted so shard_map bodies can call it; the
+    single-device wrapper below jits it."""
     norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
     qn = q / jnp.maximum(norm, 1e-12)
     qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
@@ -770,6 +807,12 @@ def _search_single_i8(emb_i8, row_scale, valid, q, k):
     scores = jnp.where(valid[None, :], scores, NEG_INF)
     s, p = jax.lax.top_k(scores, k)
     return s * qscale, p
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_single_i8(emb_i8, row_scale, valid, q, k):
+    """Small-corpus int8 path, same quantized metric as the TPU kernel."""
+    return _i8_topk_body(emb_i8, row_scale, valid, q, k)
 
 
 @jax.jit

@@ -293,13 +293,65 @@ class TestInt8Index:
         _, p = i8.search(data[3:4], 1)
         assert p[0, 0] == mapping[3]
 
-    def test_l2_and_mesh_rejected(self):
+    def test_l2_rejected(self):
         with pytest.raises(ValueError, match="cosine/ip"):
             DeviceFlatIndex(dim=8, metric="l2", dtype=jnp.int8)
+
+    def test_int8_sharded_matches_single_device(self, rng):
+        """int8 on the data mesh (VERDICT r2 #2): codes + block scales
+        shard over rows; results match the single-device quantized path
+        bit-for-bit (same arithmetic, same metric)."""
         from rag_arc_tpu.parallel.mesh import default_mesh
 
-        with pytest.raises(NotImplementedError):
-            DeviceFlatIndex(dim=8, dtype=jnp.int8, mesh=default_mesh())
+        mesh = default_mesh()
+        data = rng.standard_normal((4096, 32)).astype(np.float32)
+        q = data[rng.integers(0, 4096, 8)] + 0.05 * rng.standard_normal(
+            (8, 32)
+        ).astype(np.float32)
+
+        single = DeviceFlatIndex(dim=32, capacity=4096, dtype=jnp.int8)
+        single.add(data)
+        sharded = DeviceFlatIndex(
+            dim=32, capacity=4096, dtype=jnp.int8, mesh=mesh
+        )
+        sharded.add(data)
+        s1, p1 = single.search(q, 10)
+        s2, p2 = sharded.search(q, 10)
+        for b in range(8):
+            assert set(p1[b]) == set(p2[b])
+        np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), rtol=1e-5)
+
+    def test_int8_sharded_delete_and_grow(self, rng):
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        index = DeviceFlatIndex(dim=16, capacity=1024, dtype=jnp.int8, mesh=mesh)
+        data = rng.standard_normal((3000, 16)).astype(np.float32)
+        index.add(data)  # forces growth across shards
+        q = data[100:101]
+        _, p = index.search(q, k=1)
+        assert p[0, 0] == 100
+        index.mark_deleted(np.array([100]))
+        _, p = index.search(q, k=1)
+        assert p[0, 0] != 100
+
+    def test_int8_replica_and_slice_mesh(self, rng):
+        from rag_arc_tpu.parallel.mesh import replica_mesh, slice_mesh
+
+        data = rng.standard_normal((3000, 32)).astype(np.float32)
+        queries = data[rng.integers(0, 3000, 16)] + 0.05 * rng.standard_normal(
+            (16, 32)
+        ).astype(np.float32)
+        single = DeviceFlatIndex(dim=32, capacity=4096, dtype=jnp.int8)
+        single.add(data)
+        _, want = single.search(queries, 10)
+
+        for mesh in (replica_mesh(replicas=2, shards=4), slice_mesh(slices=2, shards=4)):
+            idx = DeviceFlatIndex(dim=32, capacity=4096, dtype=jnp.int8, mesh=mesh)
+            idx.add(data)
+            _, got = idx.search(queries, 10)
+            for b in range(16):
+                assert set(want[b]) == set(got[b]), mesh
 
     def test_store_and_persistence_roundtrip(self, rng, tmp_path):
         from rag_arc_tpu.index.persistence import load_store, save_store
