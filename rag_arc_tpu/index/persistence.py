@@ -90,6 +90,18 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         manifest["quantized"] = bool(getattr(index, "quantized", False))
         manifest["n_deleted"] = index.n_deleted
         manifest["gap_rows"] = index._gap_rows
+        manifest["refine"] = getattr(index, "refine", None)
+        if getattr(index, "refine", None):
+            # residual sidecar (int4/int8 ladder codes + per-row scales):
+            # not recomputable from the primary codes, so it snapshots too
+            np.save(
+                path / "res.npy",
+                np.asarray(jax.device_get(index.res[: index.size])),
+            )
+            np.save(
+                path / "res_scales.npy",
+                np.asarray(jax.device_get(index.res_scale[: index.size])),
+            )
     elif isinstance(index, DeviceIVFIndex):
         np.save(path / "centroids.npy", np.asarray(jax.device_get(index.centroids)))
         # quantized lists snapshot as raw int8 residual codes (+ scales in
@@ -158,12 +170,20 @@ def load_store(
         if emb.size:
             if manifest.get("quantized") and (path / "scales.npy").exists():
                 # raw-code snapshot: place codes directly, bit-exact
+                has_res = (
+                    manifest.get("refine") and (path / "res.npy").exists()
+                )
                 store.index.restore_rows(
                     emb,
                     np.load(path / "scales.npy"),
                     valid,
                     n_deleted=manifest.get("n_deleted", 0),
                     gap_rows=manifest.get("gap_rows", 0),
+                    res=np.load(path / "res.npy") if has_res else None,
+                    res_scale=(
+                        np.load(path / "res_scales.npy") if has_res else None
+                    ),
+                    refine=manifest.get("refine"),
                 )
             else:
                 # f32 snapshot (incl. legacy quantized ones): rows already
