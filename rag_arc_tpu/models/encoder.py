@@ -260,6 +260,76 @@ class TextEncoderFast(nn.Module):
         return pooled / jnp.maximum(norm, 1e-12)
 
 
+class PackedTextEncoder(nn.Module):
+    """Sequence-packed twin of TextEncoder (same param tree): several
+    short documents share one MXU-sized attention row.
+
+    Why: attention over an L=16 query is a 16×16 matmul — ~1.5% MXU
+    utilization — and the measured encoder MFU collapses from ~52% at
+    L=128 to ~34% at L=16 (tools/encoder_probe2.py). Packing K short
+    docs into one 128-token row with a block-diagonal attention mask
+    restores L=128 matmul shapes while doing zero padding work, so
+    short-query throughput scales with 1/length instead of flatlining.
+
+    Inputs: ``ids (B, L)``, ``pos_ids (B, L)`` (token offset *within its
+    document* — position embeddings must restart per segment for parity
+    with the unpacked forward), ``seg_ids (B, L)`` (document slot id
+    0..max_segments-1, -1 on padding). Output: ``(B, max_segments, dim)``
+    L2-normalized segment mean-pools; slots with no tokens return 0 — the
+    caller keeps a (row, slot) → document mapping.
+    """
+
+    cfg: TransformerConfig
+    max_segments: int = 8
+
+    @nn.compact
+    def __call__(
+        self, ids: jax.Array, pos_ids: jax.Array, seg_ids: jax.Array
+    ) -> jax.Array:
+        cfg = self.cfg
+        max_segments = self.max_segments
+
+        class _PackedTrunk(nn.Module):
+            cfg: TransformerConfig
+
+            @nn.compact
+            def __call__(self, ids, pos_ids, seg_ids):
+                cfg = self.cfg
+                tok = nn.Embed(
+                    cfg.vocab_size,
+                    cfg.dim,
+                    dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name="tok_embed",
+                )(ids)
+                pos = nn.Embed(
+                    cfg.max_len,
+                    cfg.dim,
+                    dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name="pos_embed",
+                )(pos_ids)
+                x = tok + pos
+                neg = jnp.asarray(-1e9, dtype=jnp.float32)
+                # block-diagonal attention: token i attends to j iff both
+                # sit in the same segment (padding seg -1 never matches a
+                # valid key because the key side also requires seg >= 0)
+                same = seg_ids[:, None, :, None] == seg_ids[:, None, None, :]
+                key_valid = (seg_ids >= 0)[:, None, None, :]
+                bias = jnp.where(same & key_valid, 0.0, neg)
+                for i in range(cfg.depth):
+                    x = Block(cfg, name=f"block_{i}")(x, bias)
+                return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
+
+        x = _PackedTrunk(cfg, name="trunk")(ids, pos_ids, seg_ids)
+        onehot = jax.nn.one_hot(seg_ids, max_segments, dtype=jnp.float32)
+        sums = jnp.einsum("bld,bls->bsd", x.astype(jnp.float32), onehot)
+        counts = jnp.sum(onehot, axis=1)  # (B, S)
+        pooled = sums / jnp.maximum(counts[..., None], 1.0)
+        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+        return pooled / jnp.maximum(norm, 1e-12)
+
+
 # -- parameter sharding (tensor parallel) ---------------------------------
 
 _TP_RULES: Tuple[Tuple[str, P], ...] = (

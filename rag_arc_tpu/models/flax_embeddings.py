@@ -20,10 +20,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rag_arc_tpu.models.embeddings import Embeddings
-from rag_arc_tpu.models.encoder import TextEncoder, TransformerConfig, init_encoder
+from rag_arc_tpu.models.encoder import (
+    PackedTextEncoder,
+    TextEncoder,
+    TransformerConfig,
+    init_encoder,
+)
+from rag_arc_tpu.models.packing import pack_token_lists
 from rag_arc_tpu.models.tokenizer import HashTokenizer
 
 LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+# packed serving path: docs at or under this token count share MXU-sized
+# rows (PackedTextEncoder). 64 = half a row — anything shorter wastes
+# >50% of its padded row AND runs tiny attention matmuls on the MXU
+PACK_MAX_TOKENS = 64
+PACK_ROW_LEN = 128
+PACK_MAX_SEGMENTS = 8
 
 
 class FlaxEncoderEmbeddings(Embeddings):
@@ -35,6 +48,7 @@ class FlaxEncoderEmbeddings(Embeddings):
         batch_size: int = 64,
         mesh: Optional[Mesh] = None,
         seed: int = 0,
+        pack_short: bool = True,
     ):
         self.cfg = cfg or TransformerConfig()
         self.model = TextEncoder(self.cfg)
@@ -47,13 +61,24 @@ class FlaxEncoderEmbeddings(Embeddings):
         self.batch_size = batch_size
         self.mesh = mesh
         self.dim = self.cfg.dim
+        self.pack_short = bool(pack_short)
+        self.packed_model = PackedTextEncoder(
+            self.cfg, max_segments=PACK_MAX_SEGMENTS
+        )
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P("data", None))
             self._forward = jax.jit(
                 self.model.apply, in_shardings=(None, batch_sharding, batch_sharding)
             )
+            self._packed_forward = jax.jit(
+                self.packed_model.apply,
+                in_shardings=(
+                    None, batch_sharding, batch_sharding, batch_sharding,
+                ),
+            )
         else:
             self._forward = jax.jit(self.model.apply)
+            self._packed_forward = jax.jit(self.packed_model.apply)
 
     def _bucket_len(self, n: int) -> int:
         for b in LENGTH_BUCKETS:
@@ -61,31 +86,101 @@ class FlaxEncoderEmbeddings(Embeddings):
                 return b
         return self.cfg.max_len
 
+    def _token_lists(self, texts: List[str]) -> List[List[int]]:
+        if hasattr(self.tokenizer, "encode"):
+            return [self.tokenizer.encode(t) for t in texts]
+        ids, mask = self.tokenizer.batch_encode(texts)
+        return [ids[i, mask[i]].tolist() for i in range(len(texts))]
+
     def encode(self, texts: List[str]) -> np.ndarray:
         if not texts:
             return np.empty((0, self.dim), dtype=np.float32)
         cleaned = [t.replace("\n", " ") for t in texts]
         out = np.empty((len(cleaned), self.dim), dtype=np.float32)
+        token_lists = self._token_lists(cleaned)
+        if self.pack_short:
+            short = [
+                i for i, tl in enumerate(token_lists)
+                if len(tl) <= PACK_MAX_TOKENS
+            ]
+        else:
+            short = []
+        long = (
+            [i for i in range(len(cleaned)) if len(token_lists[i]) > PACK_MAX_TOKENS]
+            if self.pack_short
+            else list(range(len(cleaned)))
+        )
+        if short:
+            out[short] = self._encode_packed([token_lists[i] for i in short])
+        if long:
+            out[long] = self._encode_bucketed([token_lists[i] for i in long])
+        return out
+
+    def _encode_packed(self, token_lists: List[List[int]]) -> np.ndarray:
+        """Short docs: pack several to an MXU-sized row (block-diagonal
+        attention, segment pooling). One fetch for the whole stream."""
+        ids, pos, seg, mapping = pack_token_lists(
+            token_lists, row_len=PACK_ROW_LEN, max_segments=PACK_MAX_SEGMENTS
+        )
+        n_rows = ids.shape[0]
+        rows_per = max(self.batch_size, 65536 // PACK_ROW_LEN)
+        outs = []
+        for start in range(0, n_rows, rows_per):
+            cids = ids[start : start + rows_per]
+            cpos = pos[start : start + rows_per]
+            cseg = seg[start : start + rows_per]
+            r = cids.shape[0]
+            r_pad = 1 << math.ceil(math.log2(max(r, 1)))
+            if r_pad > r:
+                cids = np.pad(cids, ((0, r_pad - r), (0, 0)))
+                cpos = np.pad(cpos, ((0, r_pad - r), (0, 0)))
+                cseg = np.pad(
+                    cseg, ((0, r_pad - r), (0, 0)), constant_values=-1
+                )
+            outs.append(
+                (
+                    self._packed_forward(
+                        self.params,
+                        jnp.asarray(cids),
+                        jnp.asarray(cpos),
+                        jnp.asarray(cseg),
+                    ),
+                    r,
+                )
+            )
+        fetched = jax.device_get([o for o, _ in outs])
+        all_rows = np.concatenate(
+            [np.asarray(f)[:r] for f, (_, r) in zip(fetched, outs)], axis=0
+        )
+        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
+        for i, (r, s) in enumerate(mapping):
+            out[i] = all_rows[r, s]
+        return out
+
+    def _encode_bucketed(self, token_lists: List[List[int]]) -> np.ndarray:
+        """Long docs: one doc per row, padded to a length bucket."""
+        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
         bs = self.batch_size
-        for start in range(0, len(cleaned), bs):
-            chunk = cleaned[start : start + bs]
-            # tokenize once; right-pad the encoded batch to its bucket
-            ids2, mask2 = self.tokenizer.batch_encode(chunk)
-            length = self._bucket_len(ids2.shape[1])
-            if length > ids2.shape[1]:
-                pad = length - ids2.shape[1]
-                ids2 = np.pad(ids2, ((0, 0), (0, pad)))
-                mask2 = np.pad(mask2, ((0, 0), (0, pad)))
-            elif length < ids2.shape[1]:
-                ids2, mask2 = ids2[:, :length], mask2[:, :length]
+        outs = []
+        for start in range(0, len(token_lists), bs):
+            chunk = token_lists[start : start + bs]
+            longest = max(len(tl) for tl in chunk)
+            length = self._bucket_len(longest)
+            ids2 = np.zeros((len(chunk), length), dtype=np.int32)
+            mask2 = np.zeros((len(chunk), length), dtype=bool)
+            for i, tl in enumerate(chunk):
+                tl = tl[:length]
+                ids2[i, : len(tl)] = tl
+                mask2[i, : len(tl)] = True
             b_pad = 1 << math.ceil(math.log2(max(len(chunk), 1)))
             if b_pad > len(chunk):
                 ids2 = np.pad(ids2, ((0, b_pad - len(chunk)), (0, 0)))
                 mask2 = np.pad(mask2, ((0, b_pad - len(chunk)), (0, 0)))
             emb = self._forward(self.params, jnp.asarray(ids2), jnp.asarray(mask2))
-            out[start : start + len(chunk)] = np.asarray(jax.device_get(emb))[
-                : len(chunk)
-            ]
+            outs.append((start, len(chunk), emb))
+        fetched = jax.device_get([e for _, _, e in outs])
+        for (start, n, _), f in zip(outs, fetched):
+            out[start : start + n] = np.asarray(f)[:n]
         return out
 
     def embed_documents(self, texts: List[str]) -> List[List[float]]:

@@ -256,3 +256,95 @@ class TestFit:
         model, params = init_encoder(cfg)
         with pytest.raises(ValueError, match="batch_size"):
             fit(model, params, [("a", "b")], HashTokenizer(), batch_size=8)
+
+
+class TestSequencePacking:
+    """PackedTextEncoder + pack_token_lists: short docs share MXU-sized
+    rows; embeddings must match the unpacked forward."""
+
+    def test_pack_token_lists_shapes_and_mapping(self):
+        from rag_arc_tpu.models.packing import pack_token_lists
+
+        lists = [[1, 2, 3], [4, 5], [6] * 20, [7]]
+        ids, pos, seg, mapping = pack_token_lists(
+            lists, row_len=16, max_segments=4
+        )
+        assert ids.shape == pos.shape == seg.shape
+        assert ids.shape[1] == 16
+        # every doc is findable and its tokens are intact, in order
+        for i, tl in enumerate(lists):
+            r, s = mapping[i]
+            sel = seg[r] == s
+            got = ids[r][sel].tolist()
+            assert got == tl[:16], (i, got, tl)
+            # positions restart at 0 within the segment
+            assert pos[r][sel].tolist() == list(range(min(len(tl), 16)))
+        # padding is seg -1
+        assert (seg[ids == 0] <= 0).all()
+
+    def test_pack_respects_max_segments(self):
+        from rag_arc_tpu.models.packing import pack_token_lists
+
+        lists = [[1]] * 10
+        ids, pos, seg, mapping = pack_token_lists(
+            lists, row_len=128, max_segments=4
+        )
+        rows = {r for r, _ in mapping}
+        assert len(rows) >= 3  # 10 single-token docs / 4 per row
+        for r in rows:
+            assert len({s for rr, s in mapping if rr == r}) <= 4
+
+    def test_packed_encoder_matches_unpacked(self):
+        from rag_arc_tpu.models.encoder import PackedTextEncoder
+        from rag_arc_tpu.models.packing import pack_token_lists
+
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        model, params = init_encoder(cfg, seed=3)
+        packed = PackedTextEncoder(cfg, max_segments=4)
+        rng = np.random.default_rng(0)
+        lists = [
+            rng.integers(4, cfg.vocab_size, size=n).tolist()
+            for n in (5, 9, 3, 12, 7, 2)
+        ]
+        ids, pos, seg, mapping = pack_token_lists(
+            lists, row_len=32, max_segments=4
+        )
+        got_rows = packed.apply(
+            params, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(seg)
+        )
+        for i, tl in enumerate(lists):
+            one_ids = jnp.asarray(np.asarray(tl, np.int32)[None, :])
+            one_mask = jnp.ones_like(one_ids, dtype=bool)
+            want = np.asarray(model.apply(params, one_ids, one_mask))[0]
+            r, s = mapping[i]
+            np.testing.assert_allclose(
+                np.asarray(got_rows)[r, s], want, atol=1e-5, rtol=1e-5
+            )
+
+    def test_embeddings_packed_equals_unpacked(self):
+        texts = [
+            "short text one",
+            "another tiny query",
+            "a slightly longer sentence about retrieval on tpus",
+            "x",
+        ] * 3
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        packed = FlaxEncoderEmbeddings(cfg=cfg, pack_short=True)
+        plain = FlaxEncoderEmbeddings(cfg=cfg, pack_short=False)
+        # same params (same seed) — outputs must agree per text
+        a = packed.encode(texts)
+        b = plain.encode(texts)
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_mixed_short_long_batch(self):
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        emb = FlaxEncoderEmbeddings(cfg=cfg, pack_short=True)
+        long_text = "word " * 120  # beyond PACK_MAX_TOKENS
+        texts = ["tiny", long_text, "another short one"]
+        out = emb.encode(texts)
+        assert out.shape == (3, cfg.dim)
+        assert np.isfinite(out).all()
+        # norms ~1 (L2-normalized embeddings)
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=1), 1.0, atol=1e-3
+        )
