@@ -68,11 +68,33 @@ class DeviceBM25Index:
         mesh: Optional[Mesh] = None,
         axis_name: str = CORPUS_AXIS,
         backend: str = "auto",
+        head_terms: int = 256,
+        head_dtype=jnp.float32,
+        host_budget: int = 1 << 18,
     ):
-        if backend not in ("auto", "device", "host"):
-            raise ValueError(f"backend must be auto/device/host, got {backend!r}")
+        if backend not in ("auto", "device", "host", "hybrid"):
+            raise ValueError(
+                f"backend must be auto/device/host/hybrid, got {backend!r}"
+            )
         self.k1, self.b, self.epsilon = k1, b, epsilon
         self.qmax = qmax
+        # hybrid backend (VERDICT r2 #8): the H highest-df ("head") terms
+        # score ALL docs via one dense (B,H)x(H,N) MXU matmul; every
+        # other ("tail") term ships its postings slice to the device as
+        # pre-gathered (doc id, weight) candidates. Selective queries
+        # still dispatch to the host CSR scorer; queries whose total
+        # postings volume exceeds host_budget go to the device, where
+        # head cost is O(B·H·N /MXU) instead of the host's O(Σ df).
+        self.head_terms = int(head_terms)
+        self.head_dtype = head_dtype
+        self.host_budget = int(host_budget)
+        self._w_head = None       # (H, N_pad) device
+        self._hvalid = None       # (N_pad,) device
+        self._head_slot = None    # (V,) int32: term id -> head slot or -1
+        self._tail_docs = None    # flat int32 postings (term-major)
+        self._tail_w = None       # flat f32 weights
+        self._tail_off = None     # (V+1,) int64
+        self._df = None           # (V,) int64
         self.mesh = mesh
         self.axis_name = axis_name
         if mesh is not None and "slice" in mesh.axis_names:
@@ -81,8 +103,12 @@ class DeviceBM25Index:
                 "DCN multi-slice prefer the host backend per slice"
             )
         self.n_shards = shard_count(mesh, axis_name) if mesh is not None else 1
+        if backend == "hybrid" and mesh is not None:
+            raise ValueError("hybrid backend is single-chip; meshes use device")
         self.backend = backend
-        self._use_host = backend == "host" or (backend == "auto" and mesh is None)
+        self._use_host = backend in ("host", "hybrid") or (
+            backend == "auto" and mesh is None
+        )
         self.n_docs = 0
         self.vocab: Dict[str, int] = {}
         self.avgdl = 0.0
@@ -153,6 +179,142 @@ class DeviceBM25Index:
             self.epsilon,
         )
 
+    def _build_hybrid(
+        self,
+        row_offsets: np.ndarray,
+        term_ids: np.ndarray,
+        tfs: np.ndarray,
+        doc_len: np.ndarray,
+        df: np.ndarray,
+    ) -> None:
+        """Head-dense / tail-sparse structures from the CSR arrays."""
+        from rag_arc_tpu.ops.bm25 import compute_idf
+
+        n, v = self.n_docs, len(self.vocab)
+        idf = compute_idf(df.astype(np.float64), n, self.epsilon)
+        counts = np.diff(row_offsets)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        norm = self.k1 * (
+            1.0 - self.b + self.b * doc_len[doc_of].astype(np.float64)
+            / max(self.avgdl, 1e-9)
+        )
+        w = (
+            idf[term_ids] * tfs * (self.k1 + 1.0) / (tfs + norm)
+        ).astype(np.float32)
+
+        # head = highest-df terms worth densifying (df >= n/256 floor)
+        df_min = max(4, n // 256)
+        order = np.argsort(-df, kind="stable")
+        head = order[: self.head_terms]
+        head = head[df[head] >= df_min]
+        h = len(head)
+        head_slot = np.full(v, -1, dtype=np.int32)
+        head_slot[head] = np.arange(h, dtype=np.int32)
+        n_pad = round_up(max(n, 8), 8)
+        w_head = np.zeros((max(h, 1), n_pad), dtype=np.float32)
+        is_head = head_slot[term_ids] >= 0
+        w_head[head_slot[term_ids[is_head]], doc_of[is_head]] = w[is_head]
+        hvalid = np.zeros(n_pad, dtype=bool)
+        hvalid[:n] = True
+
+        # tail postings, term-major (head terms excluded at query time)
+        sort_idx = np.argsort(term_ids, kind="stable")
+        self._tail_docs = np.ascontiguousarray(
+            doc_of[sort_idx].astype(np.int32)
+        )
+        self._tail_w = np.ascontiguousarray(w[sort_idx])
+        off = np.zeros(v + 1, dtype=np.int64)
+        np.cumsum(np.bincount(term_ids, minlength=v), out=off[1:])
+        self._tail_off = off
+        self._df = df.astype(np.int64)
+        self._head_slot = head_slot
+        self._w_head = jnp.asarray(w_head, dtype=self.head_dtype)
+        self._hvalid = jnp.asarray(hvalid)
+
+    def _estimated_entries(
+        self, tokenized_queries: Sequence[Sequence[str]]
+    ) -> int:
+        """Σ df over the batch's indexed query terms — the host scorer's
+        work; the dispatch signal between host CSR and the device."""
+        total = 0
+        for toks in tokenized_queries:
+            seen = set()
+            for tok in toks:
+                tid = self.vocab.get(tok)
+                if tid is not None and tid not in seen:
+                    seen.add(tid)
+                    total += int(self._df[tid])
+        return total
+
+    def _hybrid_search(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk
+
+        b = len(tokenized_queries)
+        h = self._w_head.shape[0]
+        q_head = np.zeros((b, h), dtype=np.float32)
+        tails: List[Tuple[np.ndarray, np.ndarray]] = []
+        e_max = 1
+        for i, toks in enumerate(tokenized_queries):
+            counts: Dict[int, int] = {}
+            for tok in toks:
+                tid = self.vocab.get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            ids_parts, w_parts = [], []
+            for tid, c in counts.items():
+                slot = self._head_slot[tid]
+                if slot >= 0:
+                    q_head[i, slot] += c
+                else:
+                    s, e = self._tail_off[tid], self._tail_off[tid + 1]
+                    ids_parts.append(self._tail_docs[s:e])
+                    w_parts.append(self._tail_w[s:e] * float(c))
+            if ids_parts:
+                ids_cat = np.concatenate(ids_parts)
+                w_cat = np.concatenate(w_parts)
+            else:
+                ids_cat = np.zeros(0, np.int32)
+                w_cat = np.zeros(0, np.float32)
+            tails.append((ids_cat, w_cat))
+            e_max = max(e_max, len(ids_cat))
+
+        e_pad = max(64, 1 << math.ceil(math.log2(e_max)))
+        b_pad = max(1, 1 << math.ceil(math.log2(b)))
+        tail_ids = np.zeros((b_pad, e_pad), dtype=np.int32)
+        tail_w = np.zeros((b_pad, e_pad), dtype=np.float32)
+        for i, (ids_cat, w_cat) in enumerate(tails):
+            tail_ids[i, : len(ids_cat)] = ids_cat
+            tail_w[i, : len(w_cat)] = w_cat
+        if b_pad > b:
+            q_head = np.pad(q_head, ((0, b_pad - b), (0, 0)))
+
+        k_eff = min(k, self.n_docs)
+        s2k, i2k = bm25_hybrid_topk(
+            self._w_head, self._hvalid,
+            jnp.asarray(q_head), jnp.asarray(tail_ids), jnp.asarray(tail_w),
+            k_eff,
+        )
+        s2k = np.asarray(jax.device_get(s2k))[:b]
+        i2k = np.asarray(jax.device_get(i2k))[:b]
+
+        out_s = np.full((b, k), -np.inf, dtype=np.float32)
+        out_p = np.full((b, k), -1, dtype=np.int64)
+        for i in range(b):
+            seen = set()
+            j = 0
+            for s, p in zip(s2k[i], i2k[i]):
+                if not np.isfinite(s) or p in seen:
+                    continue
+                seen.add(p)
+                out_s[i, j] = s
+                out_p[i, j] = p
+                j += 1
+                if j == k:
+                    break
+        return out_s, out_p
+
     def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
         n = len(tokenized_docs)
         self.n_docs = n
@@ -195,6 +357,10 @@ class DeviceBM25Index:
                 row_offsets, term_ids, tf_vals,
                 doc_len.astype(np.int64), df.astype(np.int64),
             )
+            if self.backend == "hybrid":
+                self._build_hybrid(
+                    row_offsets, term_ids, tf_vals, doc_len, df
+                )
             return
         idf = compute_idf(df, n, self.epsilon)  # (V,)
 
@@ -301,6 +467,11 @@ class DeviceBM25Index:
             self._build_host(
                 row_offsets, term_ids[:nnz], tfs[:nnz], doc_len, df
             )
+            if self.backend == "hybrid":
+                self._build_hybrid(
+                    row_offsets, term_ids[:nnz], tfs[:nnz],
+                    doc_len.astype(np.float64), df,
+                )
             return
         idf = compute_idf(df.astype(np.float64), n, self.epsilon)
 
@@ -381,6 +552,14 @@ class DeviceBM25Index:
                 np.full((b, k), -1, dtype=np.int64),
             )
         if self._host_handle is not None:
+            if (
+                self._w_head is not None
+                and self._estimated_entries(tokenized_queries) > self.host_budget
+            ):
+                # df dispatcher: this batch's postings volume would drown
+                # the host CSR scorer (head-term profile) — the device
+                # pays one MXU matmul instead of Σ df accumulations
+                return self._hybrid_search(tokenized_queries, k)
             return self._host_search(tokenized_queries, k)
         qt, qc = self.encode_queries(tokenized_queries)
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
@@ -515,7 +694,14 @@ class DeviceBM25Index:
     def stats(self) -> Dict[str, object]:
         return {
             "kind": "bm25",
-            "backend": "host-csr" if self._host_handle is not None else "device",
+            "backend": (
+                "hybrid"
+                if self._w_head is not None
+                else ("host-csr" if self._host_handle is not None else "device")
+            ),
+            "head_terms": (
+                0 if self._w_head is None else int(self._w_head.shape[0])
+            ),
             "num_docs": self.n_docs,
             "vocab_size": len(self.vocab),
             "avgdl": self.avgdl,

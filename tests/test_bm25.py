@@ -351,3 +351,98 @@ class TestHostBackend:
         np.testing.assert_allclose(
             host.get_scores(toks("quick fox")), want, rtol=1e-5, atol=1e-6
         )
+
+
+class TestHybridBackend:
+    """Head-dense / tail-sparse device backend (VERDICT r2 #8): exact vs
+    the oracle on every query profile, dispatcher picks host for
+    selective batches and the device for head-heavy ones."""
+
+    @pytest.fixture()
+    def corpus(self):
+        rng = np.random.default_rng(5)
+        # zipfian-ish vocabulary: a few stopwords in most docs + tail
+        stop = ["the", "of", "and", "to", "in"]
+        docs = []
+        for i in range(600):
+            toks = list(rng.choice(stop, size=rng.integers(3, 8)))
+            toks += [f"w{rng.integers(0, 2000)}" for _ in range(rng.integers(4, 12))]
+            toks.append(f"rare{i % 97}")
+            rng.shuffle(toks)
+            docs.append(toks)
+        return docs
+
+    def _check_matches_oracle(self, index, docs, queries, k=10):
+        from rag_arc_tpu.ops.bm25 import numpy_bm25_oracle
+
+        scores, positions = index._hybrid_search(queries, k)
+        for qi, q in enumerate(queries):
+            want = numpy_bm25_oracle(docs, q)
+            order = np.argsort(-want, kind="stable")[:k]
+            got_set = set(int(p) for p in positions[qi] if p >= 0)
+            want_scores = np.sort(want[order])[::-1]
+            got_scores = scores[qi][np.isfinite(scores[qi])]
+            np.testing.assert_allclose(
+                got_scores, want_scores[: len(got_scores)], rtol=1e-4, atol=1e-5
+            )
+            # sets match up to score ties
+            tied = set(int(i) for i in np.nonzero(
+                want >= want_scores[min(k, len(want_scores)) - 1] - 1e-6
+            )[0])
+            assert got_set <= tied, (qi, got_set - tied)
+
+    def test_hybrid_exact_all_profiles(self, corpus):
+        index = DeviceBM25Index(backend="hybrid")
+        index.build(corpus)
+        assert index.stats()["backend"] == "hybrid"
+        assert index.stats()["head_terms"] >= 5  # the stopwords densify
+        queries = [
+            ["the", "of", "and"],                      # pure head
+            ["rare11", "w100"],                        # pure tail
+            ["the", "rare42", "w7", "of"],             # mixed
+            ["unindexed", "tokens", "only"],           # no match at all...
+            ["the", "the", "the"],                     # repeated head term
+        ]
+        self._check_matches_oracle(index, corpus, queries)
+
+    def test_hybrid_zero_match_returns_zero_scored(self, corpus):
+        index = DeviceBM25Index(backend="hybrid")
+        index.build(corpus)
+        scores, positions = index._hybrid_search([["zzz_not_indexed"]], 5)
+        assert (positions[0] >= 0).all()
+        np.testing.assert_allclose(scores[0], 0.0, atol=1e-6)
+
+    def test_dispatcher_routes_by_df(self, corpus, monkeypatch):
+        index = DeviceBM25Index(backend="hybrid", host_budget=500)
+        index.build(corpus)
+        calls = {"host": 0, "hybrid": 0}
+        orig_host = index._host_search
+        orig_hybrid = index._hybrid_search
+        monkeypatch.setattr(
+            index, "_host_search",
+            lambda q, k: calls.__setitem__("host", calls["host"] + 1) or orig_host(q, k),
+        )
+        monkeypatch.setattr(
+            index, "_hybrid_search",
+            lambda q, k: calls.__setitem__("hybrid", calls["hybrid"] + 1) or orig_hybrid(q, k),
+        )
+        index.search([["rare11"]], 3)          # tiny df -> host
+        assert calls == {"host": 1, "hybrid": 0}
+        index.search([["the", "of", "and"]] * 8, 3)  # head terms -> device
+        assert calls["hybrid"] == 1
+
+    def test_hybrid_matches_host_end_to_end(self, corpus):
+        hyb = DeviceBM25Index(backend="hybrid")
+        hyb.build(corpus)
+        host = DeviceBM25Index(backend="host")
+        host.build(corpus)
+        queries = [["the", "rare13", "w55"], ["w100", "w200", "of"]]
+        s1, p1 = hyb._hybrid_search(queries, 8)
+        s2, p2 = host.search(queries, 8)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    def test_retriever_hybrid_backend(self, corpus):
+        texts = [" ".join(t) for t in corpus[:100]]
+        r = BM25Retriever.from_texts(texts, backend="hybrid")
+        hits = r.invoke("rare11", k=2)
+        assert hits and "rare11" in hits[0].content
