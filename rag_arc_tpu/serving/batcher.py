@@ -3,11 +3,20 @@
 The TPU answers a 512-query batch in barely more time than a single query
 (one score matmul amortizes the corpus read across the batch — see
 bench.py), so serving throughput hinges on coalescing concurrent requests
-into one dispatch. ``QueryBatcher`` holds each request up to
-``max_wait_ms`` or until ``max_batch`` requests accumulate, whichever
-comes first, then answers the whole batch with one call. Latency cost is
-bounded by the wait window; throughput approaches the device's batched
-QPS. (SURVEY.md §7 "throughput vs latency batching" hard part.)
+into one dispatch. ``QueryBatcher`` coalesces adaptively:
+
+- **Idle fast path**: when nothing is in flight, a request dispatches
+  IMMEDIATELY (batch of 1) — single-query p50 is the device latency, not
+  device + wait window. This is what makes the <5 ms latency target
+  reachable through the serving stack at low load.
+- **In-flight coalescing**: while a batch is running on the device,
+  arrivals queue; the queue flushes as soon as the running batch returns
+  (continuous batching) or when ``max_wait_ms`` / ``max_batch`` is hit,
+  whichever comes first. Under load the dispatch size converges to the
+  arrival rate × device latency — throughput approaches the device's
+  batched QPS with no tuning.
+
+(SURVEY.md §7 "throughput vs latency batching" hard part.)
 """
 
 from __future__ import annotations
@@ -45,6 +54,7 @@ class QueryBatcher:
         self._lock = threading.Lock()
         self._queue: List[_Pending] = []
         self._flusher: Optional[threading.Timer] = None
+        self._in_flight = 0
         self.stats: Dict[str, float] = {
             "requests": 0,
             "batches": 0,
@@ -57,7 +67,9 @@ class QueryBatcher:
         with self._lock:
             self._queue.append(pending)
             self.stats["requests"] += 1
-            if len(self._queue) >= self.max_batch:
+            if len(self._queue) >= self.max_batch or self._in_flight == 0:
+                # full batch, or the device is idle — don't make a lone
+                # request pay the coalescing window for nothing
                 self._flush_locked()
             elif self._flusher is None:
                 self._flusher = threading.Timer(self.max_wait_s, self._flush_timer)
@@ -81,6 +93,7 @@ class QueryBatcher:
             return
         self.stats["batches"] += 1
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(batch))
+        self._in_flight += 1
         threading.Thread(target=self._run_batch, args=(batch,), daemon=True).start()
 
     def _run_batch(self, batch: List[_Pending]) -> None:
@@ -101,3 +114,9 @@ class QueryBatcher:
             finally:
                 for p in group:
                     p.event.set()
+        with self._lock:
+            self._in_flight -= 1
+            if self._queue and self._in_flight == 0:
+                # continuous batching: the device just went idle — drain
+                # everything that coalesced while we were running
+                self._flush_locked()

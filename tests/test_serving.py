@@ -33,6 +33,7 @@ class TestBatcher:
 
         def batch_fn(queries, **kw):
             batches.append(len(queries))
+            time.sleep(0.02)  # occupy the "device" so arrivals coalesce
             return [q.upper() for q in queries]
 
         b = QueryBatcher(batch_fn, max_batch=64, max_wait_ms=30.0)
@@ -50,19 +51,75 @@ class TestBatcher:
         assert sum(batches) == 10
         assert max(batches) > 1  # at least some coalescing happened
 
-    def test_max_batch_flush(self):
+    def test_idle_fast_path_no_window_wait(self):
+        """A lone request on an idle device must dispatch immediately —
+        NOT pay the coalescing window (here set absurdly high)."""
         sizes = []
 
         def batch_fn(queries, **kw):
             sizes.append(len(queries))
             return list(queries)
 
+        b = QueryBatcher(batch_fn, max_batch=64, max_wait_ms=10_000.0)
+        t0 = time.time()
+        assert b.submit("solo") == "solo"
+        assert time.time() - t0 < 1.0  # far under the 10 s window
+        assert sizes == [1]
+
+    def test_max_batch_flush(self):
+        sizes = []
+        release = threading.Event()
+
+        def batch_fn(queries, **kw):
+            sizes.append(len(queries))
+            if sizes[:1] == [1]:
+                release.wait(5.0)  # first (fast-path) batch holds the device
+            return list(queries)
+
         b = QueryBatcher(batch_fn, max_batch=2, max_wait_ms=10_000.0)
+        t0 = threading.Thread(target=b.submit, args=("hold",))
+        t0.start()
+        time.sleep(0.05)  # ensure "hold" is in flight
         t1 = threading.Thread(target=b.submit, args=("a",))
         t1.start()
-        b.submit("b")  # second request triggers immediate flush
-        t1.join()
-        assert sizes == [2]
+        time.sleep(0.05)
+        t2 = threading.Thread(target=b.submit, args=("b",))
+        t2.start()
+        t1.join(5.0)  # a+b hit max_batch=2 -> flush without the window
+        t2.join(5.0)
+        assert not t1.is_alive() and not t2.is_alive()
+        release.set()
+        t0.join(5.0)
+        assert sizes[0] == 1 and 2 in sizes
+
+    def test_continuous_batching_drains_queue_on_completion(self):
+        """Requests arriving mid-batch dispatch as soon as the running
+        batch returns — not after the wait window."""
+        sizes = []
+        release = threading.Event()
+
+        def batch_fn(queries, **kw):
+            sizes.append(len(queries))
+            if len(sizes) == 1:
+                release.wait(5.0)
+            return list(queries)
+
+        b = QueryBatcher(batch_fn, max_batch=64, max_wait_ms=10_000.0)
+        threads = [threading.Thread(target=b.submit, args=("first",))]
+        threads[0].start()
+        time.sleep(0.05)
+        for i in range(3):
+            t = threading.Thread(target=b.submit, args=(f"q{i}",))
+            t.start()
+            threads.append(t)
+        time.sleep(0.05)
+        t0 = time.time()
+        release.set()
+        for t in threads:
+            t.join(5.0)
+            assert not t.is_alive()
+        assert time.time() - t0 < 2.0  # drained on completion, no window
+        assert sizes == [1, 3]
 
     def test_error_propagates(self):
         def batch_fn(queries, **kw):
