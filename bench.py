@@ -148,26 +148,89 @@ def main() -> None:
         )
     )
 
-    # encoder embedding throughput (flagship config, bf16)
-    from rag_arc_tpu.models.encoder import TransformerConfig, init_encoder
+    # encoder embedding throughput (flagship 768x12, bf16 params +
+    # activations — the serving inference dtype). Docs are L=128; the
+    # roofline: 21.7 GFLOP/doc means N docs/s costs N*21.7 GFLOP/s of
+    # the chip's 197 TFLOP/s bf16 peak (9.1k docs/s IS the 100%-MFU
+    # ceiling at this length; measured square-matmul ceiling ~87-114
+    # TFLOP/s puts the practical wall at ~4-5k docs/s).
+    from rag_arc_tpu.models.encoder import (
+        PackedTextEncoder,
+        TransformerConfig,
+        init_encoder,
+    )
+    from rag_arc_tpu.models.packing import pack_token_lists
 
     cfg = TransformerConfig(vocab_size=32768, dim=768, depth=12, heads=12, max_len=512)
     model, params = init_encoder(cfg)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
     fwd = jax.jit(model.apply)
-    ids = jnp.asarray(rng.integers(4, 32768, (64, 128)), jnp.int32)
-    mask = jnp.ones((64, 128), dtype=bool)
+    ids = jnp.asarray(rng.integers(4, 32768, (256, 128)), jnp.int32)
+    mask = jnp.ones((256, 128), dtype=bool)
     jax.block_until_ready(fwd(params, ids, mask))
     t0 = time.time()
-    for _ in range(10):
-        out = fwd(params, ids, mask)
-    jax.block_until_ready(out)
-    docs_per_s = float(64 * 10 / (time.time() - t0))
+    outs_e = [fwd(params, ids, mask) for _ in range(8)]
+    _ = jax.device_get(outs_e[-1][:1, :1])
+    docs_per_s = float(256 * 8 / (time.time() - t0))
+    del outs_e
+    doc_mfu = docs_per_s * 128 * (24 * 768 * 768 * 12 + 4 * 128 * 768) / 197e12
 
-    # end-to-end query path: tokenized batch → encoder forward → index
-    # search, chained on device, one fetch (the serving hot path). The
-    # encoder is the flagship 768x12 on 128-token queries — this is the
-    # number a user of the whole pipeline sees, not just the index scan.
-    def e2e(ids, mask):
+    # query embedding throughput: realistic query lengths (8-24 tokens,
+    # MSMARCO-ish) SEQUENCE-PACKED into 128-token rows (block-diagonal
+    # attention) — short-query throughput scales with 1/length instead
+    # of collapsing to tiny-matmul MFU (models/packing.py)
+    packed = PackedTextEncoder(cfg, max_segments=8)
+    pfwd = jax.jit(packed.apply)
+    n_q = 4096
+    qlists = [
+        rng.integers(4, 32768, size=int(rng.integers(8, 25))).tolist()
+        for _ in range(n_q)
+    ]
+    p_ids, p_pos, p_seg, mapping = pack_token_lists(
+        qlists, row_len=128, max_segments=8
+    )
+    n_rows = p_ids.shape[0]
+    r_pad = 1 << int(np.ceil(np.log2(max(n_rows, 1))))
+    p_ids = np.pad(p_ids, ((0, r_pad - n_rows), (0, 0)))
+    p_pos = np.pad(p_pos, ((0, r_pad - n_rows), (0, 0)))
+    p_seg = np.pad(p_seg, ((0, r_pad - n_rows), (0, 0)), constant_values=-1)
+    dp_ids, dp_pos, dp_seg = (
+        jnp.asarray(p_ids), jnp.asarray(p_pos), jnp.asarray(p_seg)
+    )
+    jax.block_until_ready(pfwd(params, dp_ids, dp_pos, dp_seg))
+    t0 = time.time()
+    outs_q = [pfwd(params, dp_ids, dp_pos, dp_seg) for _ in range(5)]
+    _ = jax.device_get(outs_q[-1][:1, :1, :1])
+    queries_per_s = float(n_q * 5 / (time.time() - t0))
+    del outs_q
+
+    # end-to-end query path: tokenized realistic queries → packed encoder
+    # → device gather → index search, chained on device, one fetch (the
+    # serving hot path a user of the whole pipeline sees)
+    rows_map = jnp.asarray(np.asarray([r for r, _ in mapping], np.int32))
+    slots_map = jnp.asarray(np.asarray([s for _, s in mapping], np.int32))
+
+    def e2e_packed(pi, pp, ps):
+        out = pfwd(params, pi, pp, ps)
+        q_dev = out[rows_map, slots_map]
+        return [
+            index.search_device(q_dev[s : s + BATCH], K)
+            for s in range(0, n_q, BATCH)
+        ]
+
+    warm = e2e_packed(dp_ids, dp_pos, dp_seg)
+    _ = np.asarray(warm[-1][1][:1])
+    e2e_times = []
+    for _ in range(3):
+        t0 = time.time()
+        outs = e2e_packed(dp_ids, dp_pos, dp_seg)
+        jax.device_get([o[1] for o in outs])
+        e2e_times.append(time.time() - t0)
+    e2e_qps = float(n_q / np.median(e2e_times))
+
+    # comparability: the r02-style fixed-L=128 e2e (every query padded to
+    # 128 tokens — the worst case for the encoder)
+    def e2e_l128(ids, mask):
         q_dev = fwd(params, ids, mask)
         return index.search_device(q_dev.astype(jnp.float32), K)
 
@@ -176,14 +239,14 @@ def main() -> None:
         for _ in range(4)
     ]
     q_mask = jnp.ones((BATCH, 128), dtype=bool)
-    _ = np.asarray(e2e(q_ids[0], q_mask)[1][:1])  # warm/compile
-    e2e_times = []
+    _ = np.asarray(e2e_l128(q_ids[0], q_mask)[1][:1])  # warm/compile
+    l128_times = []
     for _ in range(3):
         t0 = time.time()
-        outs = [e2e(qi, q_mask) for qi in q_ids]
+        outs = [e2e_l128(qi, q_mask) for qi in q_ids]
         jax.device_get([o[1] for o in outs])
-        e2e_times.append((time.time() - t0) / len(q_ids))
-    e2e_qps = float(BATCH / np.median(e2e_times))
+        l128_times.append((time.time() - t0) / len(q_ids))
+    e2e_l128_qps = float(BATCH / np.median(l128_times))
 
     tag = {"bfloat16": "bf16", "int8": "int8", "float32": "f32"}[DTYPE]
     result = {
@@ -203,7 +266,11 @@ def main() -> None:
         "corpus": CORPUS_N,
         "dim": DIM,
         "embed_docs_per_s_1chip": round(docs_per_s, 1),
+        "embed_doc_mfu_pct": round(doc_mfu * 100, 1),
+        "embed_queries_per_s_1chip_packed": round(queries_per_s, 1),
         "e2e_encode_search_qps": round(e2e_qps, 1),
+        "e2e_query_tokens": "8-24 packed",
+        "e2e_L128_qps": round(e2e_l128_qps, 1),
         "index_build_s": round(build_dev_s, 2),
         "host_datagen_s": round(build_host_s, 2),
         "device": str(jax.devices()[0]),

@@ -1,0 +1,145 @@
+"""Mesh-path kernel parity on the real chip (VERDICT r2 #5).
+
+A 1-device Mesh lets the shard_map code path run on the single real TPU:
+same-session A/B of direct search_device vs the mesh path, and an
+experiment running the CERTIFIED STREAM producer inside shard_map (the
+sharded path currently uses the masked grid kernel; single-chip the
+stream is ~12% faster).
+
+Usage: python tools/mesh_parity_probe.py [--n 2000000] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def timed(dispatch, fetch, inner=8, reps=5):
+    import jax
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        outs = [dispatch() for _ in range(inner)]
+        jax.device_get(fetch(outs[-1]))
+        ts.append(time.time() - t0)
+        del outs
+    return float(np.median(ts)) / inner
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    from rag_arc_tpu.index.flat import DeviceFlatIndex
+
+    rng = np.random.default_rng(0)
+    corpus = rng.random((args.n, args.d), dtype=np.float32) - 0.5
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[rng.integers(0, args.n, args.b)] + 0.1 * rng.standard_normal(
+        (args.b, args.d), dtype=np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    dq = jnp.asarray(queries)
+
+    dtype = jnp.dtype(args.dtype)
+
+    def build(mesh):
+        idx = DeviceFlatIndex(
+            dim=args.d, metric="cosine", capacity=args.n, dtype=dtype, mesh=mesh
+        )
+        step = 1 << 17
+        for s in range(0, args.n, step):
+            idx.add(corpus[s : s + step])
+        jax.block_until_ready(idx.emb)
+        return idx
+
+    direct = build(None)
+    _ = np.asarray(direct.search_device(dq, args.k)[1][:1])
+    t = timed(lambda: direct.search_device(dq, args.k), lambda o: o[1][:1])
+    print(f"direct: {t*1e3:.2f} ms/batch  {args.b/t:,.0f} qps", flush=True)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sharded = build(mesh1)
+    _ = np.asarray(sharded.search_device(dq, args.k)[1][:1])
+    t1 = timed(lambda: sharded.search_device(dq, args.k), lambda o: o[1][:1])
+    print(
+        f"mesh(1dev) grid: {t1*1e3:.2f} ms/batch  {args.b/t1:,.0f} qps  "
+        f"({(t1/t-1)*100:+.1f}% vs direct)",
+        flush=True,
+    )
+
+    # results must agree (sets)
+    _, p_direct = direct.search(queries[:32], args.k)
+    _, p_mesh = sharded.search(queries[:32], args.k)
+    agree = np.mean(
+        [len(set(p_direct[i]) & set(p_mesh[i])) / args.k for i in range(32)]
+    )
+    print(f"top-k set agreement direct vs mesh: {agree:.4f}", flush=True)
+
+    # experiment: certified stream producer inside shard_map (bf16 only)
+    if dtype == jnp.bfloat16:
+        from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified
+
+        tile = min(sharded._tile_n(), 2048)
+        g = DeviceFlatIndex.SUBTILE_G
+
+        def local_stream(q, emb, valid, sqnorm):
+            s, p, ok = two_level_topk_certified(
+                q, emb, valid, sqnorm, args.k, g=g, tile_n=tile, metric="cosine"
+            )
+            off = jax.lax.axis_index("data") * (sharded.capacity // 1)
+            return s[None], (p + off)[None]
+
+        try:
+            run = jax.jit(
+                jax.shard_map(
+                    local_stream,
+                    mesh=mesh1,
+                    in_specs=(P(), P("data", None), P("data"), P("data")),
+                    out_specs=(P("data", None, None), P("data", None, None)),
+                    check_vma=False,
+                )
+            )
+            out = run(dq, sharded.emb, sharded.valid, sharded.sqnorm)
+            _ = np.asarray(out[1][:1])
+            t2 = timed(
+                lambda: run(dq, sharded.emb, sharded.valid, sharded.sqnorm),
+                lambda o: o[1][:1],
+            )
+            print(
+                f"mesh(1dev) STREAM-in-shard_map: {t2*1e3:.2f} ms/batch "
+                f"({(t2/t-1)*100:+.1f}% vs direct)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"stream-in-shard_map FAILED: {type(exc).__name__}: {exc}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
