@@ -217,7 +217,10 @@ class DeviceBM25Index:
         hvalid = np.zeros(n_pad, dtype=bool)
         hvalid[:n] = True
 
-        # tail postings, term-major (head terms excluded at query time)
+        # tail postings, term-major, RESIDENT IN HBM — query time ships
+        # only (start, len, count) per tail term; the device gathers the
+        # postings slices itself (O(B·T) host→device traffic, which is
+        # what makes this fast through a slow host link)
         sort_idx = np.argsort(term_ids, kind="stable")
         self._tail_docs = np.ascontiguousarray(
             doc_of[sort_idx].astype(np.int32)
@@ -230,6 +233,16 @@ class DeviceBM25Index:
         self._head_slot = head_slot
         self._w_head = jnp.asarray(w_head, dtype=self.head_dtype)
         self._hvalid = jnp.asarray(hvalid)
+        self._tail_docs_dev = jnp.asarray(
+            self._tail_docs if self._tail_docs.size else np.zeros(1, np.int32)
+        )
+        self._tail_w_dev = jnp.asarray(
+            self._tail_w if self._tail_w.size else np.zeros(1, np.float32)
+        )
+        # static gather width: tail terms ranked past the head can still
+        # have df ≥ df_min; their lists split into ≤ df_min segments at
+        # query time, so max_df stays bounded by n/256 regardless
+        self._max_tail_df = int(df_min)
 
     def _estimated_entries(
         self, tokenized_queries: Sequence[Sequence[str]]
@@ -253,48 +266,54 @@ class DeviceBM25Index:
 
         b = len(tokenized_queries)
         h = self._w_head.shape[0]
+        max_df = self._max_tail_df
         q_head = np.zeros((b, h), dtype=np.float32)
-        tails: List[Tuple[np.ndarray, np.ndarray]] = []
-        e_max = 1
+        rows: List[List[Tuple[int, int, float]]] = []
+        t_max = 1
         for i, toks in enumerate(tokenized_queries):
             counts: Dict[int, int] = {}
             for tok in toks:
                 tid = self.vocab.get(tok)
                 if tid is not None:
                     counts[tid] = counts.get(tid, 0) + 1
-            ids_parts, w_parts = [], []
+            row: List[Tuple[int, int, float]] = []
             for tid, c in counts.items():
                 slot = self._head_slot[tid]
                 if slot >= 0:
                     q_head[i, slot] += c
                 else:
-                    s, e = self._tail_off[tid], self._tail_off[tid + 1]
-                    ids_parts.append(self._tail_docs[s:e])
-                    w_parts.append(self._tail_w[s:e] * float(c))
-            if ids_parts:
-                ids_cat = np.concatenate(ids_parts)
-                w_cat = np.concatenate(w_parts)
-            else:
-                ids_cat = np.zeros(0, np.int32)
-                w_cat = np.zeros(0, np.float32)
-            tails.append((ids_cat, w_cat))
-            e_max = max(e_max, len(ids_cat))
+                    start = int(self._tail_off[tid])
+                    remaining = int(self._tail_off[tid + 1]) - start
+                    # long lists split into <= max_df segments so the
+                    # device gather width stays static and bounded
+                    while remaining > 0:
+                        seg = min(remaining, max_df)
+                        row.append((start, seg, float(c)))
+                        start += seg
+                        remaining -= seg
+            rows.append(row)
+            t_max = max(t_max, len(row))
 
-        e_pad = max(64, 1 << math.ceil(math.log2(e_max)))
+        t_pad = max(8, 1 << math.ceil(math.log2(t_max)))
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
-        tail_ids = np.zeros((b_pad, e_pad), dtype=np.int32)
-        tail_w = np.zeros((b_pad, e_pad), dtype=np.float32)
-        for i, (ids_cat, w_cat) in enumerate(tails):
-            tail_ids[i, : len(ids_cat)] = ids_cat
-            tail_w[i, : len(w_cat)] = w_cat
+        starts = np.zeros((b_pad, t_pad), dtype=np.int32)
+        lens = np.zeros((b_pad, t_pad), dtype=np.int32)
+        qcounts = np.zeros((b_pad, t_pad), dtype=np.float32)
+        for i, row in enumerate(rows):
+            for j, (s, ln, c) in enumerate(row):
+                starts[i, j] = s
+                lens[i, j] = ln
+                qcounts[i, j] = c
         if b_pad > b:
             q_head = np.pad(q_head, ((0, b_pad - b), (0, 0)))
 
         k_eff = min(k, self.n_docs)
         s2k, i2k = bm25_hybrid_topk(
             self._w_head, self._hvalid,
-            jnp.asarray(q_head), jnp.asarray(tail_ids), jnp.asarray(tail_w),
-            k_eff,
+            jnp.asarray(q_head),
+            self._tail_docs_dev, self._tail_w_dev,
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(qcounts),
+            k_eff, max_df,
         )
         s2k = np.asarray(jax.device_get(s2k))[:b]
         i2k = np.asarray(jax.device_get(i2k))[:b]

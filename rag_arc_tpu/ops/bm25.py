@@ -114,26 +114,33 @@ def _iter_topk(scores: jax.Array, k: int):
     return vals.T, idxs.T  # (B, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "max_df"))
 def bm25_hybrid_topk(
-    w_head: jax.Array,     # (H, N) per-doc weights of the H head terms
-    valid: jax.Array,      # (N,) bool
-    q_head: jax.Array,     # (B, H) f32 query-term multiplicities
-    tail_ids: jax.Array,   # (B, E) int32 candidate doc ids (tail postings)
-    tail_w: jax.Array,     # (B, E) f32 tail weights (0 = padding)
+    w_head: jax.Array,      # (H, N) per-doc weights of the H head terms
+    valid: jax.Array,       # (N,) bool
+    q_head: jax.Array,      # (B, H) f32 query-term multiplicities
+    tail_docs: jax.Array,   # (nnz,) int32 HBM-resident postings doc ids
+    tail_w: jax.Array,      # (nnz,) f32 HBM-resident postings weights
+    starts: jax.Array,      # (B, T) int32 posting-list starts per tail term
+    lens: jax.Array,        # (B, T) int32 posting-list lengths
+    counts: jax.Array,      # (B, T) f32 query-term multiplicities
     k: int,
+    max_df: int,            # static bound on any tail term's df
 ) -> tuple[jax.Array, jax.Array]:
     """Exact hybrid BM25 top-k (head-dense / tail-sparse).
 
-    Head (high-df) terms score ALL docs with one MXU matmul; tail terms
-    arrive as pre-gathered postings (doc id + weight·count). Exactness:
-    any doc outside (head top-k ∪ tail-touched docs) has total score =
-    head score ≤ the k-th head score, so the union is a superset of the
-    true top-k. Returns 2k candidates per query — head-only copies of a
-    doc underestimate its total, so the caller deduplicates by id
-    keeping the max (the correct copy always scores ≥ the duplicate)
-    and truncates to k.
+    Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
+    postings live in HBM and are GATHERED ON DEVICE — the host ships only
+    (start, len, count) per query tail term, so query-time host→device
+    traffic is O(B·T), never O(Σ df). Exactness: any doc outside
+    (head top-k ∪ tail-touched docs) has total score = head score ≤ the
+    k-th head score, so the union is a superset of the true top-k.
+    Returns 2k candidates per query — head-only copies of a doc
+    underestimate its total, so the caller deduplicates by id keeping
+    the max (the correct copy always scores ≥ the duplicate) and
+    truncates to k.
     """
+    b = q_head.shape[0]
     scores_head = jnp.dot(
         q_head.astype(w_head.dtype),
         w_head,
@@ -141,10 +148,19 @@ def bm25_hybrid_topk(
     )
     scores_head = jnp.where(valid[None, :], scores_head, -jnp.inf)
     head_s, head_ids = _iter_topk(scores_head, k)
-    hs_tail = jnp.take_along_axis(scores_head, tail_ids, axis=1)
-    totals = jnp.where(tail_w > 0, hs_tail + tail_w, -jnp.inf)
+
+    span = jnp.arange(max_df, dtype=jnp.int32)
+    idx = starts[:, :, None] + span[None, None, :]          # (B, T, max_df)
+    in_list = span[None, None, :] < lens[:, :, None]
+    idx = jnp.clip(idx, 0, tail_docs.shape[0] - 1)
+    cand = tail_docs[idx].reshape(b, -1)                    # (B, T·max_df)
+    w = (tail_w[idx] * counts[:, :, None]).reshape(b, -1)
+    w = jnp.where(in_list.reshape(b, -1), w, 0.0)
+
+    hs_tail = jnp.take_along_axis(scores_head, cand, axis=1)
+    totals = jnp.where(w > 0, hs_tail + w, -jnp.inf)
     cs = jnp.concatenate([head_s, totals], axis=1)
-    ci = jnp.concatenate([head_ids.astype(jnp.int32), tail_ids], axis=1)
+    ci = jnp.concatenate([head_ids.astype(jnp.int32), cand], axis=1)
     out_s, sel = _iter_topk(cs, 2 * k)
     return out_s, jnp.take_along_axis(ci, sel, axis=1)
 
