@@ -233,16 +233,19 @@ class DeviceBM25Index:
         self._head_slot = head_slot
         self._w_head = jnp.asarray(w_head, dtype=self.head_dtype)
         self._hvalid = jnp.asarray(hvalid)
-        self._tail_docs_dev = jnp.asarray(
-            self._tail_docs if self._tail_docs.size else np.zeros(1, np.int32)
-        )
-        self._tail_w_dev = jnp.asarray(
-            self._tail_w if self._tail_w.size else np.zeros(1, np.float32)
-        )
         # static gather width: tail terms ranked past the head can still
         # have df ≥ df_min; their lists split into ≤ df_min segments at
         # query time, so max_df stays bounded by n/256 regardless
         self._max_tail_df = int(df_min)
+        # device copies carry a max_df zero-pad so the kernel's
+        # dynamic_slice never clamp-shifts a start near the array end
+        pad = self._max_tail_df
+        self._tail_docs_dev = jnp.asarray(
+            np.concatenate([self._tail_docs, np.zeros(pad, np.int32)])
+        )
+        self._tail_w_dev = jnp.asarray(
+            np.concatenate([self._tail_w, np.zeros(pad, np.float32)])
+        )
 
     def _estimated_entries(
         self, tokenized_queries: Sequence[Sequence[str]]

@@ -149,13 +149,23 @@ def bm25_hybrid_topk(
     scores_head = jnp.where(valid[None, :], scores_head, -jnp.inf)
     head_s, head_ids = _iter_topk(scores_head, k)
 
+    # contiguous slab reads, not elementwise gather: each (query, term)
+    # slot is ONE dynamic_slice of max_df entries (the postings arrays
+    # carry a max_df zero-pad so clamping never shifts a start) — B·T
+    # wide HBM reads instead of B·T·max_df scalar gathers
     span = jnp.arange(max_df, dtype=jnp.int32)
-    idx = starts[:, :, None] + span[None, None, :]          # (B, T, max_df)
-    in_list = span[None, None, :] < lens[:, :, None]
-    idx = jnp.clip(idx, 0, tail_docs.shape[0] - 1)
-    cand = tail_docs[idx].reshape(b, -1)                    # (B, T·max_df)
-    w = (tail_w[idx] * counts[:, :, None]).reshape(b, -1)
-    w = jnp.where(in_list.reshape(b, -1), w, 0.0)
+    in_list = span[None, None, :] < lens[:, :, None]        # (B, T, max_df)
+
+    def grab(s):
+        return (
+            jax.lax.dynamic_slice(tail_docs, (s,), (max_df,)),
+            jax.lax.dynamic_slice(tail_w, (s,), (max_df,)),
+        )
+
+    docs_slab, w_slab = jax.vmap(grab)(starts.reshape(-1))
+    cand = docs_slab.reshape(b, -1)                         # (B, T·max_df)
+    w = w_slab.reshape(b, starts.shape[1], max_df) * counts[:, :, None]
+    w = jnp.where(in_list, w, 0.0).reshape(b, -1)
 
     hs_tail = jnp.take_along_axis(scores_head, cand, axis=1)
     totals = jnp.where(w > 0, hs_tail + w, -jnp.inf)
