@@ -42,6 +42,9 @@ class FlaxEmbeddingsConfig(AbstractConfig):
     max_len: int = 512
     batch_size: int = 64
     seed: int = 0
+    # short texts pack several-to-a-row (block-diagonal attention) —
+    # the measured serving win for query traffic (ARCHITECTURE.md §7b)
+    pack_short: bool = True
 
     def build(self, **_: Any):
         from rag_arc_tpu.models.encoder import TransformerConfig
@@ -54,7 +57,12 @@ class FlaxEmbeddingsConfig(AbstractConfig):
             heads=self.heads,
             max_len=self.max_len,
         )
-        return FlaxEncoderEmbeddings(cfg=cfg, batch_size=self.batch_size, seed=self.seed)
+        return FlaxEncoderEmbeddings(
+            cfg=cfg,
+            batch_size=self.batch_size,
+            seed=self.seed,
+            pack_short=self.pack_short,
+        )
 
 
 EmbeddingsUnion = Annotated[

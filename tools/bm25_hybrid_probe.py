@@ -1,0 +1,149 @@
+"""Hybrid-BM25 component timing on the real chip: where do the head-
+profile milliseconds go? (matmul | +iter_topk | +tail slabs | full)"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(REPO / "tools"))
+from bm25_bench import synth_corpus  # noqa: E402
+
+
+def med(dispatch, fetch, inner=8, reps=5):
+    import jax
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        outs = [dispatch() for _ in range(inner)]
+        jax.device_get(fetch(outs[-1]))
+        ts.append(time.time() - t0)
+        del outs
+    return float(np.median(ts)) / inner
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    from rag_arc_tpu.index.bm25 import DeviceBM25Index
+    from rag_arc_tpu.ops.bm25 import _iter_topk
+
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get("PROBE_N", 1_000_000))
+    texts = synth_corpus(rng, n)
+    index = DeviceBM25Index(backend="hybrid")
+    t0 = time.time()
+    index.build_from_texts_native(texts)
+    print(f"build: {time.time()-t0:.1f}s  H={index._w_head.shape[0]} "
+          f"max_tail_df={index._max_tail_df} nnz={index._tail_docs.size}",
+          flush=True)
+
+    queries = [
+        [f"w{t}" for t in (rng.zipf(1.3, size=8) % 50_000)] for _ in range(32)
+    ]
+    # encode once (host side), reuse arrays
+    b, h = 32, index._w_head.shape[0]
+    max_df = index._max_tail_df
+    q_head = np.zeros((b, h), np.float32)
+    rows = []
+    t_max = 1
+    for i, toks in enumerate(queries):
+        counts = {}
+        for tok in toks:
+            tid = index.vocab.get(tok)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        row = []
+        for tid, c in counts.items():
+            slot = index._head_slot[tid]
+            if slot >= 0:
+                q_head[i, slot] += c
+            else:
+                s0 = int(index._tail_off[tid])
+                rem = int(index._tail_off[tid + 1]) - s0
+                while rem > 0:
+                    seg = min(rem, max_df)
+                    row.append((s0, seg, float(c)))
+                    s0 += seg
+                    rem -= seg
+        rows.append(row)
+        t_max = max(t_max, len(row))
+    T = max(8, 1 << int(np.ceil(np.log2(t_max))))
+    starts = np.zeros((b, T), np.int32)
+    lens = np.zeros((b, T), np.int32)
+    cts = np.zeros((b, T), np.float32)
+    for i, row in enumerate(rows):
+        for j, (s0, ln, c) in enumerate(row):
+            starts[i, j], lens[i, j], cts[i, j] = s0, ln, c
+    print(f"T={T} (t_max {t_max}), tail width {T*max_df}", flush=True)
+
+    dq = jnp.asarray(q_head)
+    dst, dln, dct = jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(cts)
+    W, V = index._w_head, index._hvalid
+    TD, TW = index._tail_docs_dev, index._tail_w_dev
+
+    mm = jax.jit(lambda q: jnp.dot(q, W, preferred_element_type=jnp.float32))
+    jax.block_until_ready(mm(dq))
+    t = med(lambda: mm(dq), lambda o: o[:1, :1])
+    print(f"head matmul: {t*1e3:.2f} ms", flush=True)
+
+    @jax.jit
+    def mm_topk(q):
+        s = jnp.where(V[None, :], mm(q), -jnp.inf)
+        return _iter_topk(s, 10)
+
+    jax.block_until_ready(mm_topk(dq))
+    t = med(lambda: mm_topk(dq), lambda o: o[0][:1])
+    print(f"matmul+iter_topk: {t*1e3:.2f} ms", flush=True)
+
+    @partial(jax.jit, static_argnames=("max_df",))
+    def slabs(st, ln, ct, max_df):
+        span = jnp.arange(max_df, dtype=jnp.int32)
+        in_list = span[None, None, :] < ln[:, :, None]
+
+        def grab(s):
+            return (
+                jax.lax.dynamic_slice(TD, (s,), (max_df,)),
+                jax.lax.dynamic_slice(TW, (s,), (max_df,)),
+            )
+
+        d, w = jax.vmap(grab)(st.reshape(-1))
+        w = w.reshape(b, T, max_df) * ct[:, :, None]
+        return d.reshape(b, -1), jnp.where(in_list, w, 0.0).reshape(b, -1)
+
+    jax.block_until_ready(slabs(dst, dln, dct, max_df))
+    t = med(lambda: slabs(dst, dln, dct, max_df), lambda o: o[1][:1, :1])
+    print(f"tail slab gather: {t*1e3:.2f} ms", flush=True)
+
+    from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk
+
+    full = lambda: bm25_hybrid_topk(W, V, dq, TD, TW, dst, dln, dct, 10, max_df)
+    jax.block_until_ready(full())
+    t = med(full, lambda o: o[1][:1])
+    print(f"full hybrid_topk: {t*1e3:.2f} ms", flush=True)
+
+    # end-to-end through the index (incl. host encode)
+    _ = index._hybrid_search(queries, 10)
+    t0 = time.time()
+    for _ in range(5):
+        index._hybrid_search(queries, 10)
+    print(f"end-to-end _hybrid_search: {(time.time()-t0)/5*1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
