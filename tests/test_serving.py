@@ -72,7 +72,7 @@ class TestBatcher:
 
         def batch_fn(queries, **kw):
             sizes.append(len(queries))
-            if sizes[:1] == [1]:
+            if len(sizes) == 1:
                 release.wait(5.0)  # first (fast-path) batch holds the device
             return list(queries)
 
