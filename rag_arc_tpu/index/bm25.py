@@ -233,10 +233,14 @@ class DeviceBM25Index:
         self._head_slot = head_slot
         self._w_head = jnp.asarray(w_head, dtype=self.head_dtype)
         self._hvalid = jnp.asarray(hvalid)
-        # static gather width: tail terms ranked past the head can still
-        # have df ≥ df_min; their lists split into ≤ df_min segments at
-        # query time, so max_df stays bounded by n/256 regardless
-        self._max_tail_df = int(df_min)
+        # static slab width: posting lists split into segments of this
+        # width at query time (long mid-frequency lists just occupy more
+        # slots). Narrow slabs keep the padded candidate width ≈ 2× the
+        # actual entry count (pow2 T bucket), and the post-slab work —
+        # the head-score gather at candidates — is the measured cost
+        # driver (~0.55 µs/element on v5e), so width ≈ entries matters
+        # more than slab count
+        self._max_tail_df = int(max(64, n // 1024))
         # device copies carry a max_df zero-pad so the kernel's
         # dynamic_slice never clamp-shifts a start near the array end
         pad = self._max_tail_df

@@ -97,37 +97,37 @@ def main():
     W, V = index._w_head, index._hvalid
     TD, TW = index._tail_docs_dev, index._tail_w_dev
 
-    mm = jax.jit(lambda q: jnp.dot(q, W, preferred_element_type=jnp.float32))
-    jax.block_until_ready(mm(dq))
-    t = med(lambda: mm(dq), lambda o: o[:1, :1])
+    mm = jax.jit(lambda q, w: jnp.dot(q, w, preferred_element_type=jnp.float32))
+    jax.block_until_ready(mm(dq, W))
+    t = med(lambda: mm(dq, W), lambda o: o[:1, :1])
     print(f"head matmul: {t*1e3:.2f} ms", flush=True)
 
     @jax.jit
-    def mm_topk(q):
-        s = jnp.where(V[None, :], mm(q), -jnp.inf)
+    def mm_topk(q, w, v):
+        s = jnp.where(v[None, :], jnp.dot(q, w, preferred_element_type=jnp.float32), -jnp.inf)
         return _iter_topk(s, 10)
 
-    jax.block_until_ready(mm_topk(dq))
-    t = med(lambda: mm_topk(dq), lambda o: o[0][:1])
+    jax.block_until_ready(mm_topk(dq, W, V))
+    t = med(lambda: mm_topk(dq, W, V), lambda o: o[0][:1])
     print(f"matmul+iter_topk: {t*1e3:.2f} ms", flush=True)
 
     @partial(jax.jit, static_argnames=("max_df",))
-    def slabs(st, ln, ct, max_df):
+    def slabs(td, tw, st, ln, ct, max_df):
         span = jnp.arange(max_df, dtype=jnp.int32)
         in_list = span[None, None, :] < ln[:, :, None]
 
         def grab(s):
             return (
-                jax.lax.dynamic_slice(TD, (s,), (max_df,)),
-                jax.lax.dynamic_slice(TW, (s,), (max_df,)),
+                jax.lax.dynamic_slice(td, (s,), (max_df,)),
+                jax.lax.dynamic_slice(tw, (s,), (max_df,)),
             )
 
         d, w = jax.vmap(grab)(st.reshape(-1))
         w = w.reshape(b, T, max_df) * ct[:, :, None]
         return d.reshape(b, -1), jnp.where(in_list, w, 0.0).reshape(b, -1)
 
-    jax.block_until_ready(slabs(dst, dln, dct, max_df))
-    t = med(lambda: slabs(dst, dln, dct, max_df), lambda o: o[1][:1, :1])
+    jax.block_until_ready(slabs(TD, TW, dst, dln, dct, max_df))
+    t = med(lambda: slabs(TD, TW, dst, dln, dct, max_df), lambda o: o[1][:1, :1])
     print(f"tail slab gather: {t*1e3:.2f} ms", flush=True)
 
     from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk
