@@ -5,9 +5,19 @@ Parity with the reference's ``GraphStoreBaseNeo4j`` / ``HyperRAGNeo4jStore``
 graph ML *into* the database (GDS Louvain/KNN, APOC merges); here Neo4j is
 pure persistence behind the array store — entity merge and event
 disambiguation still run on the TPU top-k kernels, and the resulting
-nodes/edges are mirrored to Neo4j with MERGE-idempotent Cypher
-(constraints + indexes created up front, retry with exponential backoff on
-transient errors, Base_Neo4j.py:27-32 parity).
+nodes/edges are mirrored to Neo4j.
+
+Write path (Base_Neo4j parity pieces):
+- MERGE-idempotent Cypher via batched ``UNWIND $rows`` statements — one
+  round trip per ``batch_size`` (default 100, the reference's batch,
+  ``Base_Neo4j.py:161-384``) instead of one per node/edge; edges flush
+  after their endpoint nodes.
+- constraints + 768-dim cosine VECTOR INDEXES created up front
+  (``event_graphrag_neo4j.py:266-300`` parity).
+- node embeddings mirrored into ``n.embedding`` after the backfill pass,
+  so Neo4j-side vector queries work on a mirrored database.
+- retry with exponential backoff on transient errors
+  (``Base_Neo4j.py:27-32`` parity).
 
 Gated: requires the ``neo4j`` driver and a reachable server; everything
 else in the framework uses ``ArrayGraphStore``.
@@ -17,7 +27,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 from rag_arc_tpu.graph.schema import GraphEdge, GraphNode
 from rag_arc_tpu.graph.store import ArrayGraphStore
@@ -33,6 +43,17 @@ _CONSTRAINTS = [
     "CREATE CONSTRAINT entity_key IF NOT EXISTS FOR (n:Entity) REQUIRE n.key IS UNIQUE",
 ]
 
+_VECTOR_INDEX = (
+    "CREATE VECTOR INDEX {name} IF NOT EXISTS FOR (n:{label}) "
+    "ON n.embedding OPTIONS {{indexConfig: {{"
+    "`vector.dimensions`: $dim, `vector.similarity_function`: 'cosine'}}}}"
+)
+
+
+def _scalar_props(props: Dict[str, Any], allow_list: bool = True) -> Dict[str, Any]:
+    kinds = (str, int, float, bool, list) if allow_list else (str, int, float, bool)
+    return {k: v for k, v in props.items() if isinstance(v, kinds)}
+
 
 class Neo4jGraphStore(ArrayGraphStore):
     """ArrayGraphStore that mirrors every upsert to a Neo4j server."""
@@ -47,6 +68,8 @@ class Neo4jGraphStore(ArrayGraphStore):
         max_retries: int = 3,
         driver: Optional[Any] = None,
         retry_wait_base: float = 2.0,
+        batch_size: int = 100,
+        mirror_embeddings: bool = True,
         **kwargs: Any,
     ):
         """``driver`` injects any object with
@@ -68,6 +91,11 @@ class Neo4jGraphStore(ArrayGraphStore):
         self._database = database
         self.max_retries = max_retries
         self._retry_wait_base = retry_wait_base
+        self.batch_size = max(1, int(batch_size))
+        self.mirror_embeddings = bool(mirror_embeddings)
+        self._node_buf: Dict[str, List[Dict[str, Any]]] = {}
+        self._edge_buf: Dict[str, List[Dict[str, Any]]] = {}
+        self._pending = 0
         self._ensure_schema()
 
     # -- transport ----------------------------------------------------------
@@ -106,43 +134,104 @@ class Neo4jGraphStore(ArrayGraphStore):
     def _ensure_schema(self) -> None:
         for stmt in _CONSTRAINTS:
             self._run(stmt)
+        dim = int(getattr(self.embeddings, "dim", 0) or 0)
+        if dim:
+            for kind, label in _LABELS.items():
+                self._run(
+                    _VECTOR_INDEX.format(name=f"{kind}_embedding", label=label),
+                    dim=dim,
+                )
 
-    # -- mirrored mutations ---------------------------------------------------
+    # -- buffered mirrored mutations -----------------------------------------
 
     def upsert_node(self, node: GraphNode) -> GraphNode:
         merged = super().upsert_node(node)
         label = _LABELS[merged.kind]
-        self._run(
-            f"MERGE (n:{label} {{key: $key}}) "
-            "SET n.content = $content, n += $props",
-            key=merged.key,
-            content=merged.content,
-            props={
-                k: v
-                for k, v in merged.properties.items()
-                if isinstance(v, (str, int, float, bool, list))
-            },
+        self._node_buf.setdefault(label, []).append(
+            {
+                "key": merged.key,
+                "content": merged.content,
+                "props": _scalar_props(merged.properties),
+            }
         )
+        self._pending += 1
+        if self._pending >= self.batch_size:
+            self.flush()
         return merged
 
     def add_edge(self, edge: GraphEdge) -> bool:
         added = super().add_edge(edge)
         if added:
-            self._run(
-                "MATCH (a {key: $src}), (b {key: $dst}) "
-                f"MERGE (a)-[r:{edge.edge_type}]->(b) SET r += $props",
-                src=edge.src,
-                dst=edge.dst,
-                props={
-                    k: v
-                    for k, v in edge.properties.items()
-                    if isinstance(v, (str, int, float, bool))
-                },
+            self._edge_buf.setdefault(edge.edge_type, []).append(
+                {
+                    "src": edge.src,
+                    "dst": edge.dst,
+                    "props": _scalar_props(edge.properties, allow_list=False),
+                }
             )
+            self._pending += 1
+            if self._pending >= self.batch_size:
+                self.flush()
         return added
+
+    def flush(self) -> None:
+        """Write buffered mutations: one ``UNWIND`` statement per label /
+        edge type (nodes first — edges MATCH their endpoints)."""
+        node_buf, self._node_buf = self._node_buf, {}
+        edge_buf, self._edge_buf = self._edge_buf, {}
+        self._pending = 0
+        for label, rows in node_buf.items():
+            self._run(
+                f"UNWIND $rows AS row MERGE (n:{label} {{key: row.key}}) "
+                "SET n.content = row.content, n += row.props",
+                rows=rows,
+            )
+        for edge_type, rows in edge_buf.items():
+            self._run(
+                "UNWIND $rows AS row "
+                "MATCH (a {key: row.src}), (b {key: row.dst}) "
+                f"MERGE (a)-[r:{edge_type}]->(b) SET r += row.props",
+                rows=rows,
+            )
+
+    def store_hyperrag_graph(self, *args: Any, **kwargs: Any):
+        stats = super().store_hyperrag_graph(*args, **kwargs)
+        self.flush()
+        return stats
+
+    def generate_embeddings(self) -> int:
+        """Backfill embeddings on the array store, then mirror the new
+        vectors into ``n.embedding`` (batches of ``batch_size``) so the
+        Neo4j-side vector indexes serve the same vectors the TPU does."""
+        total = super().generate_embeddings()
+        if not (self.mirror_embeddings and total):
+            return total
+        self.flush()  # nodes must exist before SET n.embedding
+        for kind, label in _LABELS.items():
+            index = self._indexes.get(kind)
+            positions = self._positions.get(kind, {})
+            if index is None or not positions:
+                continue
+            items = sorted(positions.items(), key=lambda kv: kv[1])
+            for start in range(0, len(items), self.batch_size):
+                chunk = items[start : start + self.batch_size]
+                import numpy as np
+
+                vecs = index.take(np.asarray([p for _, p in chunk]))
+                rows = [
+                    {"key": key, "embedding": vec.tolist()}
+                    for (key, _), vec in zip(chunk, vecs)
+                ]
+                self._run(
+                    f"UNWIND $rows AS row MATCH (n:{label} {{key: row.key}}) "
+                    "SET n.embedding = row.embedding",
+                    rows=rows,
+                )
+        return total
 
     def delete_graph_data(self) -> None:
         super().delete_graph_data()
+        self._node_buf, self._edge_buf, self._pending = {}, {}, 0
         self._run("MATCH (n) DETACH DELETE n")
 
     # -- ops ---------------------------------------------------------------------
@@ -150,13 +239,18 @@ class Neo4jGraphStore(ArrayGraphStore):
     def health_check(self) -> Dict[str, Any]:
         base = super().health_check()
         try:
+            self.flush()
             record = self._run("RETURN 1 AS ok")[0]
             base["neo4j"] = "ok" if record["ok"] == 1 else "degraded"
         except Exception as exc:  # noqa: BLE001 — health check must not raise
             base["neo4j"] = f"unreachable: {exc}"
             base["status"] = "degraded"
         base["backend"] = "array+neo4j"
+        base["pending_writes"] = self._pending
         return base
 
     def close(self) -> None:
-        self._driver.close()
+        try:
+            self.flush()
+        finally:
+            self._driver.close()

@@ -1,7 +1,8 @@
 """Neo4j mirror adapter behavior tests against a protocol-level fake
 driver (no neo4j package or server exists in this environment — r1 only
 checked import gating, leaving the adapter's Cypher/retry behavior
-unpinned)."""
+unpinned). r3 pins the batched UNWIND write path, vector-index schema,
+and embedding mirroring too."""
 
 import pytest
 
@@ -53,19 +54,26 @@ def store():
         driver=driver,
         database="graphdb",
         retry_wait_base=0.0,
+        batch_size=1,  # immediate flush: each mutation is one UNWIND
     )
     return s, driver
 
 
 class TestMirror:
-    def test_schema_constraints_created_up_front(self, store):
+    def test_schema_constraints_and_vector_indexes_up_front(self, store):
         _, driver = store
         constraints = [q for q, _ in driver.queries if "CONSTRAINT" in q]
         assert len(constraints) == 3
         assert all("IF NOT EXISTS" in c for c in constraints)
+        # 768-dim-cosine-style vector indexes per label (ref parity:
+        # event_graphrag_neo4j.py:266-300), dim from the embedder
+        vector = [(q, p) for q, p in driver.queries if "VECTOR INDEX" in q]
+        assert len(vector) == 3
+        assert all(p["dim"] == 16 for _, p in vector)
+        assert any(":Entity" in q for q, _ in vector)
         assert set(driver.databases) == {"graphdb"}
 
-    def test_upsert_mirrors_merge_cypher(self, store):
+    def test_upsert_mirrors_unwind_merge_cypher(self, store):
         s, driver = store
         driver.queries.clear()
         s.upsert_node(
@@ -75,9 +83,10 @@ class TestMirror:
             )
         )
         (query, params), = driver.queries
-        assert query.startswith("MERGE (n:Entity {key: $key})")
-        assert params["key"] == "paris"
-        assert params["props"] == {"mentions": ["paris"]}  # non-scalars dropped
+        assert query.startswith("UNWIND $rows AS row MERGE (n:Entity {key: row.key})")
+        (row,) = params["rows"]
+        assert row["key"] == "paris"
+        assert row["props"] == {"mentions": ["paris"]}  # non-scalars dropped
         # array store also holds the node (mirror, not replacement)
         assert "paris" in s.nodes["entity"]
 
@@ -93,7 +102,68 @@ class TestMirror:
         assert len(driver.queries) == 1
         query, params = driver.queries[0]
         assert "MERGE (a)-[r:ENTITY_RELATION]->(b)" in query
-        assert params == {"src": "a", "dst": "b", "props": {"relation_type": "rel"}}
+        (row,) = params["rows"]
+        assert row == {"src": "a", "dst": "b", "props": {"relation_type": "rel"}}
+
+    def test_batched_writes_coalesce_into_one_unwind(self):
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=100,
+        )
+        driver.queries.clear()
+        for i in range(10):
+            s.upsert_node(GraphNode(key=f"n{i}", kind="entity", content=f"c{i}"))
+        assert driver.queries == []  # buffered, below batch_size
+        s.flush()
+        (query, params), = driver.queries
+        assert query.startswith("UNWIND $rows AS row MERGE (n:Entity")
+        assert len(params["rows"]) == 10
+
+    def test_batch_size_triggers_auto_flush(self):
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=5,
+        )
+        driver.queries.clear()
+        for i in range(5):
+            s.upsert_node(GraphNode(key=f"n{i}", kind="chunk", content=f"c{i}"))
+        assert len(driver.queries) == 1  # auto-flushed at the batch size
+        assert len(driver.queries[0][1]["rows"]) == 5
+
+    def test_nodes_flush_before_edges(self):
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=100,
+        )
+        s.upsert_node(GraphNode(key="a", kind="entity", content="a"))
+        s.upsert_node(GraphNode(key="b", kind="entity", content="b"))
+        s.add_edge(GraphEdge(src="a", dst="b", edge_type="ENTITY_RELATION"))
+        driver.queries.clear()
+        s.flush()
+        kinds = ["node" if "MERGE (n:" in q else "edge" for q, _ in driver.queries]
+        assert kinds == ["node", "edge"]
+
+    def test_generate_embeddings_mirrors_vectors(self):
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=100,
+        )
+        s.upsert_node(GraphNode(key="e1", kind="entity", content="first entity"))
+        s.upsert_node(GraphNode(key="e2", kind="entity", content="second entity"))
+        driver.queries.clear()
+        n = s.generate_embeddings()
+        assert n == 2
+        embeds = [
+            (q, p) for q, p in driver.queries if "SET n.embedding" in q
+        ]
+        (query, params), = embeds
+        assert "MATCH (n:Entity {key: row.key})" in query
+        assert len(params["rows"]) == 2
+        assert len(params["rows"][0]["embedding"]) == 16
 
     def test_transient_failure_retries_then_succeeds(self, store):
         s, driver = store
@@ -125,7 +195,14 @@ class TestMirror:
         assert degraded["status"] == "degraded"
         assert "unreachable" in degraded["neo4j"]
 
-    def test_close(self, store):
-        s, driver = store
+    def test_close_flushes_then_closes(self):
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=100,
+        )
+        s.upsert_node(GraphNode(key="w", kind="chunk", content="w"))
+        driver.queries.clear()
         s.close()
         assert driver.closed
+        assert any("MERGE (n:Chunk" in q for q, _ in driver.queries)
