@@ -540,6 +540,19 @@ class DeviceFlatIndex:
                 if (self.rescore_i8 or self.refine)
                 else k
             )
+            # auto-widen sub-tiles when the (N/g, B) pass-1 slab would
+            # not fit beside codes + residuals (10M int8 + int4 sidecar
+            # measured OOM at g=16 on a 16 GB chip; g=32 fits)
+            g = self.SUBTILE_G
+            res_bytes = 0 if self.res is None else (
+                self.res.shape[1] + 4
+            ) * self.capacity
+            hbm = self.capacity * self.dim + res_bytes
+            while (
+                g < QUANT_BLOCK
+                and hbm + 8 * (self.capacity // g) * q.shape[0] > (13 << 30)
+            ):
+                g *= 2
             if self._stream_eligible(q.shape[0]):
                 from rag_arc_tpu.ops.two_level_stream import (
                     two_level_topk_certified_i8,
@@ -547,7 +560,7 @@ class DeviceFlatIndex:
 
                 s, p, ok = two_level_topk_certified_i8(
                     q, self.emb, self.sqnorm, self.valid, kf,
-                    g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
+                    g=g, tile_n=min(self._tile_n(), 2048),
                     interpret=self._force_stream,
                 )
                 self._last_certified = ok
@@ -558,7 +571,7 @@ class DeviceFlatIndex:
 
                 s, p = two_level_topk_i8(
                     q, self.emb, self.sqnorm, self.valid, kf,
-                    g=self.SUBTILE_G, tile_n=min(self._tile_n(), 2048),
+                    g=g, tile_n=min(self._tile_n(), 2048),
                 )
             else:
                 s, p = _search_single_i8(self.emb, self.sqnorm, self.valid, q, kf)
