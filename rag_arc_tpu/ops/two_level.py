@@ -343,10 +343,15 @@ def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
     carg = jnp.argmax(xc, axis=2).astype(jnp.int32)     # (B, nc)
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
     in_chunk = jnp.arange(w, dtype=jnp.int32)[None, :]
-    picked = jnp.full((b, k), -1, dtype=jnp.int32)
-    out = []
-    live = []
-    for j in range(k):
+    picked0 = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    # lax.scan, NOT a Python loop: the body is identical per step, and
+    # unrolling it k times made the HLO grow with k — a kf=40 rescore
+    # fetch at 10M capacity produced a compile so large the remote
+    # compiler effectively hung (measured r3); the scanned graph is O(1)
+    # in k
+    def step(carry, j):
+        cmax, carg, picked = carry
         bc = jnp.argmax(cmax, axis=1).astype(jnp.int32)           # (B,)
         best = jnp.take_along_axis(cmax, bc[:, None], axis=1)[:, 0]
         idx = (
@@ -355,9 +360,9 @@ def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
         # exhausted rows re-pick sentinel positions; clamp so downstream
         # gathers stay in range (live marks them dead either way)
         idx = jnp.minimum(idx, c - 1)
-        out.append(idx)
-        live.append(best > NEG * 0.5)
-        picked = picked.at[:, j].set(idx)
+        picked = jax.lax.dynamic_update_slice(
+            picked, idx[:, None], (0, j)
+        )
         # refresh the picked chunk: gather it, mask ALL prior picks that
         # land in it (several picks can share a chunk), reduce, scatter
         vals = jnp.take_along_axis(xc, bc[:, None, None], axis=1)[:, 0, :]
@@ -369,9 +374,14 @@ def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
         sel = chunk_ids == bc[:, None]
         cmax = jnp.where(sel, new_max[:, None], cmax)
         carg = jnp.where(sel, new_arg[:, None], carg)
+        return (cmax, carg, picked), (idx, best > NEG * 0.5)
+
+    (cmax, carg, _), (out, live) = jax.lax.scan(
+        step, (cmax, carg, picked0), jnp.arange(k, dtype=jnp.int32)
+    )
     return (
-        jnp.stack(out, axis=1),
-        jnp.stack(live, axis=1),
+        jnp.transpose(out, (1, 0)),
+        jnp.transpose(live, (1, 0)),
         jnp.max(cmax, axis=1),
     )
 
