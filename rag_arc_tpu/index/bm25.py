@@ -315,30 +315,21 @@ class DeviceBM25Index:
             q_head = np.pad(q_head, ((0, b_pad - b), (0, 0)))
 
         k_eff = min(k, self.n_docs)
-        s2k, i2k = bm25_hybrid_topk(
+        sk, ik = bm25_hybrid_topk(
             self._w_head, self._hvalid,
             jnp.asarray(q_head),
             self._tail_docs_dev, self._tail_w_dev,
             jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(qcounts),
             k_eff, max_df,
         )
-        s2k = np.asarray(jax.device_get(s2k))[:b]
-        i2k = np.asarray(jax.device_get(i2k))[:b]
-
+        # the kernel's scatter-add totals are exact and its ids unique —
+        # no host-side dedupe/merge needed, just shape out to (b, k)
+        sk = np.asarray(jax.device_get(sk))[:b]
+        ik = np.asarray(jax.device_get(ik))[:b]
         out_s = np.full((b, k), -np.inf, dtype=np.float32)
         out_p = np.full((b, k), -1, dtype=np.int64)
-        for i in range(b):
-            seen = set()
-            j = 0
-            for s, p in zip(s2k[i], i2k[i]):
-                if not np.isfinite(s) or p in seen:
-                    continue
-                seen.add(p)
-                out_s[i, j] = s
-                out_p[i, j] = p
-                j += 1
-                if j == k:
-                    break
+        out_s[:, :k_eff] = sk
+        out_p[:, :k_eff] = ik
         return out_s, out_p
 
     def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
@@ -419,6 +410,61 @@ class DeviceBM25Index:
             self.doc_terms = jax.device_put(self.doc_terms, emb_s)
             self.doc_weights = jax.device_put(self.doc_weights, emb_s)
             self.valid = jax.device_put(self.valid, row_s)
+
+    def build_from_csr(
+        self,
+        row_offsets: np.ndarray,
+        term_ids: np.ndarray,
+        tfs: np.ndarray,
+        doc_len: np.ndarray,
+        vocab: Optional[Dict[str, int]] = None,
+    ) -> None:
+        """Build directly from CSR term-frequency arrays.
+
+        Ingest fast path for corpora that are already tokenized to integer
+        term ids (and the only practical way to build a 10M-doc index on a
+        single host core — no Python string handling at all). ``term_ids``
+        must be unique within each row (one entry per distinct term, its
+        count in ``tfs``), matching what :meth:`build` derives from token
+        lists. ``vocab`` maps token -> id for query encoding; defaults to
+        ``{"w{i}": i}`` (the synthetic-corpus naming used by the benches).
+
+        Host/hybrid backends only (the dense-device backend materializes a
+        padded (N, dmax) layout that is pointless at CSR scale).
+        """
+        if not self._use_host:
+            raise ValueError("build_from_csr requires the host/hybrid backend")
+        n = int(len(row_offsets)) - 1
+        self.n_docs = n
+        v = int(term_ids.max()) + 1 if len(term_ids) else 0
+        self.vocab = (
+            vocab if vocab is not None else {f"w{i}": i for i in range(v)}
+        )
+        if n == 0:
+            self.build([])
+            return
+        doc_len = np.asarray(doc_len, dtype=np.float64)
+        self.avgdl = float(doc_len.mean())
+        v = max(v, len(self.vocab))
+        # CSR rows hold one entry per distinct (doc, term): df is a bincount
+        df = np.bincount(
+            np.asarray(term_ids, dtype=np.int64), minlength=v
+        ).astype(np.int64)
+        self._build_host(
+            np.asarray(row_offsets, dtype=np.int64),
+            np.asarray(term_ids, dtype=np.int32),
+            np.asarray(tfs, dtype=np.float32),
+            doc_len.astype(np.int64),
+            df,
+        )
+        if self.backend == "hybrid":
+            self._build_hybrid(
+                np.asarray(row_offsets, dtype=np.int64),
+                np.asarray(term_ids, dtype=np.int32),
+                np.asarray(tfs, dtype=np.float32),
+                doc_len,
+                df.astype(np.float64),
+            )
 
     def build_from_texts_native(self, contents: Sequence[str]) -> None:
         """Fast build path: tokenization + term statistics in C++

@@ -132,22 +132,21 @@ def bm25_hybrid_topk(
     Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
     postings live in HBM and are GATHERED ON DEVICE — the host ships only
     (start, len, count) per query tail term, so query-time host→device
-    traffic is O(B·T), never O(Σ df). Exactness: any doc outside
-    (head top-k ∪ tail-touched docs) has total score = head score ≤ the
-    k-th head score, so the union is a superset of the true top-k.
-    Returns 2k candidates per query — head-only copies of a doc
-    underestimate its total, so the caller deduplicates by id keeping
-    the max (the correct copy always scores ≥ the duplicate) and
-    truncates to k.
+    traffic is O(B·T), never O(Σ df). Tail contributions SCATTER-ADD into
+    the (B, N) head-score array (already materialized for the matmul), so
+    a doc matching several tail terms of one query accumulates their sum —
+    a gather-and-merge formulation is NOT exact for such docs, because
+    each candidate copy carries only its own term's weight and every copy
+    underestimates the true total. One top-k over the summed array is
+    exact by construction; returned ids are unique per query.
     """
     b = q_head.shape[0]
-    scores_head = jnp.dot(
+    scores = jnp.dot(
         q_head.astype(w_head.dtype),
         w_head,
         preferred_element_type=jnp.float32,
     )
-    scores_head = jnp.where(valid[None, :], scores_head, -jnp.inf)
-    head_s, head_ids = _iter_topk(scores_head, k)
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
 
     # contiguous slab reads, not elementwise gather: each (query, term)
     # slot is ONE dynamic_slice of max_df entries (the postings arrays
@@ -167,12 +166,10 @@ def bm25_hybrid_topk(
     w = w_slab.reshape(b, starts.shape[1], max_df) * counts[:, :, None]
     w = jnp.where(in_list, w, 0.0).reshape(b, -1)
 
-    hs_tail = jnp.take_along_axis(scores_head, cand, axis=1)
-    totals = jnp.where(w > 0, hs_tail + w, -jnp.inf)
-    cs = jnp.concatenate([head_s, totals], axis=1)
-    ci = jnp.concatenate([head_ids.astype(jnp.int32), cand], axis=1)
-    out_s, sel = _iter_topk(cs, 2 * k)
-    return out_s, jnp.take_along_axis(ci, sel, axis=1)
+    # pad slots point at doc 0 with w=0: the add is a no-op there, and
+    # -inf invalid rows absorb any addition
+    scores = scores.at[jnp.arange(b)[:, None], cand].add(w)
+    return _iter_topk(scores, k)
 
 
 def numpy_bm25_oracle(

@@ -441,6 +441,71 @@ class TestHybridBackend:
         s2, p2 = host.search(queries, 8)
         np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
 
+    def test_multi_tail_term_doc_gets_summed_score(self):
+        """Regression: a doc matching SEVERAL tail terms of one query must
+        score their SUM. The old gather-and-merge kernel emitted one
+        candidate copy per term, each carrying only its own contribution,
+        so dedupe-max kept an underestimate and the doc could drop out of
+        the top-k entirely."""
+        rng = np.random.default_rng(11)
+        docs = [["alpha", "beta", "gamma", "filler0"]]
+        for i in range(400):
+            # fillers share one of the three terms at most, plus stopwords
+            toks = ["the", "of", f"w{rng.integers(0, 500)}"]
+            if i % 3 == 0:
+                toks.append("alpha")
+            docs.append(toks)
+        index = DeviceBM25Index(backend="hybrid")
+        index.build(docs)
+        # alpha has df≈134 (tail at 401 docs: head floor df>=4 but only
+        # top-256 by df; 500 w-terms + stopwords outrank beta/gamma)
+        queries = [["alpha", "beta", "gamma"]]
+        self._check_matches_oracle(index, docs, queries, k=5)
+        _, p = index._hybrid_search(queries, 1)
+        assert p[0][0] == 0  # the triple-match doc must win
+
+    def test_build_from_csr_matches_build(self, corpus):
+        """The integer-CSR ingest fast path produces the same index as
+        token-list build() for both host and hybrid backends."""
+        # derive CSR exactly as build() would (insertion-order vocab)
+        vocab: dict = {}
+        rows, all_tids, all_tfs, doc_len = [], [], [], []
+        for doc in corpus:
+            tf: dict = {}
+            for tok in doc:
+                tid = vocab.setdefault(tok, len(vocab))
+                tf[tid] = tf.get(tid, 0) + 1
+            rows.append(len(tf))
+            all_tids.extend(tf.keys())
+            all_tfs.extend(tf.values())
+            doc_len.append(len(doc))
+        row_offsets = np.zeros(len(corpus) + 1, dtype=np.int64)
+        np.cumsum(rows, out=row_offsets[1:])
+        queries = [["the", "rare13", "w55"], ["w100", "w200", "of"]]
+        for backend in ("host", "hybrid"):
+            ref = DeviceBM25Index(backend=backend)
+            ref.build(corpus)
+            csr = DeviceBM25Index(backend=backend)
+            csr.build_from_csr(
+                row_offsets,
+                np.asarray(all_tids, np.int32),
+                np.asarray(all_tfs, np.float32),
+                np.asarray(doc_len, np.int64),
+                vocab=vocab,
+            )
+            s1, p1 = ref.search(queries, 8)
+            s2, p2 = csr.search(queries, 8)
+            np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(p1, p2)
+
+    def test_build_from_csr_rejects_device_backend(self):
+        index = DeviceBM25Index(backend="device")
+        with pytest.raises(ValueError, match="host/hybrid"):
+            index.build_from_csr(
+                np.zeros(1, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.float32), np.zeros(0, np.int64),
+            )
+
     def test_retriever_hybrid_backend(self, corpus):
         texts = [" ".join(t) for t in corpus[:100]]
         r = BM25Retriever.from_texts(texts, backend="hybrid")

@@ -36,6 +36,28 @@ def synth_corpus(rng, n_docs: int, vocab: int = 50_000, mean_len: int = 60):
     return texts
 
 
+def synth_csr(rng, n_docs: int, vocab: int = 50_000, mean_len: int = 60):
+    """Zipf corpus directly as CSR term-frequency arrays — no Python
+    strings, so a 10M-doc corpus synthesizes in minutes on one core
+    (the text path would take ~an hour just formatting tokens)."""
+    lens = rng.integers(
+        mean_len // 2, mean_len * 3 // 2, size=n_docs
+    ).astype(np.int64)
+    total = int(lens.sum())
+    ids = (rng.zipf(1.3, size=total) % vocab).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    key = doc_of * vocab + ids  # sortable (doc, term) pair
+    del ids, doc_of
+    uniq, counts = np.unique(key, return_counts=True)
+    del key
+    term_ids = (uniq % vocab).astype(np.int32)
+    row_counts = np.bincount(uniq // vocab, minlength=n_docs)
+    del uniq
+    row_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=row_offsets[1:])
+    return row_offsets, term_ids, counts.astype(np.float32), lens
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -44,6 +66,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--stream", type=int, default=4)
     ap.add_argument("--backends", type=str, default="host,device")
+    ap.add_argument("--csr", action="store_true",
+                    help="synthesize CSR directly (host/hybrid backends only)")
+    ap.add_argument("--head-dtype", type=str, default="float32",
+                    help="hybrid head matrix dtype (bfloat16 fits 10M docs)")
     args = ap.parse_args()
 
     import jax
@@ -53,9 +79,15 @@ def main() -> None:
 
     from rag_arc_tpu.index.bm25 import DeviceBM25Index
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     t0 = time.time()
-    texts = synth_corpus(rng, args.n)
+    if args.csr:
+        csr = synth_csr(rng, args.n)
+        texts = None
+    else:
+        texts = synth_corpus(rng, args.n)
     print(f"# corpus synth: {time.time()-t0:.1f}s, device={jax.devices()[0]}", flush=True)
 
     # two query profiles: "head" draws terms by corpus frequency (stopword-
@@ -74,9 +106,14 @@ def main() -> None:
     }
 
     for backend in args.backends.split(","):
-        index = DeviceBM25Index(backend=backend)
+        index = DeviceBM25Index(
+            backend=backend, head_dtype=jnp.dtype(args.head_dtype)
+        )
         t0 = time.time()
-        index.build_from_texts_native(texts)
+        if args.csr:
+            index.build_from_csr(*csr)
+        else:
+            index.build_from_texts_native(texts)
         build_s = time.time() - t0
         for profile, queries in profiles.items():
             q_batches = [
