@@ -96,6 +96,10 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     batches = queries.reshape(N_BATCHES, BATCH, DIM)
 
+    print(
+        f"# build done: host {build_host_s:.0f}s dev {build_dev_s:.0f}s",
+        file=sys.stderr, flush=True,
+    )
     # stage query batches on device, dispatch the whole stream, then FETCH
     # every result — fetching is the only completion signal that can't lie
     # (on this box host<->device transfers ride a network tunnel where
@@ -149,6 +153,7 @@ def main() -> None:
     jax.device_get([o[1] for o in outs])
     b1_device_ms = float((time.time() - t0) / 64 * 1e3)
 
+    print(f"# search sustained: {qps:.0f} qps", file=sys.stderr, flush=True)
     # recall@10 vs exact f32 oracle on a subsample
     sub = queries[:ORACLE_QUERIES]
     _, got = index.search(sub, K)

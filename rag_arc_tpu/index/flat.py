@@ -553,7 +553,16 @@ class DeviceFlatIndex:
                 and hbm + 8 * (self.capacity // g) * q.shape[0] > (13 << 30)
             ):
                 g *= 2
-            if self._stream_eligible(q.shape[0]):
+            # the certified stream's in-program lax.cond carries BOTH the
+            # stream and the grid-fallback branches, so its temporaries
+            # are ~2 slabs wider than the plain grid kernel's. When codes
+            # + residual sidecar + slabs approach the 16 GB chip (10M int8
+            # + int4 refine = 11.6 GB resident, measured OOM through the
+            # certified path), drop to the single-slab grid kernel — ~12%
+            # slower per r2 A/B, but it fits.
+            slab = 4 * (self.capacity // g) * q.shape[0]
+            hbm_tight = hbm + 3 * slab > (12 << 30)
+            if self._stream_eligible(q.shape[0]) and not hbm_tight:
                 from rag_arc_tpu.ops.two_level_stream import (
                     two_level_topk_certified_i8,
                 )
