@@ -561,7 +561,7 @@ class DeviceFlatIndex:
             # certified path), drop to the single-slab grid kernel — ~12%
             # slower per r2 A/B, but it fits.
             slab = 4 * (self.capacity // g) * q.shape[0]
-            hbm_tight = hbm + 3 * slab > (12 << 30)
+            hbm_tight = hbm + 3 * slab > (11 << 30)
             if self._stream_eligible(q.shape[0]) and not hbm_tight:
                 from rag_arc_tpu.ops.two_level_stream import (
                     two_level_topk_certified_i8,
