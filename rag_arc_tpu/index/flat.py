@@ -540,29 +540,26 @@ class DeviceFlatIndex:
                 if (self.rescore_i8 or self.refine)
                 else k
             )
-            # auto-widen sub-tiles when the (N/g, B) pass-1 slab would
-            # not fit beside codes + residuals (10M int8 + int4 sidecar
-            # measured OOM at g=16 on a 16 GB chip; g=32 fits)
+            # auto-widen sub-tiles until resident + search temporaries fit
+            # the chip. Temp model calibrated against XLA memory_analysis
+            # of the block_scales kernels (r3): the (N, 1) valid column
+            # pads to 128 lanes (cap·128 bytes) and the select stage holds
+            # ~2 (N/g, B) f32 slabs. (The old per-row-scale kernel padded
+            # the f32 scale column too — 5.1 GB at 10M, the measured OOM;
+            # block_scales=True removed it, and with it the need to demote
+            # the certified stream to the grid kernel near the ceiling.)
             g = self.SUBTILE_G
             res_bytes = 0 if self.res is None else (
                 self.res.shape[1] + 4
             ) * self.capacity
-            hbm = self.capacity * self.dim + res_bytes
+            resident = self.capacity * (self.dim + 128 + 5) + res_bytes
             while (
                 g < QUANT_BLOCK
-                and hbm + 8 * (self.capacity // g) * q.shape[0] > (13 << 30)
+                and resident + 8 * (self.capacity // g) * q.shape[0]
+                > (14 << 30)
             ):
                 g *= 2
-            # the certified stream's in-program lax.cond carries BOTH the
-            # stream and the grid-fallback branches, so its temporaries
-            # are ~2 slabs wider than the plain grid kernel's. When codes
-            # + residual sidecar + slabs approach the 16 GB chip (10M int8
-            # + int4 refine = 11.6 GB resident, measured OOM through the
-            # certified path), drop to the single-slab grid kernel — ~12%
-            # slower per r2 A/B, but it fits.
-            slab = 4 * (self.capacity // g) * q.shape[0]
-            hbm_tight = hbm + 3 * slab > (11 << 30)
-            if self._stream_eligible(q.shape[0]) and not hbm_tight:
+            if self._stream_eligible(q.shape[0]):
                 from rag_arc_tpu.ops.two_level_stream import (
                     two_level_topk_certified_i8,
                 )
@@ -570,7 +567,7 @@ class DeviceFlatIndex:
                 s, p, ok = two_level_topk_certified_i8(
                     q, self.emb, self.sqnorm, self.valid, kf,
                     g=g, tile_n=min(self._tile_n(), 2048),
-                    interpret=self._force_stream,
+                    interpret=self._force_stream, block_scales=True,
                 )
                 self._last_certified = ok
             elif jax.default_backend() in ("tpu", "axon") or (
@@ -581,6 +578,7 @@ class DeviceFlatIndex:
                 s, p = two_level_topk_i8(
                     q, self.emb, self.sqnorm, self.valid, kf,
                     g=g, tile_n=min(self._tile_n(), 2048),
+                    block_scales=True,
                 )
             else:
                 s, p = _search_single_i8(self.emb, self.sqnorm, self.valid, q, kf)
@@ -673,6 +671,7 @@ class DeviceFlatIndex:
                     s, idx = two_level_topk_i8(
                         q, emb, sqnorm, valid, kf_local,
                         g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                        block_scales=True,
                     )
                 else:
                     s, idx = _i8_topk_body(emb, sqnorm, valid, q, kf_local)
@@ -765,6 +764,7 @@ class DeviceFlatIndex:
                     s, idx = two_level_topk_i8(
                         q_local, emb, sqnorm, valid, kf_local,
                         g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                        block_scales=True,
                     )
                 else:
                     s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, kf_local)
@@ -852,6 +852,7 @@ class DeviceFlatIndex:
                     s, idx = two_level_topk_i8(
                         q_local, emb, sqnorm, valid, kf_local,
                         g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
+                        block_scales=True,
                     )
                 else:
                     s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, kf_local)

@@ -100,6 +100,44 @@ def _subtile_max_kernel_i8(q_ref, corpus_ref, scale_ref, valid_ref, out_ref,
     out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
 
 
+# any real int8 dot is bounded by 127*127*d (|dot| < 1.3e7 at d=768); the
+# sentinel sits far below, and surviving maxes are compared against half
+# its scaled value before the per-sub-tile scale folds in
+_MASK_I32 = -(1 << 30)
+
+
+def _subtile_max_kernel_i8_block(q_ref, corpus_ref, sub_scale_ref, valid_ref,
+                                 out_ref, *, g: int):
+    """Block-shared-scale int8 variant: when every row of a ``g``-row
+    sub-tile carries the SAME quantization scale (flat.py's invariant —
+    QUANT_BLOCK=32 blocks share one scale and g divides 32), the scale can
+    fold in AFTER the sub-tile max: max(s·x_i) == s·max(x_i) for s > 0,
+    value-identical to the per-row kernel. Tombstones are masked on the
+    raw int32 scores with a sentinel no real dot can reach.
+
+    Why this exists: the per-row kernel ships scale as an (N, 1) f32
+    column and valid as an (N, 1) int8 column. TPU tiled layout pads the
+    minor dim to 128 lanes, so at 10M rows the scale column alone
+    materializes a 5.1 GiB temp (XLA memory_analysis: 5.96 GiB temps for
+    pass-1, the measured 10M+refine OOM). Per-sub-tile scale is (N/g, 1)
+    → 128x smaller, cutting pass-1 temps to 1.49 GiB and making 10M int8
+    + int4-residual search fit one 16 GB chip."""
+    q = q_ref[:]           # (q_block, d) int8
+    tile = corpus_ref[:]   # (tile_n, d) int8
+    scores = jax.lax.dot_general(
+        tile,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (tile_n, q_block) int32
+    scores = jnp.where(valid_ref[:] != 0, scores, _MASK_I32)
+    tn, qb = scores.shape
+    m = jnp.max(scores.reshape(tn // g, g, qb), axis=1).astype(jnp.float32)
+    out_ref[:] = jnp.where(
+        m <= _MASK_I32 * 0.5, NEG, m * sub_scale_ref[:]  # scale (tn/g, 1)
+    )
+
+
 def quantize_rows(vectors, axis: int = -1):
     """Symmetric per-row int8 quantization: returns (int8 codes, f32
     scales) with ``codes * scale ≈ vectors``."""
@@ -147,7 +185,8 @@ def quantize_rows_blocked(vectors, block: int = 32):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "g", "tile_n", "q_block", "interpret"),
+    static_argnames=("k", "g", "tile_n", "q_block", "interpret",
+                     "block_scales"),
 )
 def two_level_topk_i8(
     queries: jax.Array,    # (B, d) f32
@@ -159,12 +198,21 @@ def two_level_topk_i8(
     tile_n: int = 2048,
     q_block: int = 512,
     interpret: bool = False,
+    block_scales: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Quantized two-level top-k (cosine/ip). Pass 1 and pass 2 use the
     SAME int8 arithmetic, so the sub-tile-selection exactness proof holds
     for the quantized metric; the result is the exact top-k of the int8
     dot scaled back to the cosine range (~0.1-0.5% from f32 — recall is
-    measured, not assumed; see tests and the bench)."""
+    measured, not assumed; see tests and the bench).
+
+    ``block_scales=True`` asserts every g-row sub-tile shares ONE scale
+    (true for flat.py storage: QUANT_BLOCK-shared scales, g | 32) and
+    switches to the low-memory pass-1 kernel (scale applied per sub-tile
+    after an int32-sentinel-masked max — value-identical under the
+    invariant, 128x smaller scale operand; see
+    _subtile_max_kernel_i8_block). Callers with genuinely per-row scales
+    (quantize_rows) must leave it False."""
     n, d = corpus.shape
     b_in = queries.shape[0]
     # Mosaic's int8 dot lowers to the int32-accumulating MXU path only for
@@ -180,16 +228,27 @@ def two_level_topk_i8(
     q_i8, qscale = quantize_queries(queries)
 
     valid_col = valid.astype(jnp.int8).reshape(n, 1)
-    scale_col = row_scale.reshape(n, 1)
     n_sub = n // g
-    kernel = functools.partial(_subtile_max_kernel_i8, g=g)
+    if block_scales:
+        # one scale per sub-tile (row 0 stands for the whole block)
+        scale_col = row_scale.reshape(n_sub, g)[:, :1]
+        kernel = functools.partial(_subtile_max_kernel_i8_block, g=g)
+        scale_spec = pl.BlockSpec(
+            (tile_n // g, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        scale_col = row_scale.reshape(n, 1)
+        kernel = functools.partial(_subtile_max_kernel_i8, g=g)
+        scale_spec = pl.BlockSpec(
+            (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
     sub_max_t = pl.pallas_call(
         kernel,
         grid=(n // tile_n, b // q_block),
         in_specs=[
             pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            scale_spec,
             pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -334,6 +393,15 @@ def iterative_argmax_resid(x: jax.Array, k: int, chunk: int = 512):
     then the first position inside it."""
     b, c = x.shape
     w = min(chunk, c)
+    # prefer a chunk width that DIVIDES c: the pad below copies the whole
+    # (B, c) matrix (610 MB at 10M capacity / g=16 — real HBM at the
+    # 10M+refine ceiling). Capacities are ADD_BLOCK (1024) multiples, so
+    # a 128-lane-aligned divisor almost always exists.
+    if c % w:
+        for cand in (512, 256, 128):
+            if cand <= chunk and c % cand == 0:
+                w = cand
+                break
     n_chunks = -(-c // w)
     c_pad = n_chunks * w
     if c_pad != c:

@@ -306,7 +306,8 @@ def subtile_max_stream(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "g", "tile_n", "interpret", "producer"),
+    static_argnames=("k", "g", "tile_n", "interpret", "producer",
+                     "block_scales"),
 )
 def two_level_topk_certified_i8(
     queries: jax.Array,    # (B, d) f32
@@ -318,6 +319,7 @@ def two_level_topk_certified_i8(
     tile_n: int = 2048,
     interpret: bool = False,
     producer: str = "stream",
+    block_scales: bool = False,
 ):
     """Int8 certified streaming top-k — upper-bound selection.
 
@@ -373,7 +375,8 @@ def two_level_topk_certified_i8(
     def fallback(args):
         q, c, rs, v = args
         return two_level_topk_i8(
-            q, c, rs, v, k, g=g, tile_n=tile_n, interpret=interpret
+            q, c, rs, v, k, g=g, tile_n=tile_n, interpret=interpret,
+            block_scales=block_scales,
         )
 
     s, pos = jax.lax.cond(

@@ -191,6 +191,47 @@ class TestInt8:
         # reported scores sit in the cosine range
         assert np.all(np.asarray(qs_)[:, 0] <= 1.05)
 
+    def test_block_scales_kernel_matches_per_row(self, rng):
+        """block_scales=True (per-sub-tile scale folded after an
+        int32-sentinel-masked max — the low-memory kernel that makes
+        10M+refine fit one chip) must be VALUE-identical to the per-row
+        kernel whenever scales are QUANT_BLOCK-shared, including
+        tombstoned rows, a whole dead sub-tile, and zeroed gap/tail
+        padding (flat.py's storage invariants)."""
+        from rag_arc_tpu.ops.two_level import (
+            quantize_rows_blocked,
+            two_level_topk_i8,
+        )
+
+        n, d, b, k, g = 2048, 64, 8, 10, 32
+        corpus = rng.standard_normal((n - 192, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        codes, scales = quantize_rows_blocked(corpus, block=32)
+        # capacity tail: zero codes, zero scale, invalid (as in flat.py)
+        codes = np.concatenate([codes, np.zeros((192, d), np.int8)])
+        scales = np.concatenate([scales, np.zeros(192, np.float32)])
+        valid = np.ones(n, bool)
+        valid[n - 192:] = False
+        valid[5] = False            # tombstone inside a live sub-tile
+        codes[5] = 0                # mark_deleted zeroes codes, keeps scale
+        valid[64:96] = False        # a whole dead sub-tile
+        codes[64:96] = 0
+        q = rng.standard_normal((b, d)).astype(np.float32)
+
+        ref = two_level_topk_i8(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(valid), k=k, g=g, tile_n=1024, interpret=True,
+        )
+        blk = two_level_topk_i8(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(valid), k=k, g=g, tile_n=1024, interpret=True,
+            block_scales=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(blk[1]))
+        np.testing.assert_allclose(
+            np.asarray(ref[0]), np.asarray(blk[0]), rtol=0, atol=0
+        )
+
 
 class TestIterativeArgmaxTournament:
     """The hierarchical tournament must match the naive k-pass argmax
