@@ -552,10 +552,14 @@ class DeviceFlatIndex:
             res_bytes = 0 if self.res is None else (
                 self.res.shape[1] + 4
             ) * self.capacity
-            resident = self.capacity * (self.dim + 128 + 5) + res_bytes
+            resident = self.capacity * (self.dim + 5) + res_bytes
+            # temp model (slightly above XLA memory_analysis): 128-lane
+            # padded valid column + ~1.5 (N/g, B) f32 select slabs
+            # (measured 2.90e9 B=512 g=16 at 10M; model gives 3.2e9)
             while (
                 g < QUANT_BLOCK
-                and resident + 8 * (self.capacity // g) * q.shape[0]
+                and resident + 128 * self.capacity
+                + 6 * (self.capacity // g) * q.shape[0]
                 > (14 << 30)
             ):
                 g *= 2
