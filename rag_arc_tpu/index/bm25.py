@@ -35,6 +35,26 @@ from rag_arc_tpu.parallel.mesh import CORPUS_AXIS, corpus_sharding, round_up, ro
 Tokenizer = Callable[[str], List[str]]
 
 
+class PendingSearch:
+    """Handle for an in-flight query batch. ``result()`` blocks until the
+    (scores, positions) arrays are on the host. Device-backed batches
+    (hybrid / dense kernel) are ASYNC until then, so a caller streaming
+    batches can overlap the next batch's host encode + upload with the
+    current batch's device program — through a high-latency link that
+    turns serial RTT-bound latency into device-bound throughput."""
+
+    __slots__ = ("_fetch", "_out")
+
+    def __init__(self, fetch: Callable[[], Tuple[np.ndarray, np.ndarray]]):
+        self._fetch = fetch
+        self._out: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._out is None:
+            self._out = self._fetch()
+        return self._out
+
+
 class DeviceBM25Index:
     """Immutable-once-built BM25 scoring structure.
 
@@ -117,6 +137,7 @@ class DeviceBM25Index:
         self.valid: Optional[jax.Array] = None
         self._host_handle = None
         self._host_lib = None
+        self._sharded_jit: Dict = {}
 
     def __del__(self):
         self._free_host()
@@ -266,28 +287,34 @@ class DeviceBM25Index:
                     total += int(self._df[tid])
         return total
 
-    def _hybrid_search(
+    def _hybrid_dispatch(
         self, tokenized_queries: Sequence[Sequence[str]], k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk
+    ) -> "PendingSearch":
+        """Host-encode + enqueue one hybrid batch; does NOT block on the
+        device. All four per-query operands (q_head, starts, lens, counts)
+        travel as ONE packed int32 array — through a high-latency host link
+        (the dev tunnel pays ~35 ms RTT) the transfer count, not the bytes,
+        is what shows up in e2e latency."""
+        from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk_packed
 
         b = len(tokenized_queries)
         h = self._w_head.shape[0]
         max_df = self._max_tail_df
-        q_head = np.zeros((b, h), dtype=np.float32)
         rows: List[List[Tuple[int, int, float]]] = []
+        head_rows: List[Dict[int, int]] = []
         t_max = 1
-        for i, toks in enumerate(tokenized_queries):
+        for toks in tokenized_queries:
             counts: Dict[int, int] = {}
             for tok in toks:
                 tid = self.vocab.get(tok)
                 if tid is not None:
                     counts[tid] = counts.get(tid, 0) + 1
             row: List[Tuple[int, int, float]] = []
+            hrow: Dict[int, int] = {}
             for tid, c in counts.items():
                 slot = self._head_slot[tid]
                 if slot >= 0:
-                    q_head[i, slot] += c
+                    hrow[int(slot)] = hrow.get(int(slot), 0) + c
                 else:
                     start = int(self._tail_off[tid])
                     remaining = int(self._tail_off[tid + 1]) - start
@@ -299,38 +326,46 @@ class DeviceBM25Index:
                         start += seg
                         remaining -= seg
             rows.append(row)
+            head_rows.append(hrow)
             t_max = max(t_max, len(row))
 
         t_pad = max(8, 1 << math.ceil(math.log2(t_max)))
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
-        starts = np.zeros((b_pad, t_pad), dtype=np.int32)
-        lens = np.zeros((b_pad, t_pad), dtype=np.int32)
-        qcounts = np.zeros((b_pad, t_pad), dtype=np.float32)
+        packed = np.zeros((b_pad, h + 3 * t_pad), dtype=np.int32)
+        for i, hrow in enumerate(head_rows):
+            for slot, c in hrow.items():
+                packed[i, slot] = c
         for i, row in enumerate(rows):
             for j, (s, ln, c) in enumerate(row):
-                starts[i, j] = s
-                lens[i, j] = ln
-                qcounts[i, j] = c
-        if b_pad > b:
-            q_head = np.pad(q_head, ((0, b_pad - b), (0, 0)))
+                packed[i, h + j] = s
+                packed[i, h + t_pad + j] = ln
+                packed[i, h + 2 * t_pad + j] = int(c)
 
         k_eff = min(k, self.n_docs)
-        sk, ik = bm25_hybrid_topk(
+        sk, ik = bm25_hybrid_topk_packed(
             self._w_head, self._hvalid,
-            jnp.asarray(q_head),
             self._tail_docs_dev, self._tail_w_dev,
-            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(qcounts),
-            k_eff, max_df,
+            jnp.asarray(packed),
+            k_eff, max_df, h, t_pad,
         )
-        # the kernel's scatter-add totals are exact and its ids unique —
-        # no host-side dedupe/merge needed, just shape out to (b, k)
-        sk = np.asarray(jax.device_get(sk))[:b]
-        ik = np.asarray(jax.device_get(ik))[:b]
-        out_s = np.full((b, k), -np.inf, dtype=np.float32)
-        out_p = np.full((b, k), -1, dtype=np.int64)
-        out_s[:, :k_eff] = sk
-        out_p[:, :k_eff] = ik
-        return out_s, out_p
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            # the kernel's scatter-add totals are exact and its ids
+            # unique — no host-side dedupe/merge, just shape out to (b, k)
+            s = np.asarray(jax.device_get(sk))[:b]
+            p = np.asarray(jax.device_get(ik))[:b]
+            out_s = np.full((b, k), -np.inf, dtype=np.float32)
+            out_p = np.full((b, k), -1, dtype=np.int64)
+            out_s[:, :k_eff] = s
+            out_p[:, :k_eff] = p
+            return out_s, out_p
+
+        return PendingSearch(fetch)
+
+    def _hybrid_search(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._hybrid_dispatch(tokenized_queries, k).result()
 
     def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
         n = len(tokenized_docs)
@@ -615,14 +650,26 @@ class DeviceBM25Index:
         self, tokenized_queries: Sequence[Sequence[str]], k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores (B, k), positions (B, k)); empty slots score -inf / -1."""
+        return self.search_dispatch(tokenized_queries, k).result()
+
+    def search_dispatch(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> PendingSearch:
+        """Enqueue a query batch; returns a :class:`PendingSearch`.
+
+        Device-backed batches (hybrid / dense kernel) return before the
+        device program finishes — dispatch the next batch while this one
+        computes to amortize host↔device latency over the stream. The host
+        CSR backend computes eagerly (it IS host work)."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         b = len(tokenized_queries)
         if (self.doc_terms is None and self._host_handle is None) or b == 0:
-            return (
+            out = (
                 np.full((b, k), -np.inf, dtype=np.float32),
                 np.full((b, k), -1, dtype=np.int64),
             )
+            return PendingSearch(lambda: out)
         if self._host_handle is not None:
             if (
                 self._w_head is not None
@@ -631,8 +678,9 @@ class DeviceBM25Index:
                 # df dispatcher: this batch's postings volume would drown
                 # the host CSR scorer (head-term profile) — the device
                 # pays one MXU matmul instead of Σ df accumulations
-                return self._hybrid_search(tokenized_queries, k)
-            return self._host_search(tokenized_queries, k)
+                return self._hybrid_dispatch(tokenized_queries, k)
+            host_out = self._host_search(tokenized_queries, k)
+            return PendingSearch(lambda: host_out)
         qt, qc = self.encode_queries(tokenized_queries)
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
         if b_pad > b:
@@ -649,40 +697,51 @@ class DeviceBM25Index:
                 self.doc_terms, self.doc_weights, self.valid,
                 jnp.asarray(qt), jnp.asarray(qc), k_eff,
             )
-        scores = np.asarray(jax.device_get(scores))[:b]
-        positions = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
-        positions = np.where(np.isneginf(scores), -1, positions)
-        if k_eff < k:
-            pad = k - k_eff
-            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
-            positions = np.pad(positions, ((0, 0), (0, pad)), constant_values=-1)
-        return scores, positions
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            s = np.asarray(jax.device_get(scores))[:b]
+            p = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
+            p = np.where(np.isneginf(s), -1, p)
+            if k_eff < k:
+                pad = k - k_eff
+                s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+                p = np.pad(p, ((0, 0), (0, pad)), constant_values=-1)
+            return s, p
+
+        return PendingSearch(fetch)
 
     def _search_sharded(self, qt: jax.Array, qc: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name
-        local_n = self.doc_terms.shape[0] // self.n_shards
+        # building the jitted shard_map closure fresh per call defeats the
+        # trace cache (measured on the dense index: 20x the per-batch cost
+        # on a 1-device chip mesh) — cache it per (shapes, k)
+        key = (qt.shape, k, self.doc_terms.shape)
+        run = self._sharded_jit.get(key)
+        if run is None:
+            local_n = self.doc_terms.shape[0] // self.n_shards
 
-        def local_topk(qt, qc, terms, weights, valid):
-            scores = bm25_scores_kernel(terms, weights, qt, qc)
-            scores = jnp.where(valid[None, :], scores, -jnp.inf)
-            s, idx = jax.lax.top_k(scores, min(k, local_n))
-            offset = jax.lax.axis_index(axis) * local_n
-            return s[None], (idx + offset)[None]
+            def local_topk(qt, qc, terms, weights, valid):
+                scores = bm25_scores_kernel(terms, weights, qt, qc)
+                scores = jnp.where(valid[None, :], scores, -jnp.inf)
+                s, idx = jax.lax.top_k(scores, min(k, local_n))
+                offset = jax.lax.axis_index(axis) * local_n
+                return s[None], (idx + offset)[None]
 
-        @partial(jax.jit)
-        def run(qt, qc, terms, weights, valid):
-            s_all, p_all = jax.shard_map(
-                local_topk,
-                mesh=mesh,
-                in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis)),
-                out_specs=(P(axis, None, None), P(axis, None, None)),
-            )(qt, qc, terms, weights, valid)
-            b = qt.shape[0]
-            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
-            s, sel = jax.lax.top_k(s_flat, k)
-            return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+            @partial(jax.jit)
+            def run(qt, qc, terms, weights, valid):
+                s_all, p_all = jax.shard_map(
+                    local_topk,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis)),
+                    out_specs=(P(axis, None, None), P(axis, None, None)),
+                )(qt, qc, terms, weights, valid)
+                b = qt.shape[0]
+                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+                s, sel = jax.lax.top_k(s_flat, k)
+                return s, jnp.take_along_axis(p_flat, sel, axis=-1)
 
+            self._sharded_jit[key] = run
         return run(qt, qc, self.doc_terms, self.doc_weights, self.valid)
 
     def _encode_flat(

@@ -128,6 +128,12 @@ class DeviceFlatIndex:
         self.n_deleted = 0
         self._gap_rows = 0  # int8 block-alignment padding rows (never valid)
         self._tail_scale = 0.0  # int8: scale of the partial tail block
+        # jitted mesh-search closures, keyed by (path, B, dtype, k,
+        # capacity, _force_stream). Building the shard_map closure fresh
+        # per call defeats jax.jit's trace cache — measured 249 ms/batch
+        # vs 12.5 ms direct on a 1-device chip mesh (the executable
+        # reload, not the kernel, was the whole mesh-vs-direct gap)
+        self._mesh_jit_cache: dict = {}
         self._alloc(self.capacity)
 
     # -- allocation / sharding --------------------------------------------
@@ -508,6 +514,32 @@ class DeviceFlatIndex:
         # compiles + runs on v5e (probe-verified); ~2 MB headroom remains
         return vmem <= (14 << 20) and b <= 512
 
+    def _stream_ok_local(self, b_local: int, tile: int) -> bool:
+        """Per-shard variant of ``_stream_eligible`` for shard_map bodies:
+        the same Mosaic/VMEM constraints evaluated at the shard's query
+        slice and tile. Measured on the real chip via a 1-device mesh
+        (tools/mesh_parity_probe.py, 2M×768 bf16 B=512): the certified
+        stream inside shard_map runs at +0.1% vs the direct path, while
+        the masked grid kernel in shard_map was 10x slower — so the mesh
+        path prefers the stream whenever it can compile."""
+        if self.metric not in ("cosine", "ip"):
+            return False
+        if self.quantized and self.dim > 1040:
+            return False
+        if not self._force_stream:
+            if jax.default_backend() not in ("tpu", "axon"):
+                return False
+            if b_local < 128 or b_local % 128 != 0 or b_local > 512:
+                return False
+        item = jnp.dtype(self.dtype).itemsize
+        vmem = (
+            2 * tile * self.dim * item
+            + tile * b_local * 4
+            + 2 * (tile // self.SUBTILE_G) * b_local * 4
+            + b_local * self.dim * item
+        )
+        return vmem <= (14 << 20)
+
     def _tile_n(self) -> int:
         """Largest power-of-two multiple of ADD_BLOCK that divides capacity,
         capped at 256k rows (keeps Pallas tiles / scan chunks aligned)."""
@@ -637,88 +669,139 @@ class DeviceFlatIndex:
             return (self.res, self.res_scale), (row2d_spec, row1d_spec)
         return (), ()
 
+    def _make_local_producer(self, b_local, tile, use_fused, k_local, kf_local):
+        """Per-shard top-k producer shared by all three mesh bodies.
+
+        Kernel preference (1-device-mesh A/B on the real chip,
+        tools/mesh_parity_probe.py): certified stream (+0.1% vs the
+        direct single-chip path) > masked grid kernel (10x slower inside
+        shard_map) > lax.top_k over the materialized score matrix (small
+        local corpora only). Returns (s, idx) with LOCAL row indices;
+        callers add the shard offset and merge."""
+        metric = self.metric
+        quantized = self.quantized
+        refine = self.refine
+        stream_ok = (use_fused or self._force_stream) and self._stream_ok_local(
+            b_local, tile
+        )
+        g = self.SUBTILE_G
+        interp = self._force_stream
+
+        def produce(q_local, emb, valid, sqnorm, extra):
+            if quantized:
+                # sqnorm carries the per-row int8 scales; the blocked
+                # scales are row-aligned so they sharded with the rows
+                if stream_ok:
+                    from rag_arc_tpu.ops.two_level_stream import (
+                        two_level_topk_certified_i8,
+                    )
+
+                    s, idx, _ = two_level_topk_certified_i8(
+                        q_local, emb, sqnorm, valid, kf_local,
+                        g=g, tile_n=tile, interpret=interp,
+                        block_scales=True,
+                    )
+                elif use_fused:
+                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
+
+                    s, idx = two_level_topk_i8(
+                        q_local, emb, sqnorm, valid, kf_local,
+                        g=g, tile_n=tile, block_scales=True,
+                    )
+                else:
+                    s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, kf_local)
+                if kf_local > k_local:
+                    if refine:
+                        s, idx = _i8_rescore_refined_body(
+                            q_local, emb, sqnorm, extra[0], extra[1], s, idx,
+                            k_local, refine,
+                        )
+                    else:
+                        s, idx = _i8_rescore_body(
+                            q_local, emb, sqnorm, s, idx, k_local
+                        )
+            elif stream_ok:
+                from rag_arc_tpu.ops.two_level_stream import (
+                    two_level_topk_certified,
+                )
+
+                s, idx, _ = two_level_topk_certified(
+                    q_local, emb, valid, sqnorm, k_local,
+                    g=g, tile_n=tile, metric=metric, interpret=interp,
+                )
+            elif use_fused:
+                from rag_arc_tpu.ops.two_level import two_level_topk
+
+                s, idx = two_level_topk(
+                    q_local, emb, valid, sqnorm, k_local,
+                    g=g, tile_n=tile, metric=metric,
+                )
+            else:
+                scores = pairwise_scores(q_local, emb, metric, sqnorm)
+                scores = jnp.where(valid[None, :], scores, NEG_INF)
+                s, idx = jax.lax.top_k(scores, k_local)
+            return s, idx
+
+        return produce
+
+    def _mesh_jit_key(self, path: str, q: jax.Array, k: int):
+        return (path, q.shape, jnp.dtype(q.dtype).name, k, self.capacity,
+                self._force_stream)
+
     def _search_sharded(self, q: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name
         local_cap = self.capacity // self.n_shards
-        metric = self.metric
         k_local = min(k, local_cap)
         if self.n_slices > 1:
             return self._search_sliced(q, k, k_local, local_cap)
         if self.n_replicas > 1:
             return self._search_replicated(q, k, k_local, local_cap)
-        # fused Pallas kernel per shard on TPU once the local score matrix
-        # is worth it (per-shard lax.top_k over millions of rows is both a
-        # compile hog and an O(B·N_local) HBM write)
-        use_fused = (
-            jax.default_backend() in ("tpu", "axon")
-            and 4 * q.shape[0] * local_cap > self.SCORE_BYTES_BUDGET
-        )
-        tile = ADD_BLOCK
-        while local_cap % (tile * 2) == 0 and tile < 2048:
-            tile *= 2
-        quantized = self.quantized
-
-        refine = self.refine
-        kf_local = (
-            min(max(4 * k_local, 32), local_cap)
-            if self.quantized and (self.rescore_i8 or refine)
-            else k_local
-        )
-
-        def local_topk(q, emb, valid, sqnorm, *extra):
-            if quantized:
-                # sqnorm carries the per-row int8 scales; the blocked
-                # scales are row-aligned so they sharded with the rows
-                if use_fused:
-                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
-
-                    s, idx = two_level_topk_i8(
-                        q, emb, sqnorm, valid, kf_local,
-                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
-                        block_scales=True,
-                    )
-                else:
-                    s, idx = _i8_topk_body(emb, sqnorm, valid, q, kf_local)
-                if kf_local > k_local:
-                    if refine:
-                        s, idx = _i8_rescore_refined_body(
-                            q, emb, sqnorm, extra[0], extra[1], s, idx,
-                            k_local, refine,
-                        )
-                    else:
-                        s, idx = _i8_rescore_body(q, emb, sqnorm, s, idx, k_local)
-            elif use_fused:
-                from rag_arc_tpu.ops.two_level import two_level_topk
-
-                s, idx = two_level_topk(
-                    q, emb, valid, sqnorm, k_local,
-                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
-                )
-            else:
-                scores = pairwise_scores(q, emb, metric, sqnorm)
-                scores = jnp.where(valid[None, :], scores, NEG_INF)
-                s, idx = jax.lax.top_k(scores, k_local)
-            offset = jax.lax.axis_index(axis) * local_cap
-            return s[None], (idx + offset)[None]
-
         extra_args, extra_specs = self._refine_shard_args(P(axis, None), P(axis))
+        run = self._mesh_jit_cache.get(self._mesh_jit_key("data", q, k))
+        if run is None:
+            # fused Pallas kernel per shard on TPU once the local score
+            # matrix is worth it (per-shard lax.top_k over millions of rows
+            # is both a compile hog and an O(B·N_local) HBM write)
+            use_fused = (
+                jax.default_backend() in ("tpu", "axon")
+                and 4 * q.shape[0] * local_cap > self.SCORE_BYTES_BUDGET
+            )
+            tile = ADD_BLOCK
+            while local_cap % (tile * 2) == 0 and tile < 2048:
+                tile *= 2
 
-        @partial(jax.jit, static_argnames=())
-        def run(q, emb, valid, sqnorm, *extra_in):
-            s_all, p_all = jax.shard_map(
-                local_topk,
-                mesh=mesh,
-                in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
-                out_specs=(P(axis, None, None), P(axis, None, None)),
-                # pallas_call outputs carry no varying-mesh-axis metadata;
-                # the out_specs above state the sharding explicitly
-                check_vma=False,
-            )(q, emb, valid, sqnorm, *extra_in)
-            b = q.shape[0]
-            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
-            s, sel = jax.lax.top_k(s_flat, k)
-            return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+            kf_local = (
+                min(max(4 * k_local, 32), local_cap)
+                if self.quantized and (self.rescore_i8 or self.refine)
+                else k_local
+            )
+            produce = self._make_local_producer(
+                q.shape[0], tile, use_fused, k_local, kf_local
+            )
+
+            def local_topk(q, emb, valid, sqnorm, *extra):
+                s, idx = produce(q, emb, valid, sqnorm, extra)
+                offset = jax.lax.axis_index(axis) * local_cap
+                return s[None], (idx + offset)[None]
+
+            @partial(jax.jit, static_argnames=())
+            def run(q, emb, valid, sqnorm, *extra_in):
+                s_all, p_all = jax.shard_map(
+                    local_topk,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
+                    out_specs=(P(axis, None, None), P(axis, None, None)),
+                    # pallas_call outputs carry no varying-mesh-axis
+                    # metadata; out_specs state the sharding explicitly
+                    check_vma=False,
+                )(q, emb, valid, sqnorm, *extra_in)
+                b = q.shape[0]
+                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+                s, sel = jax.lax.top_k(s_flat, k)
+                return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+            self._mesh_jit_cache[self._mesh_jit_key("data", q, k)] = run
 
         return run(q, self.emb, self.valid, self.sqnorm, *extra_args)
 
@@ -733,95 +816,68 @@ class DeviceFlatIndex:
         corpus-proportional traffic. Replicas within a slice split the
         query batch exactly like _search_replicated."""
         mesh, axis = self.mesh, self.axis_name
-        metric = self.metric
-        n_data = self.n_shards // self.n_slices
-        use_fused = (
-            jax.default_backend() in ("tpu", "axon")
-            and 4 * (q.shape[0] // self.n_replicas) * local_cap
-            > self.SCORE_BYTES_BUDGET
-        )
-        tile = ADD_BLOCK
-        while local_cap % (tile * 2) == 0 and tile < 2048:
-            tile *= 2
-
-        def merge_axis(s, p, b, axis_name, k_out):
-            s_all = jax.lax.all_gather(s, axis_name)  # (S, b, k)
-            p_all = jax.lax.all_gather(p, axis_name)
-            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
-            sm, sel = jax.lax.top_k(s_flat, min(k_out, s_flat.shape[1]))
-            return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
-
-        quantized = self.quantized
-        refine = self.refine
-        kf_local = (
-            min(max(4 * k_local, 32), local_cap)
-            if quantized and (self.rescore_i8 or refine)
-            else k_local
-        )
-
-        def local_fn(q_local, emb, valid, sqnorm, *extra):
-            if quantized:
-                if use_fused:
-                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
-
-                    s, idx = two_level_topk_i8(
-                        q_local, emb, sqnorm, valid, kf_local,
-                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
-                        block_scales=True,
-                    )
-                else:
-                    s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, kf_local)
-                if kf_local > k_local:
-                    if refine:
-                        s, idx = _i8_rescore_refined_body(
-                            q_local, emb, sqnorm, extra[0], extra[1], s, idx,
-                            k_local, refine,
-                        )
-                    else:
-                        s, idx = _i8_rescore_body(
-                            q_local, emb, sqnorm, s, idx, k_local
-                        )
-            elif use_fused:
-                from rag_arc_tpu.ops.two_level import two_level_topk
-
-                s, idx = two_level_topk(
-                    q_local, emb, valid, sqnorm, k_local,
-                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
-                )
-            else:
-                scores = pairwise_scores(q_local, emb, metric, sqnorm)
-                scores = jnp.where(valid[None, :], scores, NEG_INF)
-                s, idx = jax.lax.top_k(scores, k_local)
-            shard_idx = (
-                jax.lax.axis_index(SLICE_AXIS) * n_data + jax.lax.axis_index(axis)
-            )
-            idx = idx + shard_idx * local_cap
-            b = q_local.shape[0]
-            # ICI: merge shards within the slice
-            s, idx = merge_axis(s, idx, b, axis, k)
-            # DCN: merge slice winners
-            return merge_axis(s, idx, b, SLICE_AXIS, k)
-
         q_spec = P(REPLICA_AXIS, None) if self.n_replicas > 1 else P()
         extra_args, extra_specs = self._refine_shard_args(
             P((SLICE_AXIS, axis), None), P((SLICE_AXIS, axis))
         )
-        run = jax.jit(
-            jax.shard_map(
-                local_fn,
-                mesh=mesh,
-                in_specs=(
-                    q_spec,
-                    P((SLICE_AXIS, axis), None),
-                    P((SLICE_AXIS, axis)),
-                    P((SLICE_AXIS, axis)),
-                    *extra_specs,
-                ),
-                out_specs=(q_spec, q_spec),
-                check_vma=False,
+        run = self._mesh_jit_cache.get(self._mesh_jit_key("slice", q, k))
+        if run is None:
+            n_data = self.n_shards // self.n_slices
+            use_fused = (
+                jax.default_backend() in ("tpu", "axon")
+                and 4 * (q.shape[0] // self.n_replicas) * local_cap
+                > self.SCORE_BYTES_BUDGET
             )
-        )
+            tile = ADD_BLOCK
+            while local_cap % (tile * 2) == 0 and tile < 2048:
+                tile *= 2
+
+            def merge_axis(s, p, b, axis_name, k_out):
+                s_all = jax.lax.all_gather(s, axis_name)  # (S, b, k)
+                p_all = jax.lax.all_gather(p, axis_name)
+                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+                sm, sel = jax.lax.top_k(s_flat, min(k_out, s_flat.shape[1]))
+                return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+            kf_local = (
+                min(max(4 * k_local, 32), local_cap)
+                if self.quantized and (self.rescore_i8 or self.refine)
+                else k_local
+            )
+            produce = self._make_local_producer(
+                q.shape[0] // self.n_replicas, tile, use_fused, k_local, kf_local
+            )
+
+            def local_fn(q_local, emb, valid, sqnorm, *extra):
+                s, idx = produce(q_local, emb, valid, sqnorm, extra)
+                shard_idx = (
+                    jax.lax.axis_index(SLICE_AXIS) * n_data
+                    + jax.lax.axis_index(axis)
+                )
+                idx = idx + shard_idx * local_cap
+                b = q_local.shape[0]
+                # ICI: merge shards within the slice
+                s, idx = merge_axis(s, idx, b, axis, k)
+                # DCN: merge slice winners
+                return merge_axis(s, idx, b, SLICE_AXIS, k)
+
+            run = jax.jit(
+                jax.shard_map(
+                    local_fn,
+                    mesh=mesh,
+                    in_specs=(
+                        q_spec,
+                        P((SLICE_AXIS, axis), None),
+                        P((SLICE_AXIS, axis)),
+                        P((SLICE_AXIS, axis)),
+                        *extra_specs,
+                    ),
+                    out_specs=(q_spec, q_spec),
+                    check_vma=False,
+                )
+            )
+            self._mesh_jit_cache[self._mesh_jit_key("slice", q, k)] = run
         return run(q, self.emb, self.valid, self.sqnorm, *extra_args)
 
     def _search_replicated(self, q: jax.Array, k: int, k_local: int, local_cap: int):
@@ -830,79 +886,51 @@ class DeviceFlatIndex:
         group). The per-shard top-k all-gathers and merges *inside* the
         group over ICI; query slices never leave their replica."""
         mesh, axis = self.mesh, self.axis_name
-        metric = self.metric
-        use_fused = (
-            jax.default_backend() in ("tpu", "axon")
-            and 4 * (q.shape[0] // self.n_replicas) * local_cap
-            > self.SCORE_BYTES_BUDGET
-        )
-        tile = ADD_BLOCK
-        while local_cap % (tile * 2) == 0 and tile < 2048:
-            tile *= 2
-
-        quantized = self.quantized
-        refine = self.refine
-        kf_local = (
-            min(max(4 * k_local, 32), local_cap)
-            if quantized and (self.rescore_i8 or refine)
-            else k_local
-        )
-
-        def local_fn(q_local, emb, valid, sqnorm, *extra):
-            if quantized:
-                if use_fused:
-                    from rag_arc_tpu.ops.two_level import two_level_topk_i8
-
-                    s, idx = two_level_topk_i8(
-                        q_local, emb, sqnorm, valid, kf_local,
-                        g=DeviceFlatIndex.SUBTILE_G, tile_n=tile,
-                        block_scales=True,
-                    )
-                else:
-                    s, idx = _i8_topk_body(emb, sqnorm, valid, q_local, kf_local)
-                if kf_local > k_local:
-                    if refine:
-                        s, idx = _i8_rescore_refined_body(
-                            q_local, emb, sqnorm, extra[0], extra[1], s, idx,
-                            k_local, refine,
-                        )
-                    else:
-                        s, idx = _i8_rescore_body(
-                            q_local, emb, sqnorm, s, idx, k_local
-                        )
-            elif use_fused:
-                from rag_arc_tpu.ops.two_level import two_level_topk
-
-                s, idx = two_level_topk(
-                    q_local, emb, valid, sqnorm, k_local,
-                    g=DeviceFlatIndex.SUBTILE_G, tile_n=tile, metric=metric,
-                )
-            else:
-                scores = pairwise_scores(q_local, emb, metric, sqnorm)
-                scores = jnp.where(valid[None, :], scores, NEG_INF)
-                s, idx = jax.lax.top_k(scores, k_local)
-            idx = idx + jax.lax.axis_index(axis) * local_cap
-            s_all = jax.lax.all_gather(s, axis)  # (S, b_r, k_local)
-            p_all = jax.lax.all_gather(idx, axis)
-            b_r = q_local.shape[0]
-            s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b_r, -1)
-            p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b_r, -1)
-            sm, sel = jax.lax.top_k(s_flat, k)
-            return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
-
         extra_args, extra_specs = self._refine_shard_args(P(axis, None), P(axis))
-        run = jax.jit(
-            jax.shard_map(
-                local_fn,
-                mesh=mesh,
-                in_specs=(
-                    P(REPLICA_AXIS, None), P(axis, None), P(axis), P(axis),
-                    *extra_specs,
-                ),
-                out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
-                check_vma=False,
+        run = self._mesh_jit_cache.get(self._mesh_jit_key("replica", q, k))
+        if run is None:
+            use_fused = (
+                jax.default_backend() in ("tpu", "axon")
+                and 4 * (q.shape[0] // self.n_replicas) * local_cap
+                > self.SCORE_BYTES_BUDGET
             )
-        )
+            tile = ADD_BLOCK
+            while local_cap % (tile * 2) == 0 and tile < 2048:
+                tile *= 2
+
+            kf_local = (
+                min(max(4 * k_local, 32), local_cap)
+                if self.quantized and (self.rescore_i8 or self.refine)
+                else k_local
+            )
+            produce = self._make_local_producer(
+                q.shape[0] // self.n_replicas, tile, use_fused, k_local, kf_local
+            )
+
+            def local_fn(q_local, emb, valid, sqnorm, *extra):
+                s, idx = produce(q_local, emb, valid, sqnorm, extra)
+                idx = idx + jax.lax.axis_index(axis) * local_cap
+                s_all = jax.lax.all_gather(s, axis)  # (S, b_r, k_local)
+                p_all = jax.lax.all_gather(idx, axis)
+                b_r = q_local.shape[0]
+                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b_r, -1)
+                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b_r, -1)
+                sm, sel = jax.lax.top_k(s_flat, k)
+                return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+
+            run = jax.jit(
+                jax.shard_map(
+                    local_fn,
+                    mesh=mesh,
+                    in_specs=(
+                        P(REPLICA_AXIS, None), P(axis, None), P(axis), P(axis),
+                        *extra_specs,
+                    ),
+                    out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
+                    check_vma=False,
+                )
+            )
+            self._mesh_jit_cache[self._mesh_jit_key("replica", q, k)] = run
         return run(q, self.emb, self.valid, self.sqnorm, *extra_args)
 
     def take(self, positions: np.ndarray) -> np.ndarray:

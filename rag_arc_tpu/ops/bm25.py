@@ -114,32 +114,18 @@ def _iter_topk(scores: jax.Array, k: int):
     return vals.T, idxs.T  # (B, k)
 
 
-@partial(jax.jit, static_argnames=("k", "max_df"))
-def bm25_hybrid_topk(
-    w_head: jax.Array,      # (H, N) per-doc weights of the H head terms
-    valid: jax.Array,       # (N,) bool
-    q_head: jax.Array,      # (B, H) f32 query-term multiplicities
-    tail_docs: jax.Array,   # (nnz,) int32 HBM-resident postings doc ids
-    tail_w: jax.Array,      # (nnz,) f32 HBM-resident postings weights
-    starts: jax.Array,      # (B, T) int32 posting-list starts per tail term
-    lens: jax.Array,        # (B, T) int32 posting-list lengths
-    counts: jax.Array,      # (B, T) f32 query-term multiplicities
+def _hybrid_body(
+    w_head: jax.Array,
+    valid: jax.Array,
+    q_head: jax.Array,
+    tail_docs: jax.Array,
+    tail_w: jax.Array,
+    starts: jax.Array,
+    lens: jax.Array,
+    counts: jax.Array,
     k: int,
-    max_df: int,            # static bound on any tail term's df
+    max_df: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact hybrid BM25 top-k (head-dense / tail-sparse).
-
-    Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
-    postings live in HBM and are GATHERED ON DEVICE — the host ships only
-    (start, len, count) per query tail term, so query-time host→device
-    traffic is O(B·T), never O(Σ df). Tail contributions SCATTER-ADD into
-    the (B, N) head-score array (already materialized for the matmul), so
-    a doc matching several tail terms of one query accumulates their sum —
-    a gather-and-merge formulation is NOT exact for such docs, because
-    each candidate copy carries only its own term's weight and every copy
-    underestimates the true total. One top-k over the summed array is
-    exact by construction; returned ids are unique per query.
-    """
     b = q_head.shape[0]
     scores = jnp.dot(
         q_head.astype(w_head.dtype),
@@ -170,6 +156,65 @@ def bm25_hybrid_topk(
     # -inf invalid rows absorb any addition
     scores = scores.at[jnp.arange(b)[:, None], cand].add(w)
     return _iter_topk(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "max_df"))
+def bm25_hybrid_topk(
+    w_head: jax.Array,      # (H, N) per-doc weights of the H head terms
+    valid: jax.Array,       # (N,) bool
+    q_head: jax.Array,      # (B, H) f32 query-term multiplicities
+    tail_docs: jax.Array,   # (nnz,) int32 HBM-resident postings doc ids
+    tail_w: jax.Array,      # (nnz,) f32 HBM-resident postings weights
+    starts: jax.Array,      # (B, T) int32 posting-list starts per tail term
+    lens: jax.Array,        # (B, T) int32 posting-list lengths
+    counts: jax.Array,      # (B, T) f32 query-term multiplicities
+    k: int,
+    max_df: int,            # static bound on any tail term's df
+) -> tuple[jax.Array, jax.Array]:
+    """Exact hybrid BM25 top-k (head-dense / tail-sparse).
+
+    Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
+    postings live in HBM and are GATHERED ON DEVICE — the host ships only
+    (start, len, count) per query tail term, so query-time host→device
+    traffic is O(B·T), never O(Σ df). Tail contributions SCATTER-ADD into
+    the (B, N) head-score array (already materialized for the matmul), so
+    a doc matching several tail terms of one query accumulates their sum —
+    a gather-and-merge formulation is NOT exact for such docs, because
+    each candidate copy carries only its own term's weight and every copy
+    underestimates the true total. One top-k over the summed array is
+    exact by construction; returned ids are unique per query.
+    """
+    return _hybrid_body(
+        w_head, valid, q_head, tail_docs, tail_w, starts, lens, counts,
+        k, max_df,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "max_df", "h", "t"))
+def bm25_hybrid_topk_packed(
+    w_head: jax.Array,
+    valid: jax.Array,
+    tail_docs: jax.Array,
+    tail_w: jax.Array,
+    packed: jax.Array,      # (B, h + 3t) int32: [q_head | starts | lens | counts]
+    k: int,
+    max_df: int,
+    h: int,
+    t: int,
+) -> tuple[jax.Array, jax.Array]:
+    """``bm25_hybrid_topk`` with the per-query operands fused into ONE
+    int32 upload. Query-term multiplicities are small integers, so q_head
+    and counts ride the same int32 buffer as starts/lens and are cast back
+    on device. One host→device transfer per batch instead of four — the
+    difference is pure link latency (the device program is identical)."""
+    q_head = packed[:, :h].astype(jnp.float32)
+    starts = packed[:, h : h + t]
+    lens = packed[:, h + t : h + 2 * t]
+    counts = packed[:, h + 2 * t : h + 3 * t].astype(jnp.float32)
+    return _hybrid_body(
+        w_head, valid, q_head, tail_docs, tail_w, starts, lens, counts,
+        k, max_df,
+    )
 
 
 def numpy_bm25_oracle(

@@ -417,13 +417,13 @@ class TestHybridBackend:
         index.build(corpus)
         calls = {"host": 0, "hybrid": 0}
         orig_host = index._host_search
-        orig_hybrid = index._hybrid_search
+        orig_hybrid = index._hybrid_dispatch
         monkeypatch.setattr(
             index, "_host_search",
             lambda q, k: calls.__setitem__("host", calls["host"] + 1) or orig_host(q, k),
         )
         monkeypatch.setattr(
-            index, "_hybrid_search",
+            index, "_hybrid_dispatch",
             lambda q, k: calls.__setitem__("hybrid", calls["hybrid"] + 1) or orig_hybrid(q, k),
         )
         index.search([["rare11"]], 3)          # tiny df -> host
@@ -440,6 +440,24 @@ class TestHybridBackend:
         s1, p1 = hyb._hybrid_search(queries, 8)
         s2, p2 = host.search(queries, 8)
         np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    def test_pipelined_dispatch_matches_sync(self, corpus):
+        """search_dispatch: several in-flight batches fetched after the
+        fact must equal the synchronous results (the serving path overlaps
+        encode+upload of batch i+1 with batch i's device program)."""
+        index = DeviceBM25Index(backend="hybrid", host_budget=0)
+        index.build(corpus)
+        batches = [
+            [["the", "rare13", "w55"], ["w100", "of", "and"]],
+            [["rare11", "the"], ["w7", "w8", "w9"]],
+            [["and", "of", "the", "w3"]],
+        ]
+        pending = [index.search_dispatch(b, 6) for b in batches]
+        for b, pend in zip(batches, pending):
+            s_sync, p_sync = index.search(b, 6)
+            s_async, p_async = pend.result()
+            np.testing.assert_allclose(s_async, s_sync, rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(p_async, p_sync)
 
     def test_multi_tail_term_doc_gets_summed_score(self):
         """Regression: a doc matching SEVERAL tail terms of one query must

@@ -317,3 +317,55 @@ def test_scan_producer_matches_stream(rng):
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
     assert bool(ok0) == bool(ok1)
+
+
+# -- stream producer inside shard_map (mesh path) -----------------------------
+
+
+def test_mesh_stream_producer_matches_direct(rng):
+    """The mesh bodies prefer the certified stream kernel per shard
+    (measured +0.1% vs direct on a 1-device chip mesh where the masked
+    grid kernel was 10x slower). Interpret mode on the emulated 8-device
+    mesh must agree with the single-device result, bf16 grid fallback and
+    all."""
+    from rag_arc_tpu.parallel.mesh import default_mesh
+
+    idx_direct = DeviceFlatIndex(dim=64, metric="cosine", capacity=8192)
+    idx_mesh = DeviceFlatIndex(
+        dim=64, metric="cosine", capacity=8192, mesh=default_mesh()
+    )
+    idx_mesh._force_stream = True
+    vecs = rng.standard_normal((6000, 64)).astype(np.float32)
+    idx_direct.add(vecs)
+    idx_mesh.add(vecs)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    s1, p1 = idx_direct.search(q, 5)
+    s2, p2 = idx_mesh.search(q, 5)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_stream_producer_matches_direct_i8(rng):
+    """Int8 certified stream per shard: results must match the
+    single-device int8 path (same quantized metric, same rescore)."""
+    from rag_arc_tpu.parallel.mesh import default_mesh
+
+    vecs = rng.standard_normal((6000, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    idx_direct = DeviceFlatIndex(
+        dim=64, metric="cosine", capacity=8192, dtype=jnp.int8
+    )
+    idx_mesh = DeviceFlatIndex(
+        dim=64, metric="cosine", capacity=8192, dtype=jnp.int8,
+        mesh=default_mesh(),
+    )
+    idx_mesh._force_stream = True
+    idx_direct.add(vecs)
+    idx_mesh.add(vecs)
+    q = vecs[:8] + 0.05 * rng.standard_normal((8, 64)).astype(np.float32)
+    s1, p1 = idx_direct.search(q, 5)
+    s2, p2 = idx_mesh.search(q, 5)
+    overlap = np.mean(
+        [len(set(p1[i]) & set(p2[i])) / 5 for i in range(8)]
+    )
+    assert overlap >= 0.9, overlap

@@ -101,44 +101,11 @@ def main():
     )
     print(f"top-k set agreement direct vs mesh: {agree:.4f}", flush=True)
 
-    # experiment: certified stream producer inside shard_map (bf16 only)
-    if dtype == jnp.bfloat16:
-        from rag_arc_tpu.ops.two_level_stream import two_level_topk_certified
-
-        tile = min(sharded._tile_n(), 2048)
-        g = DeviceFlatIndex.SUBTILE_G
-
-        def local_stream(q, emb, valid, sqnorm):
-            s, p, ok = two_level_topk_certified(
-                q, emb, valid, sqnorm, args.k, g=g, tile_n=tile, metric="cosine"
-            )
-            off = jax.lax.axis_index("data") * (sharded.capacity // 1)
-            return s[None], (p + off)[None]
-
-        try:
-            run = jax.jit(
-                jax.shard_map(
-                    local_stream,
-                    mesh=mesh1,
-                    in_specs=(P(), P("data", None), P("data"), P("data")),
-                    out_specs=(P("data", None, None), P("data", None, None)),
-                    check_vma=False,
-                )
-            )
-            out = run(dq, sharded.emb, sharded.valid, sharded.sqnorm)
-            _ = np.asarray(out[1][:1])
-            t2 = timed(
-                lambda: run(dq, sharded.emb, sharded.valid, sharded.sqnorm),
-                lambda o: o[1][:1],
-            )
-            print(
-                f"mesh(1dev) STREAM-in-shard_map: {t2*1e3:.2f} ms/batch "
-                f"({(t2/t-1)*100:+.1f}% vs direct)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001
-            print(f"stream-in-shard_map FAILED: {type(exc).__name__}: {exc}",
-                  flush=True)
+    # r3: the mesh bodies now route to the certified stream kernel per
+    # shard when eligible (_make_local_producer), so the "mesh(1dev)"
+    # number above IS the stream path for B>=128. The original experiment
+    # (hand-rolled stream in shard_map) measured +0.1% vs direct where the
+    # masked grid kernel was 10x slower — that result is baked in.
 
 
 if __name__ == "__main__":
