@@ -137,12 +137,24 @@ def main():
     t = med(full, lambda o: o[1][:1])
     print(f"full hybrid_topk: {t*1e3:.2f} ms", flush=True)
 
-    # end-to-end through the index (incl. host encode)
+    # end-to-end through the index (incl. host encode), serial: each batch
+    # pays host encode + upload + program + fetch with zero overlap
     _ = index._hybrid_search(queries, 10)
     t0 = time.time()
     for _ in range(5):
         index._hybrid_search(queries, 10)
-    print(f"end-to-end _hybrid_search: {(time.time()-t0)/5*1e3:.2f} ms", flush=True)
+    print(f"end-to-end serial search(): {(time.time()-t0)/5*1e3:.2f} ms", flush=True)
+
+    # streamed: search_dispatch() enqueues batch i+1 while batch i's device
+    # program runs — the tunnel RTT and host encode amortize across the
+    # stream (this is how the retriever's invoke_batch drives the index)
+    reps = 16
+    t0 = time.time()
+    pend = [index.search_dispatch(queries, 10) for _ in range(reps)]
+    outs = [p.result() for p in pend]
+    dt = (time.time() - t0) / reps
+    print(f"end-to-end streamed dispatch: {dt*1e3:.2f} ms/batch "
+          f"({b/dt:,.0f} qps)", flush=True)
 
 
 if __name__ == "__main__":
