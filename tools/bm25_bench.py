@@ -84,7 +84,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     t0 = time.time()
     if args.csr:
-        csr = synth_csr(rng, args.n)
+        # disk cache: 10M-doc synthesis costs minutes of single-core sort;
+        # reuse across runs (seed-stable)
+        cache = REPO / ".jax_cache" / f"bm25_csr_{args.n}.npz"
+        if cache.exists():
+            z = np.load(cache)
+            csr = (z["off"], z["tid"], z["cnt"], z["lens"])
+        else:
+            csr = synth_csr(rng, args.n)
+            cache.parent.mkdir(exist_ok=True)
+            np.savez(cache, off=csr[0], tid=csr[1], cnt=csr[2], lens=csr[3])
         texts = None
     else:
         texts = synth_corpus(rng, args.n)
@@ -123,9 +132,13 @@ def main() -> None:
             s, p = index.search(q_batches[0], args.k)
             times = []
             for _ in range(args.reps):
+                # streamed: enqueue every batch, then drain results — device
+                # batches overlap the next batch's host encode (the serial
+                # loop paid one tunnel RTT per batch on this box)
                 t0 = time.time()
-                for qb in q_batches:
-                    s, p = index.search(qb, args.k)
+                pend = [index.search_dispatch(qb, args.k) for qb in q_batches]
+                for pd in pend:
+                    s, p = pd.result()
                 times.append((time.time() - t0) / args.stream)
             ms = np.asarray(times) * 1e3
             print(
