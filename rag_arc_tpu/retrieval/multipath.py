@@ -87,9 +87,23 @@ class MultiPathRetriever(BaseRetriever):
     ) -> List[List[Document]]:
         top_k = int(kwargs.get("k", self.top_k))
         per_path_k = int(kwargs.get("top_k_per_retriever", self.top_k_per_retriever))
-        all_paths = [
-            self._path_results(r, queries, per_path_k) for r in self.retrievers
-        ]
+        if len(self.retrievers) == 1:
+            all_paths = [self._path_results(self.retrievers[0], queries, per_path_k)]
+        else:
+            # paths overlap: a dense path is a device dispatch that mostly
+            # *waits* (XLA program + result fetch) while a BM25 path is host
+            # CPU work — running them in threads makes a hybrid query cost
+            # max(paths), not sum(paths). _path_results already isolates
+            # per-path failures, so thread errors stay contained.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(self.retrievers)) as pool:
+                all_paths = list(
+                    pool.map(
+                        lambda r: self._path_results(r, queries, per_path_k),
+                        self.retrievers,
+                    )
+                )
         fused: List[List[Document]] = []
         for qi in range(len(queries)):
             per_query_paths = [path[qi] for path in all_paths]
