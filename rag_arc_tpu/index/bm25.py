@@ -231,7 +231,10 @@ class DeviceBM25Index:
         h = len(head)
         head_slot = np.full(v, -1, dtype=np.int32)
         head_slot[head] = np.arange(h, dtype=np.int32)
-        n_pad = round_up(max(n, 8), 8)
+        # 1024-multiple pad: lets the kernel's coarse top-k reduce clean
+        # 512/256-column groups (ops/bm25.py::_coarse_topk); pad columns
+        # are hvalid=False -> -inf, never selected
+        n_pad = round_up(max(n, 1024), 1024)
         w_head = np.zeros((max(h, 1), n_pad), dtype=np.float32)
         is_head = head_slot[term_ids] >= 0
         w_head[head_slot[term_ids[is_head]], doc_of[is_head]] = w[is_head]

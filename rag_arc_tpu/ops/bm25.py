@@ -114,6 +114,54 @@ def _iter_topk(scores: jax.Array, k: int):
     return vals.T, idxs.T  # (B, k)
 
 
+def _coarse_topk(scores: jax.Array, k: int, g: int = 256):
+    """Exact top-k over a materialized (B, N) score array, two-level.
+
+    ``_iter_topk`` re-reads AND re-writes the full (B, N) array once per
+    selected element — k·2·B·N·4 bytes of HBM traffic (2.5 GB at B=32,
+    N=1M, k=10). Here one coarse pass reduces groups of ``g`` columns to
+    their max (a single full read), then each of the k selection steps
+    works on the (B, N/g) reduced array: argmax, gather the winning
+    group's g raw scores, resolve the in-group winner, and lower that
+    group's cached max — the same tournament the dense index's two-level
+    select runs (ARCHITECTURE.md §2). Exact: a group's max is an upper
+    bound for every element in it, so the global argmax over group-maxes
+    always locates the group holding the true next-best element.
+    Requires N % g == 0 (callers pad; ``bm25_hybrid_topk`` pads N to a
+    multiple of 1024 at build). Ties broken by lowest index, matching
+    jnp.argmax.
+    """
+    b, n = scores.shape
+    n_sub = n // g
+    sub = jnp.max(scores.reshape(b, n_sub, g), axis=2)  # ONE full read
+    rows = jnp.arange(b)
+    span = jnp.arange(g, dtype=jnp.int32)
+
+    def grab(row, gi):
+        return jax.lax.dynamic_slice(row, (gi * g,), (g,))
+
+    def step(carry, _):
+        sub, picked = carry
+        gidx = jnp.argmax(sub, axis=1)                    # (B,)
+        grp = jax.vmap(grab)(scores, gidx)                # (B, g) raw
+        base = (gidx * g).astype(jnp.int32)
+        absidx = base[:, None] + span[None, :]            # (B, g)
+        dup = jnp.any(absidx[:, :, None] == picked[:, None, :], axis=-1)
+        grp = jnp.where(dup, -jnp.inf, grp)
+        e = jnp.argmax(grp, axis=1)
+        val = jnp.take_along_axis(grp, e[:, None], axis=1)[:, 0]
+        chosen = base + e.astype(jnp.int32)
+        # exclude the winner and refresh this group's cached max
+        grp = grp.at[rows, e].set(-jnp.inf)
+        sub = sub.at[rows, gidx].set(jnp.max(grp, axis=1))
+        picked = jnp.concatenate([picked[:, 1:], chosen[:, None]], axis=1)
+        return (sub, picked), (val, chosen)
+
+    picked0 = jnp.full((b, k), -1, dtype=jnp.int32)
+    _, (vals, idxs) = jax.lax.scan(step, (sub, picked0), None, length=k)
+    return vals.T, idxs.T  # (B, k)
+
+
 def _hybrid_body(
     w_head: jax.Array,
     valid: jax.Array,
@@ -155,6 +203,9 @@ def _hybrid_body(
     # pad slots point at doc 0 with w=0: the add is a no-op there, and
     # -inf invalid rows absorb any addition
     scores = scores.at[jnp.arange(b)[:, None], cand].add(w)
+    for g in (512, 256, 128):
+        if scores.shape[1] % g == 0 and k <= g:
+            return _coarse_topk(scores, k, g)
     return _iter_topk(scores, k)
 
 

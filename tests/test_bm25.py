@@ -529,3 +529,27 @@ class TestHybridBackend:
         r = BM25Retriever.from_texts(texts, backend="hybrid")
         hits = r.invoke("rare11", k=2)
         assert hits and "rare11" in hits[0].content
+
+    @pytest.mark.parametrize("g", [128, 256, 512])
+    def test_coarse_topk_matches_full_sort(self, g):
+        """_coarse_topk (one coarse reduce + k tournament steps) is exact
+        vs the numpy full sort, including ties, -inf pad columns, and
+        several winners landing in ONE group."""
+        import jax
+        import jax.numpy as jnp
+
+        from rag_arc_tpu.ops.bm25 import _coarse_topk
+
+        rng = np.random.default_rng(11)
+        b, n, k = 4, 4 * g, 10
+        scores = rng.standard_normal((b, n)).astype(np.float32)
+        scores[:, -g // 2 :] = -np.inf          # pad columns
+        scores[0, :3] = [9.0, 8.5, 8.25]        # top-3 in one group
+        scores[1, 5] = scores[1, 7] = 7.75      # exact tie in one group
+        vals, idxs = jax.device_get(_coarse_topk(jnp.asarray(scores), k, g))
+        for qi in range(b):
+            want = np.sort(scores[qi])[::-1][:k]
+            np.testing.assert_allclose(vals[qi], want, rtol=0, atol=0)
+            # indices really hold those scores, and are distinct
+            np.testing.assert_allclose(scores[qi][idxs[qi]], vals[qi])
+            assert len(set(idxs[qi].tolist())) == k
