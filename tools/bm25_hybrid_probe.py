@@ -111,6 +111,23 @@ def main():
     t = med(lambda: mm_topk(dq, W, V), lambda o: o[0][:1])
     print(f"matmul+iter_topk: {t*1e3:.2f} ms", flush=True)
 
+    from rag_arc_tpu.ops.bm25 import _coarse_topk
+
+    if W.shape[1] % 512 == 0:
+
+        @jax.jit
+        def mm_coarse(q, w, v):
+            s = jnp.where(
+                v[None, :],
+                jnp.dot(q, w, preferred_element_type=jnp.float32),
+                -jnp.inf,
+            )
+            return _coarse_topk(s, 10, 512)
+
+        jax.block_until_ready(mm_coarse(dq, W, V))
+        t = med(lambda: mm_coarse(dq, W, V), lambda o: o[0][:1])
+        print(f"matmul+coarse_topk: {t*1e3:.2f} ms", flush=True)
+
     @partial(jax.jit, static_argnames=("max_df",))
     def slabs(td, tw, st, ln, ct, max_df):
         span = jnp.arange(max_df, dtype=jnp.int32)
