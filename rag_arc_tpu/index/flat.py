@@ -745,8 +745,11 @@ class DeviceFlatIndex:
         return produce
 
     def _mesh_jit_key(self, path: str, q: jax.Array, k: int):
+        # refine/rescore_i8 are baked into the cached closure (kf_local and
+        # the rescore body) and refine can change at snapshot-restore time —
+        # key on them so a restore never reuses a stale executable
         return (path, q.shape, jnp.dtype(q.dtype).name, k, self.capacity,
-                self._force_stream)
+                self._force_stream, self.refine, self.rescore_i8)
 
     def _search_sharded(self, q: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name
