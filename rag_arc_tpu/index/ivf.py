@@ -87,6 +87,7 @@ class DeviceIVFIndex:
         self.size = 0
         self.n_deleted = 0
         self.lmax = 0
+        self._sharded_jit: dict = {}
         self.centroids: Optional[jax.Array] = None
         self.lists: Optional[jax.Array] = None
         self.sqnorm: Optional[jax.Array] = None
@@ -408,27 +409,37 @@ class DeviceIVFIndex:
         nprobe_local = min(nprobe, nlist_local)
         k_local = min(k, nprobe_local * self.lmax)
 
-        def local_fn(centroids, lists, sqnorm, valid, pos, cluster_valid, q):
-            return _ivf_search_body(
-                centroids, lists, sqnorm, valid, pos, cluster_valid, q,
-                k_local, nprobe_local, metric,
-            )
+        # cache the jitted shard_map closure per (shapes, k, nprobe):
+        # rebuilding it per call defeats the trace cache (measured on the
+        # flat index: executable reload cost 20x the kernel on a 1-device
+        # chip mesh)
+        key = (q.shape, jnp.dtype(q.dtype).name, k, nprobe,
+               self.lists.shape, self.nlist_pad)
+        run = self._sharded_jit.get(key)
+        if run is None:
 
-        run = jax.jit(
-            jax.shard_map(
-                lambda c, l, sq, v, p, cv, q: tuple(
-                    x[None] for x in local_fn(c, l, sq, v, p, cv, q)
+            def local_fn(centroids, lists, sqnorm, valid, pos, cluster_valid, q):
+                return _ivf_search_body(
+                    centroids, lists, sqnorm, valid, pos, cluster_valid, q,
+                    k_local, nprobe_local, metric,
+                )
+
+            run = jax.jit(
+                jax.shard_map(
+                    lambda c, l, sq, v, p, cv, q: tuple(
+                        x[None] for x in local_fn(c, l, sq, v, p, cv, q)
+                    ),
+                    mesh=mesh,
+                    in_specs=(
+                        P(axis, None), P(axis, None, None), P(axis, None),
+                        P(axis, None), P(axis, None), P(axis), P(),
+                    ),
+                    out_specs=(P(axis, None, None), P(axis, None, None)),
+                    check_vma=False,
                 ),
-                mesh=mesh,
-                in_specs=(
-                    P(axis, None), P(axis, None, None), P(axis, None),
-                    P(axis, None), P(axis, None), P(axis), P(),
-                ),
-                out_specs=(P(axis, None, None), P(axis, None, None)),
-                check_vma=False,
-            ),
-            static_argnums=(),
-        )
+                static_argnums=(),
+            )
+            self._sharded_jit[key] = run
         s_all, p_all = run(
             self.centroids, self.lists, self.sqnorm, self.valid, self.pos,
             self.cluster_valid, q,
