@@ -192,6 +192,8 @@ class DeviceFlatIndex:
             self.res = _paste(self.res, old_res)
             self.res_scale = _paste_1d(self.res_scale, old_res_scale)
         del old_emb, old_valid, old_sqnorm, old_res, old_res_scale, old_cap
+        # mesh closures compiled for the old capacity can never be hit again
+        self._mesh_jit_cache.clear()
 
     # -- mutation ---------------------------------------------------------
 

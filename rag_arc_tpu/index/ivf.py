@@ -283,6 +283,8 @@ class DeviceIVFIndex:
             self.lists, self.sqnorm, self.valid, self.pos, pad
         )
         self.lmax = new_lmax
+        # closures compiled for the old lists shape can never be hit again
+        self._sharded_jit.clear()
 
     def compact(self) -> Dict[int, int]:
         """Drop tombstoned rows by re-packing active vectors into fresh

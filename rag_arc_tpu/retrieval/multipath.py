@@ -42,6 +42,20 @@ class MultiPathRetriever(BaseRetriever):
         self.fusion_method = fusion_method or RRFusion()
         self.top_k = top_k
         self.top_k_per_retriever = top_k_per_retriever
+        self._pool = None
+
+    def _path_pool(self):
+        """Lazy per-instance fan-out pool, resized if paths are added."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = max(2, len(self.retrievers))
+        if self._pool is None or self._pool._max_workers < n:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+            self._pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="multipath"
+            )
+        return self._pool
 
     # -- management -------------------------------------------------------
 
@@ -87,23 +101,25 @@ class MultiPathRetriever(BaseRetriever):
     ) -> List[List[Document]]:
         top_k = int(kwargs.get("k", self.top_k))
         per_path_k = int(kwargs.get("top_k_per_retriever", self.top_k_per_retriever))
-        if len(self.retrievers) == 1:
-            all_paths = [self._path_results(self.retrievers[0], queries, per_path_k)]
+        if len(self.retrievers) <= 1:
+            all_paths = [
+                self._path_results(r, queries, per_path_k)
+                for r in self.retrievers
+            ]
         else:
             # paths overlap: a dense path is a device dispatch that mostly
             # *waits* (XLA program + result fetch) while a BM25 path is host
-            # CPU work — running them in threads makes a hybrid query cost
-            # max(paths), not sum(paths). _path_results already isolates
-            # per-path failures, so thread errors stay contained.
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=len(self.retrievers)) as pool:
-                all_paths = list(
-                    pool.map(
-                        lambda r: self._path_results(r, queries, per_path_k),
-                        self.retrievers,
-                    )
+            # CPU work — fanning out makes a hybrid query cost max(paths),
+            # not sum(paths). A lazy per-instance pool avoids per-request
+            # thread spawn AND the deadlock a shared pool invites when
+            # ainvoke (which runs on that shared pool) calls into here.
+            # _path_results isolates per-path failures.
+            all_paths = list(
+                self._path_pool().map(
+                    lambda r: self._path_results(r, queries, per_path_k),
+                    self.retrievers,
                 )
+            )
         fused: List[List[Document]] = []
         for qi in range(len(queries)):
             per_query_paths = [path[qi] for path in all_paths]

@@ -64,3 +64,25 @@ def test_requires_a_retriever():
 
 def test_k_override(hybrid):
     assert len(hybrid.invoke("the cat dogs market", k=5)) == 5
+
+
+def test_emptied_retriever_list_returns_empty(hybrid):
+    """remove_retriever can empty the list post-construction; queries must
+    degrade to empty results, not crash the fan-out pool."""
+    for name in list(r.name for r in hybrid.retrievers):
+        hybrid.remove_retriever(name)
+    assert hybrid.retrievers == []
+    assert hybrid.invoke("anything") == []
+    assert hybrid.invoke_batch(["a", "b"]) == [[], []]
+
+
+def test_concurrent_paths_reuse_pool(hybrid):
+    """The fan-out pool is per-instance and persistent across calls."""
+    hybrid.invoke("cat")
+    pool1 = hybrid._pool
+    hybrid.invoke("dog")
+    assert hybrid._pool is pool1
+    hybrid.add_retriever(FailingRetriever(name="extra1"))
+    hybrid.add_retriever(FailingRetriever(name="extra2"))
+    assert hybrid.invoke("cat")  # pool resized, still answers
+    assert hybrid._pool._max_workers >= 3
