@@ -1,5 +1,9 @@
 """Host-side sequence packing for the encoder serving path.
 
+TPU-first replacement for the reference's per-batch HF embedding loop
+(``core/file_management/embeddings/huggingface.py:105-134``), which pads
+every text to the batch max and has no answer for short-query traffic.
+
 Short documents are packed several-to-a-row so the device sees MXU-sized
 (row_len) attention shapes regardless of document length — the measured
 alternative (padding each short doc to its own row) collapses encoder MFU
