@@ -247,6 +247,7 @@ class BM25Retriever(BaseRetriever):
                 "k1": self.index.k1,
                 "b": self.index.b,
                 "epsilon": self.index.epsilon,
+                "backend": self.index.backend,
             },
             "documents": [
                 {"content": d.content, "metadata": d.metadata, "id": d.id}
@@ -266,6 +267,15 @@ class BM25Retriever(BaseRetriever):
         if payload.get("format") != "rag_arc_tpu.bm25.v1":
             raise ValueError(f"unrecognized BM25 snapshot format in {path}")
         params = payload["params"]
+        backend = params.get("backend", "auto")
+        if mesh is not None and backend == "hybrid":
+            # hybrid is single-chip; loading its snapshot onto a mesh
+            # downgrades to auto (scores are backend-equivalent)
+            logger.warning(
+                "BM25 snapshot was saved with the single-chip hybrid "
+                "backend; loading onto a mesh with backend='auto'"
+            )
+            backend = "auto"
         docs = [Document(**d) for d in payload["documents"]]
         return cls(
             documents=docs,
@@ -273,6 +283,8 @@ class BM25Retriever(BaseRetriever):
             k1=params["k1"],
             b=params["b"],
             epsilon=params["epsilon"],
+            # older v1 snapshots predate the backend field -> auto
+            backend=backend,
             preprocess_func=preprocess_func,
             mesh=mesh,
         )

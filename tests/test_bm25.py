@@ -181,6 +181,24 @@ class TestRetriever:
         np.testing.assert_allclose(r.get_scores(q), r2.get_scores(q), rtol=1e-6)
         assert [d.content for d in r2.invoke(q)] == [d.content for d in r.invoke(q)]
 
+    def test_persistence_keeps_backend(self, tmp_path):
+        """The backend choice survives the round-trip (a hybrid index must
+        not silently reload as host); legacy snapshots without the field
+        resolve to auto."""
+        r = BM25Retriever.from_texts(DOCS, k=3, backend="hybrid")
+        p = tmp_path / "bm25h.json"
+        r.save_to_disk(p)
+        r2 = BM25Retriever.load_from_disk(p)
+        assert r2.index.backend == "hybrid"
+        q = "quick fox"
+        np.testing.assert_allclose(r.get_scores(q), r2.get_scores(q), rtol=1e-6)
+        import json as _json
+
+        legacy = _json.loads(p.read_text(encoding="utf-8"))
+        del legacy["params"]["backend"]
+        p.write_text(_json.dumps(legacy), encoding="utf-8")
+        assert BM25Retriever.load_from_disk(p).index.backend == "auto"
+
     def test_load_rejects_bad_format(self, tmp_path):
         p = tmp_path / "bad.json"
         p.write_text('{"format": "other"}')
