@@ -240,6 +240,7 @@ class TPUVectorStore(VectorStore):
         docstore_path: Optional[str] = None,
         hnsw_pq_m: int = 0,
         hnsw_pq_refine: bool = False,
+        refine: Any = "default",
     ):
         if index_type == "auto":
             # Official auto-select policy (VERDICT r2 #4): FLAT. Measured
@@ -290,6 +291,10 @@ class TPUVectorStore(VectorStore):
         # hnsw_pq_refine keeps an SQ8 copy for exact candidate rescore
         # (FAISS IndexRefine parity) — guards the PQ recall cliff
         self.hnsw_pq_refine = bool(hnsw_pq_refine)
+        # int8 residual-refinement ladder (None | 'int4' | 'int8'):
+        # 'default' keeps DeviceFlatIndex's default ('int4', +50% HBM,
+        # recall 0.74→0.95 on near-tie corpora); None disables the sidecar
+        self.refine = refine
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
             self._create_index(self._dim)
@@ -325,12 +330,14 @@ class TPUVectorStore(VectorStore):
             return
         import jax.numpy as jnp
 
+        kw = {} if self.refine == "default" else {"refine": self.refine}
         self.index = DeviceFlatIndex(
             dim=dim,
             metric=self.metric,
             capacity=self._init_capacity,
             dtype=self._dtype or jnp.float32,
             mesh=self.mesh,
+            **kw,
         )
         self._dim = dim
 

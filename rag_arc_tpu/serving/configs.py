@@ -124,6 +124,8 @@ class DenseRetrieverConfig(AbstractConfig):
     docstore_path: Optional[str] = None  # disk-backed docstore (10M-doc path)
     dtype: Optional[str] = None  # float32 | bfloat16 | int8 (2x rows/chip)
     hnsw_pq_m: int = 0  # >0: product-quantized HNSW (m bytes/vector)
+    # int8 residual rescore sidecar: default (int4) | int8 | none
+    refine: Optional[str] = "default"
 
     def build(self, **_: Any):
         from rag_arc_tpu.index.vector_store import TPUVectorStore
@@ -153,6 +155,9 @@ class DenseRetrieverConfig(AbstractConfig):
                 docstore_path=self.docstore_path,
                 dtype=dtype,
                 hnsw_pq_m=self.hnsw_pq_m,
+                refine=(
+                    None if self.refine in (None, "none") else self.refine
+                ),
             )
         return store.as_retriever(
             search_type=self.search_type, search_kwargs={"k": self.k}
@@ -165,7 +170,8 @@ class BM25RetrieverConfig(AbstractConfig):
     k1: float = 1.5
     b: float = 0.75
     epsilon: float = 0.25
-    backend: str = "auto"  # auto | host (C++ CSR) | device (mesh kernel)
+    backend: str = "auto"  # auto | host (C++ CSR) | hybrid (head-dense/
+    # tail-sparse device, single chip) | device (mesh kernel)
     snapshot_path: Optional[str] = None
 
     def build(self, **_: Any):
