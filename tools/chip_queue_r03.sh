@@ -12,7 +12,12 @@ cd /root/repo
 mkdir -p /tmp/chipq
 
 probe_tunnel() {
-  timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1
+  # must see the REAL chip: a clean axon-init failure falls back to CPU,
+  # and CPU "bench" numbers would be garbage
+  timeout 60 python -c "
+import jax, sys
+sys.exit(0 if jax.default_backend() in ('tpu', 'axon') else 1)
+" >/dev/null 2>&1
 }
 
 echo "$(date +%H:%M:%S) waiting for tunnel..." | tee -a /tmp/chipq/queue.log
