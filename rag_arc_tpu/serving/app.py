@@ -125,16 +125,50 @@ def serve_forever(pipeline: RagPipeline, port: int) -> None:
 
 def main(argv: Optional[list[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="rag_arc_tpu serving frontend")
-    ap.add_argument("--config", required=True, help="PipelineConfig JSON path")
+    ap.add_argument("--config", help="PipelineConfig JSON path")
+    ap.add_argument(
+        "--store",
+        help="serve a tools/ingest.py snapshot directory directly "
+        "(default dense pipeline; embedding dims read from the manifest)",
+    )
+    ap.add_argument("--dim", type=int, default=None,
+                    help="embedding dim override for --store")
+    ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    registrator = Register()
-    pipeline = registrator.register(args.config, "pipeline", PipelineConfig)
-    if pipeline is None:
-        return 1
+    if bool(args.config) == bool(args.store):
+        ap.error("pass exactly one of --config or --store")
+    if args.store:
+        pipeline = _pipeline_from_store(args.store, args.dim, args.k)
+    else:
+        registrator = Register()
+        pipeline = registrator.register(args.config, "pipeline", PipelineConfig)
+        if pipeline is None:
+            return 1
     serve_forever(pipeline, args.port)
     return 0
+
+
+def _pipeline_from_store(path: str, dim: Optional[int], k: int):
+    """Default dense pipeline over an ingest snapshot: hash embeddings at
+    the snapshot's dim (ingest's default embedder), micro-batcher on."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from rag_arc_tpu.index.persistence import load_store
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+    from rag_arc_tpu.serving.pipeline import RagPipeline
+
+    if dim is None:
+        manifest = _json.loads(
+            (_Path(path) / "manifest.json").read_text(encoding="utf-8")
+        )
+        dim = int(manifest["dim"])
+    store = load_store(path, HashEmbeddings(dim=dim))
+    return RagPipeline(
+        retriever=store.as_retriever(search_kwargs={"k": k}), top_k=k
+    )
 
 
 if __name__ == "__main__":
