@@ -414,6 +414,43 @@ class TestFullStack:
             srv.shutdown()
 
 
+class TestIngestServe:
+    def test_ingest_cli_to_store_serving(self, tmp_path):
+        """tools/ingest.py output serves via --store's pipeline builder:
+        the two-command README flow, end to end over a real socket."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        import ingest
+
+        from rag_arc_tpu.serving.app import _pipeline_from_store
+
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        (docs / "a.md").write_text(
+            "# Alpha\nAlpha covers installation.\n\n## Beta\nBeta is tuning."
+        )
+        (docs / "b.html").write_text(
+            "<html><body><p>Gamma explains deployment.</p></body></html>"
+        )
+        out = tmp_path / "index"
+        assert ingest.main([str(docs), "--out", str(out), "--dim", "32"]) == 0
+
+        pipeline = _pipeline_from_store(str(out), None, 2)
+        srv = make_server(pipeline, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_port}/query",
+                data=json.dumps({"query": "gamma deployment"}).encode(),
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                got = json.loads(resp.read())["documents"]
+            assert got and "amma" in got[0]["content"]
+        finally:
+            srv.shutdown()
+
+
 class TestGraphConfigs:
     def test_registry_builds_graphrag(self, tmp_path):
         import json as _json
