@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -41,7 +42,41 @@ ORACLE_QUERIES = 128
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
+def _wait_for_backend() -> None:
+    """Fail fast (bounded retry) instead of hanging when the TPU tunnel is dead.
+
+    On this box the axon tunnel occasionally drops; when it does, the first
+    backend init (``jax.devices()``) hangs indefinitely with zero CPU — which
+    would turn a bench run into a silent multi-hour stall. Probe backend init
+    in a subprocess (the hang is unkillable in-process), retry for a bounded
+    window to absorb transient blips, then exit non-zero with a clear message.
+    """
+    deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT_S", 900))
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                "# bench: JAX backend init hung/failed past BENCH_TUNNEL_WAIT_S"
+                " — TPU tunnel down? Aborting instead of hanging.",
+                file=sys.stderr,
+                flush=True,
+            )
+            sys.exit(2)
+        print("# bench: backend not up yet, retrying...", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
