@@ -151,8 +151,16 @@ def main(argv: Optional[list[str]] = None) -> int:
 
 
 def _pipeline_from_store(path: str, dim: Optional[int], k: int):
-    """Default dense pipeline over an ingest snapshot: hash embeddings at
-    the snapshot's dim (ingest's default embedder), micro-batcher on."""
+    """Default pipeline over an ingest snapshot: hash embeddings at the
+    snapshot's dim (ingest's default embedder), micro-batcher on.
+
+    Accepts either a dense snapshot directory itself or an ingest output
+    directory (tools/ingest.py writes the dense snapshot under
+    ``out/dense`` plus an optional ``out/bm25.json`` twin). When the BM25
+    twin exists the pipeline serves hybrid retrieval: dense + BM25 fanned
+    out by MultiPath with RRF fusion — the reference's two-command flow
+    ends at a hybrid service, not a dense-only one.
+    """
     import json as _json
     from pathlib import Path as _Path
 
@@ -160,15 +168,30 @@ def _pipeline_from_store(path: str, dim: Optional[int], k: int):
     from rag_arc_tpu.models.embeddings import HashEmbeddings
     from rag_arc_tpu.serving.pipeline import RagPipeline
 
+    root = _Path(path)
+    dense = root if (root / "manifest.json").exists() else root / "dense"
+    if not (dense / "manifest.json").exists():
+        raise FileNotFoundError(
+            f"no snapshot manifest under {root} (or {root}/dense) — "
+            "point --store at a tools/ingest.py output directory"
+        )
     if dim is None:
         manifest = _json.loads(
-            (_Path(path) / "manifest.json").read_text(encoding="utf-8")
+            (dense / "manifest.json").read_text(encoding="utf-8")
         )
         dim = int(manifest["dim"])
-    store = load_store(path, HashEmbeddings(dim=dim))
-    return RagPipeline(
-        retriever=store.as_retriever(search_kwargs={"k": k}), top_k=k
-    )
+    store = load_store(str(dense), HashEmbeddings(dim=dim))
+    retriever = store.as_retriever(search_kwargs={"k": k})
+
+    bm25_path = root / "bm25.json"
+    if bm25_path.exists():
+        from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+        from rag_arc_tpu.retrieval.multipath import MultiPathRetriever
+
+        sparse = BM25Retriever.load_from_disk(bm25_path)
+        retriever = MultiPathRetriever([retriever, sparse], top_k=k)
+        logger.info("serving hybrid: dense(%s) + bm25(%s)", dense, bm25_path)
+    return RagPipeline(retriever=retriever, top_k=k)
 
 
 if __name__ == "__main__":

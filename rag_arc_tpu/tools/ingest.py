@@ -73,6 +73,9 @@ def ingest(
     bm25: bool = False,
     vlm_url: Optional[str] = None,
     blob_docstore: bool = False,
+    dtype: Optional[str] = None,
+    metric: str = "cosine",
+    batch: int = 256,
 ) -> dict:
     t0 = time.time()
     embeddings = build_embedder(embedder, dim)
@@ -93,11 +96,22 @@ def ingest(
         documents.extend(pieces)
     if not documents:
         raise ValueError(f"nothing ingestible under {input_path}")
+    logger.info("parsed %d files -> %d chunks", len(parsed), len(documents))
 
+    if dtype is not None:
+        import jax.numpy as jnp
+
+        dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[str(dtype)]
     output_dir = Path(output_dir)
     store = TPUVectorStore(
         embedding=embeddings,
         index_type=index_type,
+        metric=metric,
+        dtype=dtype,
         capacity=max(len(documents), 1024),
         # disk-backed content for big corpora: write the blob straight
         # into the snapshot so save_store is a no-op copy
@@ -105,7 +119,12 @@ def ingest(
         if blob_docstore
         else None,
     )
-    store.add_documents(documents)
+    # batched adds: bounds peak embed memory and gives progress on big runs
+    for start in range(0, len(documents), batch):
+        store.add_documents(documents[start : start + batch])
+        done = min(start + batch, len(documents))
+        if done == len(documents) or done % (batch * 8) == 0:
+            logger.info("indexed %d/%d", done, len(documents))
     save_store(store, output_dir / "dense")
     out = {
         "files": len(parsed),
@@ -125,21 +144,28 @@ def ingest(
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="parse, chunk, embed, and index a corpus")
     ap.add_argument("input", help="file or directory")
-    ap.add_argument("-o", "--output", required=True, help="snapshot directory")
+    ap.add_argument("-o", "--output", "--out", required=True, help="snapshot directory")
     ap.add_argument(
         "--chunker",
         default="recursive",
         choices=["recursive", "markdown", "token", "semantic"],
     )
     ap.add_argument("--chunk-size", type=int, default=800)
-    ap.add_argument("--overlap", type=int, default=80)
-    ap.add_argument("--embedder", default="hash", choices=["hash", "flax"])
+    ap.add_argument("--overlap", "--chunk-overlap", type=int, default=80)
+    ap.add_argument("--embedder", "--embeddings", default="hash",
+                    choices=["hash", "flax"])
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--index-type", default="flat", choices=["flat", "ivf", "hnsw"])
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16", "int8"],
+                    help="index storage dtype (default: the store's default)")
+    ap.add_argument("--metric", default="cosine", choices=["cosine", "l2", "ip"])
+    ap.add_argument("--batch", type=int, default=256, help="embed/add batch size")
     ap.add_argument("--bm25", action="store_true", help="also build a BM25 snapshot")
     ap.add_argument("--vlm-url", default=None, help="VLM endpoint for PDF/image OCR")
     ap.add_argument(
         "--blob-docstore",
+        "--docstore-blob",
         action="store_true",
         help="keep document content on disk (mmap) — the 10M-doc path",
     )
@@ -157,6 +183,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         bm25=args.bm25,
         vlm_url=args.vlm_url,
         blob_docstore=args.blob_docstore,
+        dtype=args.dtype,
+        metric=args.metric,
+        batch=args.batch,
     )
     for key, value in stats.items():
         print(f"{key}: {value}")

@@ -450,6 +450,28 @@ class TestIngestServe:
         finally:
             srv.shutdown()
 
+    def test_ingest_bm25_twin_serves_hybrid(self, tmp_path):
+        """--bm25 at ingest time upgrades --store serving to hybrid
+        (dense + BM25 under MultiPath RRF) with no extra config."""
+        from rag_arc_tpu.retrieval.multipath import MultiPathRetriever
+        from rag_arc_tpu.serving.app import _pipeline_from_store
+        from rag_arc_tpu.tools.ingest import main as ingest_main
+
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        (docs / "a.md").write_text("zephyr is a rare keyword for sparse hits")
+        (docs / "b.md").write_text("other content about installation steps")
+        out = tmp_path / "index"
+        rc = ingest_main(
+            [str(docs), "--out", str(out), "--dim", "32", "--bm25"]
+        )
+        assert rc == 0 and (out / "bm25.json").exists()
+
+        pipeline = _pipeline_from_store(str(out), None, 2)
+        assert isinstance(pipeline.retriever, MultiPathRetriever)
+        hits = pipeline.query("zephyr keyword", k=1)
+        assert hits and "zephyr" in hits[0].content
+
 
 class TestGraphConfigs:
     def test_registry_builds_graphrag(self, tmp_path):
