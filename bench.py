@@ -52,10 +52,19 @@ def _wait_for_backend() -> None:
     window to absorb transient blips, then exit non-zero with a clear message.
     """
     deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT_S", 900))
+    # a clean axon-init failure falls back to CPU and jax.devices() still
+    # succeeds — but CPU "bench" numbers are garbage. Require a real
+    # accelerator backend (BENCH_ALLOW_CPU=1 opts into smoke-testing).
+    probe = (
+        "import jax, sys; "
+        "sys.exit(0 if jax.default_backend() in ('tpu', 'axon') else 3)"
+    )
+    if os.environ.get("BENCH_ALLOW_CPU") == "1":
+        probe = "import jax; jax.devices()"
     while True:
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe],
                 timeout=120,
                 capture_output=True,
             )

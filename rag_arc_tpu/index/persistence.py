@@ -64,6 +64,9 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         "nprobe": store.nprobe,
         "train_threshold": store.train_threshold,
         "index_kind": None if index is None else index.stats()["kind"],
+        # which query embedder produced these rows — load-time serving
+        # rebuilds an equivalent one (or refuses) instead of guessing
+        "embedding": store.embedding.describe(),
     }
     if isinstance(index, DeviceFlatIndex):
         if getattr(index, "quantized", False):

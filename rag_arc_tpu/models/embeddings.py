@@ -45,6 +45,18 @@ class Embeddings(ABC):
     def encode(self, texts: List[str]) -> np.ndarray:
         return np.asarray(self.embed_documents(texts), dtype=np.float32)
 
+    def describe(self) -> dict:
+        """Snapshot-manifest spec: enough to rebuild an EQUIVALENT query
+        embedder at load time, or to refuse when that is impossible.
+        ``reproducible=False`` means a fresh instance will NOT produce the
+        same vectors (e.g. externally-loaded weights) — serving must then
+        be configured explicitly instead of guessing."""
+        return {
+            "kind": type(self).__name__,
+            "dim": getattr(self, "dim", None),
+            "reproducible": False,
+        }
+
     async def aembed_documents(self, texts: List[str]) -> List[List[float]]:
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(
@@ -81,6 +93,10 @@ class HashEmbeddings(Embeddings):
             raise ValueError("dim must be positive")
         self.dim = dim
         self._cache: Dict[str, np.ndarray] = {}
+
+    def describe(self) -> dict:
+        # content-hash seeded: any instance at the same dim is identical
+        return {"kind": "hash", "dim": self.dim, "reproducible": True}
 
     def _token_vector(self, token: str) -> np.ndarray:
         vec = self._cache.get(token)

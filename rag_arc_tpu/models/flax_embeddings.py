@@ -52,6 +52,10 @@ class FlaxEncoderEmbeddings(Embeddings):
     ):
         self.cfg = cfg or TransformerConfig()
         self.model = TextEncoder(self.cfg)
+        # reproducible iff a fresh instance re-derives identical vectors:
+        # default-seeded params + default (hash) tokenizer
+        self._reproducible = params is None and tokenizer is None
+        self._seed = seed
         if params is None:
             _, params = init_encoder(self.cfg, seed=seed)
         self.params = params
@@ -79,6 +83,26 @@ class FlaxEncoderEmbeddings(Embeddings):
         else:
             self._forward = jax.jit(self.model.apply)
             self._packed_forward = jax.jit(self.packed_model.apply)
+
+    def describe(self) -> dict:
+        c = self.cfg
+        return {
+            "kind": "flax",
+            "dim": self.dim,
+            "seed": self._seed,
+            "reproducible": self._reproducible,
+            # full architecture: a rebuild from dim alone would silently
+            # mismatch a custom-depth/heads encoder
+            "cfg": {
+                "vocab_size": c.vocab_size,
+                "dim": c.dim,
+                "depth": c.depth,
+                "heads": c.heads,
+                "mlp_ratio": c.mlp_ratio,
+                "max_len": c.max_len,
+                "causal": c.causal,
+            },
+        }
 
     def _bucket_len(self, n: int) -> int:
         for b in LENGTH_BUCKETS:

@@ -175,12 +175,37 @@ def _pipeline_from_store(path: str, dim: Optional[int], k: int):
             f"no snapshot manifest under {root} (or {root}/dense) — "
             "point --store at a tools/ingest.py output directory"
         )
+    manifest = _json.loads(
+        (dense / "manifest.json").read_text(encoding="utf-8")
+    )
     if dim is None:
-        manifest = _json.loads(
-            (dense / "manifest.json").read_text(encoding="utf-8")
-        )
         dim = int(manifest["dim"])
-    store = load_store(str(dense), HashEmbeddings(dim=dim))
+    spec = manifest.get("embedding")
+    if spec is None:
+        # pre-spec snapshot: the historical behavior (ingest's default)
+        logger.warning(
+            "snapshot has no embedding spec; assuming hash embeddings at "
+            "dim %d — pass --config if the corpus was embedded differently",
+            dim,
+        )
+        embedder = HashEmbeddings(dim=dim)
+    elif spec.get("kind") == "hash":
+        embedder = HashEmbeddings(dim=int(spec.get("dim") or dim))
+    elif spec.get("kind") == "flax" and spec.get("reproducible"):
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+
+        embedder = FlaxEncoderEmbeddings(
+            cfg=TransformerConfig(**spec["cfg"]), seed=int(spec.get("seed", 0))
+        )
+    else:
+        raise ValueError(
+            f"snapshot was embedded with {spec.get('kind')!r} embeddings "
+            "that cannot be rebuilt from the manifest (custom weights or "
+            "tokenizer) — serve it through --config with the matching "
+            "embedder instead of --store"
+        )
+    store = load_store(str(dense), embedder)
     retriever = store.as_retriever(search_kwargs={"k": k})
 
     bm25_path = root / "bm25.json"

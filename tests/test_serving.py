@@ -418,10 +418,15 @@ class TestIngestServe:
     def test_ingest_cli_to_store_serving(self, tmp_path):
         """tools/ingest.py output serves via --store's pipeline builder:
         the two-command README flow, end to end over a real socket."""
-        import sys
+        import importlib.util
+        from pathlib import Path
 
-        sys.path.insert(0, "tools")
-        import ingest
+        spec = importlib.util.spec_from_file_location(
+            "rag_arc_tpu_test_root_ingest",
+            Path(__file__).parents[1] / "tools" / "ingest.py",
+        )
+        ingest = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ingest)
 
         from rag_arc_tpu.serving.app import _pipeline_from_store
 
@@ -471,6 +476,51 @@ class TestIngestServe:
         assert isinstance(pipeline.retriever, MultiPathRetriever)
         hits = pipeline.query("zephyr keyword", k=1)
         assert hits and "zephyr" in hits[0].content
+
+    def test_store_rebuilds_flax_embedder_from_manifest(self, tmp_path):
+        """A flax-embedded snapshot must be served with an IDENTICAL
+        query embedder (same cfg + seed), not silently with hash
+        embeddings — scores would be random otherwise."""
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+        from rag_arc_tpu.index.persistence import save_store
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.serving.app import _pipeline_from_store
+
+        emb = FlaxEncoderEmbeddings(cfg=TransformerConfig.tiny())
+        store = TPUVectorStore.from_texts(
+            ["alpha installation", "beta tuning", "gamma deployment"], emb
+        )
+        save_store(store, tmp_path / "snap")
+        pipeline = _pipeline_from_store(str(tmp_path / "snap"), None, 1)
+        served = pipeline.retriever.vectorstore.embedding
+        assert isinstance(served, FlaxEncoderEmbeddings)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            served.encode(["gamma deployment"]),
+            emb.encode(["gamma deployment"]),
+            atol=1e-5,
+        )
+
+    def test_store_refuses_irreproducible_embedder(self, tmp_path):
+        """Custom-weight embedders can't be rebuilt from a manifest;
+        --store must refuse loudly instead of serving garbage scores."""
+        import pytest
+
+        from rag_arc_tpu.models.encoder import TransformerConfig, init_encoder
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+        from rag_arc_tpu.index.persistence import save_store
+        from rag_arc_tpu.index.vector_store import TPUVectorStore
+        from rag_arc_tpu.serving.app import _pipeline_from_store
+
+        cfg = TransformerConfig.tiny()
+        _, params = init_encoder(cfg, seed=7)
+        emb = FlaxEncoderEmbeddings(cfg=cfg, params=params)  # explicit weights
+        store = TPUVectorStore.from_texts(["alpha", "beta"], emb)
+        save_store(store, tmp_path / "snap")
+        with pytest.raises(ValueError, match="cannot be rebuilt"):
+            _pipeline_from_store(str(tmp_path / "snap"), None, 1)
 
 
 class TestGraphConfigs:
