@@ -487,34 +487,10 @@ class DeviceFlatIndex:
         keep the grid path."""
         if self.mesh is not None:
             return False
-        if self.metric not in ("cosine", "ip"):
+        if not self._force_stream and 4 * b * self.capacity <= self.SCORE_BYTES_BUDGET:
+            # small enough for the direct score matrix — stream not worth it
             return False
-        if self.quantized and self.dim > 1040:
-            # the int8 certificate needs raw int32 dots to convert to f32
-            # exactly: |dot| <= dim * 127^2 must stay under 2^24
-            return False
-        if self._force_stream:
-            return True
-        if jax.default_backend() not in ("tpu", "axon"):
-            return False
-        # Mosaic rejects the stream kernel below 128 query lanes (B is the
-        # minor axis of the staging buffer / output DMA): b=96 fails
-        # compile, b=128 works. Serving buckets below 128 use the grid path
-        if b < 128 or b % 128 != 0:
-            return False
-        if 4 * b * self.capacity <= self.SCORE_BYTES_BUDGET:
-            return False
-        tile_n = min(self._tile_n(), 2048)
-        item = jnp.dtype(self.dtype).itemsize
-        vmem = (
-            2 * tile_n * self.dim * item   # double-buffered corpus tiles
-            + tile_n * b * 4               # (tile_n, B) score slab
-            + 2 * (tile_n // self.SUBTILE_G) * b * 4  # staging buffers
-            + b * self.dim * item          # resident query block
-        )
-        # 14 MB: g=16/tile=2048/B=512/d=768 bf16 sums to ~13.1 MB and
-        # compiles + runs on v5e (probe-verified); ~2 MB headroom remains
-        return vmem <= (14 << 20) and b <= 512
+        return self._stream_constraints_ok(b, min(self._tile_n(), 2048))
 
     def _stream_ok_local(self, b_local: int, tile: int) -> bool:
         """Per-shard variant of ``_stream_eligible`` for shard_map bodies:
@@ -524,6 +500,20 @@ class DeviceFlatIndex:
         stream inside shard_map runs at +0.1% vs the direct path, while
         the masked grid kernel in shard_map was 10x slower — so the mesh
         path prefers the stream whenever it can compile."""
+        return self._stream_constraints_ok(b_local, tile)
+
+    def _stream_constraints_ok(self, b: int, tile: int) -> bool:
+        """The ONE Mosaic/VMEM eligibility model for the stream kernel —
+        shared by the direct gate and the per-shard mesh gate so the
+        probe-measured constants can never drift apart. Constraints:
+        cosine/ip only (dead rows must score 0 for the certificate);
+        int8 needs dim ≤ 1040 (raw int32 dots must convert to f32
+        exactly: |dot| ≤ dim·127² < 2²⁴); Mosaic rejects B below/not a
+        multiple of 128 query lanes (b=96 fails compile, b=128 works)
+        and B=512 is the largest probe-verified batch; the 4-term VMEM
+        sum must fit 14 MB (g=16/tile=2048/B=512/d=768 bf16 ≈ 13.1 MB
+        compiles + runs on v5e, ~2 MB headroom). ``_force_stream`` (test
+        hook) skips the backend/batch-shape gates but keeps the rest."""
         if self.metric not in ("cosine", "ip"):
             return False
         if self.quantized and self.dim > 1040:
@@ -531,14 +521,14 @@ class DeviceFlatIndex:
         if not self._force_stream:
             if jax.default_backend() not in ("tpu", "axon"):
                 return False
-            if b_local < 128 or b_local % 128 != 0 or b_local > 512:
+            if b < 128 or b % 128 != 0 or b > 512:
                 return False
         item = jnp.dtype(self.dtype).itemsize
         vmem = (
-            2 * tile * self.dim * item
-            + tile * b_local * 4
-            + 2 * (tile // self.SUBTILE_G) * b_local * 4
-            + b_local * self.dim * item
+            2 * tile * self.dim * item     # double-buffered corpus tiles
+            + tile * b * 4                 # (tile, B) score slab
+            + 2 * (tile // self.SUBTILE_G) * b * 4  # staging buffers
+            + b * self.dim * item          # resident query block
         )
         return vmem <= (14 << 20)
 

@@ -306,6 +306,19 @@ class TPUVectorStore(VectorStore):
         'hnsw' uses the native C++ host index (graph ANN doesn't map to
         the TPU's vector units — same placement the reference had via
         FAISS C++)."""
+        # the residual-refine ladder exists only on the int8 flat device
+        # index; an explicitly-requested refine that can't apply must warn
+        # (a recall knob silently no-opping is worse than an error)
+        refine_requested = self.refine not in ("default", None)
+        if refine_requested:
+            is_int8 = self._dtype is not None and np.dtype(self._dtype) == np.int8
+            if self.index_type != "flat" or not is_int8:
+                logger.warning(
+                    "refine=%r has no effect on index_type=%r dtype=%r — the "
+                    "residual ladder needs index_type='flat' and dtype=int8 "
+                    "(hnsw recall guard is hnsw_pq_refine)",
+                    self.refine, self.index_type, self._dtype,
+                )
         if self.index_type == "hnsw":
             import numpy as _np
 

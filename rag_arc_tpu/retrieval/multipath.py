@@ -17,6 +17,7 @@ dense+BM25 configuration costs two XLA dispatches total rather than
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Any, List, Optional, Sequence
 
 from rag_arc_tpu.retrieval.base import BaseRetriever
@@ -43,19 +44,28 @@ class MultiPathRetriever(BaseRetriever):
         self.top_k = top_k
         self.top_k_per_retriever = top_k_per_retriever
         self._pool = None
+        self._pool_lock = threading.Lock()
 
     def _path_pool(self):
-        """Lazy per-instance fan-out pool, resized if paths are added."""
+        """Lazy per-instance fan-out pool, grown if paths are added.
+
+        Thread-safety contract (serving handles concurrent requests): the
+        lock makes create/grow atomic, and an outgrown pool is NEVER shut
+        down — a concurrent invoke may already hold it, and shutdown()
+        would fail its map() with "cannot schedule new futures". Dropping
+        the reference is enough: executor workers hold only a weakref to
+        their executor, so GC of the old pool wakes and exits its idle
+        threads (no leak), while in-flight work completes normally.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         n = max(2, len(self.retrievers))
-        if self._pool is None or self._pool._max_workers < n:
-            if self._pool is not None:
-                self._pool.shutdown(wait=False)
-            self._pool = ThreadPoolExecutor(
-                max_workers=n, thread_name_prefix="multipath"
-            )
-        return self._pool
+        with self._pool_lock:
+            if self._pool is None or self._pool._max_workers < n:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="multipath"
+                )
+            return self._pool
 
     # -- management -------------------------------------------------------
 

@@ -86,3 +86,19 @@ def test_concurrent_paths_reuse_pool(hybrid):
     hybrid.add_retriever(FailingRetriever(name="extra2"))
     assert hybrid.invoke("cat")  # pool resized, still answers
     assert hybrid._pool._max_workers >= 3
+
+
+def test_outgrown_pool_stays_usable(hybrid):
+    """A request that grabbed the pool just before add_retriever grew it
+    must still be able to schedule work: growth REPLACES the pool
+    reference, it never shuts the old one down (a shut-down executor
+    raises 'cannot schedule new futures' on the in-flight request)."""
+    hybrid.invoke("cat")
+    old_pool = hybrid._path_pool()
+    for i in range(4):
+        hybrid.add_retriever(FailingRetriever(name=f"extra{i}"))
+    new_pool = hybrid._path_pool()
+    assert new_pool is not old_pool
+    # the concurrent request that still holds old_pool can submit work
+    assert list(old_pool.map(lambda x: x + 1, [1, 2])) == [2, 3]
+    assert hybrid.invoke("cat")

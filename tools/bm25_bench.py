@@ -85,8 +85,14 @@ def main() -> None:
     t0 = time.time()
     if args.csr:
         # disk cache: 10M-doc synthesis costs minutes of single-core sort;
-        # reuse across runs (seed-stable)
-        cache = REPO / ".jax_cache" / f"bm25_csr_{args.n}.npz"
+        # reuse across runs. The key carries EVERY synthesis parameter
+        # (n, vocab, mean_len, seed) so a changed generator can never
+        # silently serve a stale corpus to a published bench.
+        cache = REPO / ".jax_cache" / f"bm25_csr_{args.n}_v50000_l60_s0.npz"
+        legacy = REPO / ".jax_cache" / f"bm25_csr_{args.n}.npz"
+        if not cache.exists() and legacy.exists():
+            # pre-key-change artifact, synthesized with exactly these params
+            legacy.rename(cache)
         if cache.exists():
             z = np.load(cache)
             csr = (z["off"], z["tid"], z["cnt"], z["lens"])

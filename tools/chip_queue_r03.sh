@@ -28,9 +28,19 @@ done
 echo "$(date +%H:%M:%S) tunnel UP - starting queue" | tee -a /tmp/chipq/queue.log
 
 echo "$(date +%H:%M:%S) step 1: bench3 -> BENCH_r03.json" >> /tmp/chipq/queue.log
+# stash any pre-existing result: the step-4 gate must read THIS session's
+# throughput, not a stale file from a failed/old run
+[ -f BENCH_r03.json ] && mv BENCH_r03.json /tmp/chipq/BENCH_r03.prev.json
 timeout 3600 python tools/bench3.py --runs 3 --out BENCH_r03.json \
   > /tmp/chipq/bench3.log 2>&1
-echo "$(date +%H:%M:%S) step 1 rc=$?" >> /tmp/chipq/queue.log
+S1RC=$?
+echo "$(date +%H:%M:%S) step 1 rc=$S1RC" >> /tmp/chipq/queue.log
+# a failed step 1 leaves no fresh BENCH_r03.json; restore the previous one
+# so the repo keeps its last good measurement (gate below reads 0 -> skip)
+if [ ! -f BENCH_r03.json ] && [ -f /tmp/chipq/BENCH_r03.prev.json ]; then
+  mv /tmp/chipq/BENCH_r03.prev.json BENCH_r03.json
+  touch /tmp/chipq/step1_failed
+fi
 
 echo "$(date +%H:%M:%S) step 2: bm25 hybrid probe 1M" >> /tmp/chipq/queue.log
 timeout 1800 python tools/bm25_hybrid_probe.py \
@@ -50,6 +60,7 @@ p = pathlib.Path("BENCH_r03.json")
 print(json.loads(p.read_text())["value"] if p.exists() else 0)
 EOF
 )
+[ -f /tmp/chipq/step1_failed ] && QPS=0   # never gate on a restored stale file
 FAST=$(python -c "print(1 if float('$QPS' or 0) > 30000 else 0)")
 echo "$(date +%H:%M:%S) step 4 gate: r03 qps=$QPS fast=$FAST" >> /tmp/chipq/queue.log
 if [ "$FAST" = "1" ]; then
