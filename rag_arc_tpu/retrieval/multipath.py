@@ -67,6 +67,51 @@ class MultiPathRetriever(BaseRetriever):
                 )
             return self._pool
 
+    # -- mutation ---------------------------------------------------------
+
+    def add_documents(self, documents: Sequence[Document], **kwargs: Any) -> List[str]:
+        """Fan a corpus mutation out to every path that supports it.
+
+        The reference's multipath has no mutation surface, but a hybrid
+        serving deployment (dense + BM25 behind one endpoint) needs /add
+        and /delete to hit ALL paths. Ids are assigned up front so every
+        path stores the SAME id — each leaf would otherwise mint its own
+        and a later delete would only reach one index. Paths without
+        add_documents are skipped with a warning (a read-only path in the
+        fan-out should not reject writes for the others).
+        """
+        import uuid
+
+        docs = list(documents)
+        for doc in docs:
+            if not doc.id:
+                doc.id = uuid.uuid4().hex
+        ids = [doc.id for doc in docs]
+        supported = 0
+        for retriever in self.retrievers:
+            add = getattr(retriever, "add_documents", None)
+            if add is None:
+                logger.warning(
+                    "path %r does not support add_documents; skipping",
+                    retriever.name,
+                )
+                continue
+            add(docs, **kwargs)
+            supported += 1
+        if not supported:
+            raise TypeError("no retrieval path supports add_documents")
+        return ids
+
+    def delete(self, ids: Sequence[str]) -> bool:
+        """Delete ids from every path that supports deletes; True if any
+        path deleted anything."""
+        deleted = False
+        for retriever in self.retrievers:
+            delete = getattr(retriever, "delete", None)
+            if delete is not None:
+                deleted = bool(delete(ids)) or deleted
+        return deleted
+
     # -- management -------------------------------------------------------
 
     def add_retriever(self, retriever: BaseRetriever) -> None:

@@ -88,6 +88,44 @@ def test_concurrent_paths_reuse_pool(hybrid):
     assert hybrid._pool._max_workers >= 3
 
 
+def test_mutation_fans_out_to_all_paths():
+    """add_documents assigns ONE id per doc and writes it to every path,
+    so a later delete reaches both indexes (ids minted per-path would
+    strand the copies)."""
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+    from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+    from rag_arc_tpu.utils.data_model import Document
+
+    texts = [f"filler document {i}" for i in range(20)]
+    dense = TPUVectorStore.from_texts(texts, HashEmbeddings(dim=32)).as_retriever(
+        search_kwargs={"k": 3}
+    )
+    sparse = BM25Retriever.from_texts(texts)
+    mp = MultiPathRetriever([dense, sparse], top_k=3)
+
+    ids = mp.add_documents([Document(content="zanzibar spice markets")])
+    assert len(ids) == 1 and ids[0]
+    # both paths can now retrieve it
+    assert any("zanzibar" in d.content for d in dense.invoke("zanzibar spice"))
+    assert any("zanzibar" in d.content for d in sparse.invoke("zanzibar spice"))
+    assert any("zanzibar" in d.content for d in mp.invoke("zanzibar spice"))
+
+    assert mp.delete(ids) is True
+    assert not any("zanzibar" in d.content for d in mp.invoke("zanzibar spice"))
+
+
+def test_add_requires_a_supporting_path(hybrid):
+    """All-read-only fan-outs must raise, not silently drop writes."""
+    import pytest
+
+    from rag_arc_tpu.utils.data_model import Document
+
+    mp = MultiPathRetriever([FailingRetriever(name="ro")], top_k=2)
+    with pytest.raises(TypeError, match="add_documents"):
+        mp.add_documents([Document(content="x")])
+
+
 def test_outgrown_pool_stays_usable(hybrid):
     """A request that grabbed the pool just before add_retriever grew it
     must still be able to schedule work: growth REPLACES the pool
