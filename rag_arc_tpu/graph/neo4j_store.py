@@ -43,10 +43,12 @@ _CONSTRAINTS = [
     "CREATE CONSTRAINT entity_key IF NOT EXISTS FOR (n:Entity) REQUIRE n.key IS UNIQUE",
 ]
 
+# dim is interpolated, not a $parameter: Neo4j rejects query parameters in
+# schema commands (CREATE INDEX/CONSTRAINT); dim is int()-coerced upstream
 _VECTOR_INDEX = (
     "CREATE VECTOR INDEX {name} IF NOT EXISTS FOR (n:{label}) "
     "ON n.embedding OPTIONS {{indexConfig: {{"
-    "`vector.dimensions`: $dim, `vector.similarity_function`: 'cosine'}}}}"
+    "`vector.dimensions`: {dim}, `vector.similarity_function`: 'cosine'}}}}"
 )
 
 
@@ -138,8 +140,9 @@ class Neo4jGraphStore(ArrayGraphStore):
         if dim:
             for kind, label in _LABELS.items():
                 self._run(
-                    _VECTOR_INDEX.format(name=f"{kind}_embedding", label=label),
-                    dim=dim,
+                    _VECTOR_INDEX.format(
+                        name=f"{kind}_embedding", label=label, dim=dim
+                    )
                 )
 
     # -- buffered mirrored mutations -----------------------------------------
@@ -176,23 +179,43 @@ class Neo4jGraphStore(ArrayGraphStore):
 
     def flush(self) -> None:
         """Write buffered mutations: one ``UNWIND`` statement per label /
-        edge type (nodes first — edges MATCH their endpoints)."""
+        edge type (nodes first — edges MATCH their endpoints).
+
+        Failure-safe: anything not yet written goes BACK into the buffers
+        before the exception propagates — a transient outage past the
+        retry budget must not silently drop mirror rows (the array store
+        keeps them, and a dropped batch would diverge the two forever).
+        """
         node_buf, self._node_buf = self._node_buf, {}
         edge_buf, self._edge_buf = self._edge_buf, {}
         self._pending = 0
-        for label, rows in node_buf.items():
-            self._run(
-                f"UNWIND $rows AS row MERGE (n:{label} {{key: row.key}}) "
-                "SET n.content = row.content, n += row.props",
-                rows=rows,
-            )
-        for edge_type, rows in edge_buf.items():
-            self._run(
-                "UNWIND $rows AS row "
-                "MATCH (a {key: row.src}), (b {key: row.dst}) "
-                f"MERGE (a)-[r:{edge_type}]->(b) SET r += row.props",
-                rows=rows,
-            )
+        try:
+            while node_buf:
+                label, rows = next(iter(node_buf.items()))
+                self._run(
+                    f"UNWIND $rows AS row MERGE (n:{label} {{key: row.key}}) "
+                    "SET n.content = row.content, n += row.props",
+                    rows=rows,
+                )
+                del node_buf[label]
+            while edge_buf:
+                edge_type, rows = next(iter(edge_buf.items()))
+                self._run(
+                    "UNWIND $rows AS row "
+                    "MATCH (a {key: row.src}), (b {key: row.dst}) "
+                    f"MERGE (a)-[r:{edge_type}]->(b) SET r += row.props",
+                    rows=rows,
+                )
+                del edge_buf[edge_type]
+        except Exception:
+            # re-queue the unwritten remainder AHEAD of rows buffered since
+            for label, rows in node_buf.items():
+                self._node_buf.setdefault(label, [])[:0] = rows
+                self._pending += len(rows)
+            for edge_type, rows in edge_buf.items():
+                self._edge_buf.setdefault(edge_type, [])[:0] = rows
+                self._pending += len(rows)
+            raise
 
     def store_hyperrag_graph(self, *args: Any, **kwargs: Any):
         stats = super().store_hyperrag_graph(*args, **kwargs)

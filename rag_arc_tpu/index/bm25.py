@@ -194,7 +194,10 @@ class DeviceBM25Index:
             doc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             df.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self.n_docs,
-            len(self.vocab),
+            # id-space size, NOT len(vocab): build_from_csr accepts partial
+            # vocab dicts; a too-small size is an out-of-bounds write in
+            # the C++ postings build (observed segfault)
+            len(df),
             self.k1,
             self.b,
             self.epsilon,
@@ -211,7 +214,9 @@ class DeviceBM25Index:
         """Head-dense / tail-sparse structures from the CSR arrays."""
         from rag_arc_tpu.ops.bm25 import compute_idf
 
-        n, v = self.n_docs, len(self.vocab)
+        # size the id space from df, not len(vocab): build_from_csr accepts
+        # sparse/partial vocab dicts whose max id exceeds the entry count
+        n, v = self.n_docs, len(df)
         idf = compute_idf(df.astype(np.float64), n, self.epsilon)
         counts = np.diff(row_offsets)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -274,6 +279,10 @@ class DeviceBM25Index:
         self._tail_w_dev = jnp.asarray(
             np.concatenate([self._tail_w, np.zeros(pad, np.float32)])
         )
+        # query time reads only _tail_off + the device copies; the host
+        # postings would double host RAM for exactly the 10M-scale builds
+        # this backend exists for (~4.8 GB at 600M postings)
+        self._tail_docs = self._tail_w = None
 
     def _estimated_entries(
         self, tokenized_queries: Sequence[Sequence[str]]

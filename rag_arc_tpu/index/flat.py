@@ -70,7 +70,7 @@ class DeviceFlatIndex:
         mesh: Optional[Mesh] = None,
         axis_name: str = CORPUS_AXIS,
         rescore_i8: bool = True,
-        refine: Optional[str] = "int4",
+        refine: Optional[str] = "default",
     ):
         self.dim = int(dim)
         self.metric = metric
@@ -90,8 +90,12 @@ class DeviceFlatIndex:
         # 0.74 → +f32-query rescore 0.74 → +int4 residual 0.95 → +int8
         # residual 0.99 (f32 ceiling 1.0). The scan stays pure int8 — the
         # residuals are touched only for the ~4k gathered candidates.
-        if refine not in (None, "int4", "int8"):
+        if refine not in (None, "int4", "int8", "default"):
             raise ValueError("refine must be None, 'int4' or 'int8'")
+        if refine == "default":
+            # int4 nibble-packing needs an even dim; odd dims get the int8
+            # sidecar instead of an error when the user didn't choose
+            refine = "int4" if dim % 2 == 0 else "int8"
         self.refine = refine if self.quantized else None
         if self.refine == "int4" and dim % 2:
             raise ValueError("int4 refine needs an even dim (2 codes/byte)")
@@ -323,6 +327,12 @@ class DeviceFlatIndex:
         self.valid, self.emb = _clear_rows(
             self.valid, self.emb, jnp.asarray(block)
         )
+        if self.refine:
+            # the residual sidecar must die with the row: the refined
+            # rescore adds decode(res)·res_scale to the (now zero) code
+            # score, and a leftover residual would give a deleted row a
+            # nonzero exact score that can outrank weak live docs
+            self.res_scale = _clear_res_scale(self.res_scale, jnp.asarray(block))
         self.n_deleted += int(positions.size)
 
     def restore_rows(
@@ -995,6 +1005,13 @@ def _clear_rows(valid, emb, positions):
     valid = valid.at[positions].set(False)
     emb = emb.at[positions, :].set(jnp.zeros((), dtype=emb.dtype))
     return valid, emb
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _clear_res_scale(res_scale, positions):
+    # a zero residual SCALE silences the whole residual term for the row;
+    # the packed residual codes themselves can stay (decode(res)·0 = 0)
+    return res_scale.at[positions].set(0.0)
 
 
 @partial(jax.jit, static_argnames=("k", "metric"))

@@ -36,6 +36,10 @@ LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
 # >50% of its padded row AND runs tiny attention matmuls on the MXU
 PACK_MAX_TOKENS = 64
 PACK_ROW_LEN = 128
+# encode() dispatches chunks ahead of their fetch to amortize the
+# host<->device round trip over a window; the cap bounds live output
+# buffers (~12 MB/chunk) so bulk million-doc ingests can't OOM the chip
+MAX_INFLIGHT_CHUNKS = 16
 PACK_MAX_SEGMENTS = 8
 
 
@@ -148,7 +152,20 @@ class FlaxEncoderEmbeddings(Embeddings):
         )
         n_rows = ids.shape[0]
         rows_per = max(self.batch_size, 65536 // PACK_ROW_LEN)
-        outs = []
+        outs: list = []
+        host_rows: list = []
+
+        def drain() -> None:
+            # one fetch per window: amortizes the host<->device round trip
+            # while BOUNDING live device output buffers — an unbounded
+            # deferred fetch holds every chunk's output in HBM at once and
+            # OOMs million-doc ingests
+            fetched = jax.device_get([o for o, _ in outs])
+            host_rows.extend(
+                np.asarray(f)[:r] for f, (_, r) in zip(fetched, outs)
+            )
+            outs.clear()
+
         for start in range(0, n_rows, rows_per):
             cids = ids[start : start + rows_per]
             cpos = pos[start : start + rows_per]
@@ -172,10 +189,10 @@ class FlaxEncoderEmbeddings(Embeddings):
                     r,
                 )
             )
-        fetched = jax.device_get([o for o, _ in outs])
-        all_rows = np.concatenate(
-            [np.asarray(f)[:r] for f, (_, r) in zip(fetched, outs)], axis=0
-        )
+            if len(outs) >= MAX_INFLIGHT_CHUNKS:
+                drain()
+        drain()
+        all_rows = np.concatenate(host_rows, axis=0)
         out = np.empty((len(token_lists), self.dim), dtype=np.float32)
         for i, (r, s) in enumerate(mapping):
             out[i] = all_rows[r, s]
@@ -185,7 +202,15 @@ class FlaxEncoderEmbeddings(Embeddings):
         """Long docs: one doc per row, padded to a length bucket."""
         out = np.empty((len(token_lists), self.dim), dtype=np.float32)
         bs = self.batch_size
-        outs = []
+        outs: list = []
+
+        def drain() -> None:
+            # windowed fetch: RTT amortized, device memory bounded
+            fetched = jax.device_get([e for _, _, e in outs])
+            for (start, n, _), f in zip(outs, fetched):
+                out[start : start + n] = np.asarray(f)[:n]
+            outs.clear()
+
         for start in range(0, len(token_lists), bs):
             chunk = token_lists[start : start + bs]
             longest = max(len(tl) for tl in chunk)
@@ -202,9 +227,9 @@ class FlaxEncoderEmbeddings(Embeddings):
                 mask2 = np.pad(mask2, ((0, b_pad - len(chunk)), (0, 0)))
             emb = self._forward(self.params, jnp.asarray(ids2), jnp.asarray(mask2))
             outs.append((start, len(chunk), emb))
-        fetched = jax.device_get([e for _, _, e in outs])
-        for (start, n, _), f in zip(outs, fetched):
-            out[start : start + n] = np.asarray(f)[:n]
+            if len(outs) >= MAX_INFLIGHT_CHUNKS:
+                drain()
+        drain()
         return out
 
     def embed_documents(self, texts: List[str]) -> List[List[float]]:

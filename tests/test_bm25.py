@@ -534,6 +534,30 @@ class TestHybridBackend:
             np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
             np.testing.assert_array_equal(p1, p2)
 
+    def test_build_from_csr_sparse_vocab(self):
+        """A partial vocab dict whose max id exceeds its entry count must
+        build: the hybrid structures size by the id space (len(df)), not
+        len(vocab) — a filtered real-tokenizer vocab is exactly this."""
+        rng = np.random.default_rng(3)
+        n, v_ids = 64, 100
+        counts = rng.integers(2, 6, n)
+        row_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_offsets[1:])
+        tids = []
+        for c in counts:
+            tids.extend(rng.choice(v_ids, size=c, replace=False))
+        tfs = rng.integers(1, 4, row_offsets[-1]).astype(np.float32)
+        doc_len = counts.astype(np.int64) * 2
+        sparse_vocab = {"alpha": 0, "omega": 99}  # ids 1..98 unnamed
+        for backend in ("host", "hybrid"):
+            idx = DeviceBM25Index(backend=backend)
+            idx.build_from_csr(
+                row_offsets, np.asarray(tids, np.int32), tfs, doc_len,
+                vocab=sparse_vocab,
+            )
+            s, p = idx.search([["alpha", "omega"], ["omega"]], 5)
+            assert s.shape == (2, 5) and np.isfinite(s).all()
+
     def test_build_from_csr_rejects_device_backend(self):
         index = DeviceBM25Index(backend="device")
         with pytest.raises(ValueError, match="host/hybrid"):

@@ -337,6 +337,41 @@ class TestInt8Index:
         assert r8 >= r4 - 0.02, (r4, r8)
         assert r8 >= 0.97, (r_plain, r4, r8)
 
+    def test_deleted_rows_residual_is_dead(self, rng):
+        """mark_deleted must silence the residual sidecar too: take()
+        promises zeros for deleted rows (feeding MMR), but the refined
+        reconstruct adds decode(res)·res_scale on top of the zeroed codes
+        — a surviving residual returned quantization noise instead. (The
+        search path is additionally shielded by the stream certificate: a
+        deleted row can only enter the candidate set when the kf-th score
+        ≤ 0, which fails the certificate and falls back to the masked
+        kernel — this test pins the sidecar itself.)"""
+        dim = 64
+        data = rng.standard_normal((256, dim)).astype(np.float32)
+        idx = DeviceFlatIndex(dim=dim, capacity=256, dtype=jnp.int8)
+        assert idx.refine == "int4"
+        idx.add(data)
+        assert np.abs(idx.take(np.asarray([0]))).max() > 0
+        idx.mark_deleted(np.asarray([0]))
+        np.testing.assert_array_equal(idx.take(np.asarray([0])), 0.0)
+        assert float(np.asarray(idx.res_scale)[0]) == 0.0
+        # and search never returns it
+        scores, after = idx.search(data[0:1], 5)
+        assert 0 not in after[0], (scores, after)
+
+    def test_odd_dim_int8_defaults_to_int8_refine(self, rng):
+        """int4 nibble-packing needs an even dim; the DEFAULT must fall
+        back to the int8 sidecar for odd dims instead of refusing the
+        index outright (explicit refine='int4' still raises)."""
+        idx = DeviceFlatIndex(dim=129, capacity=128, dtype=jnp.int8)
+        assert idx.refine == "int8"
+        data = rng.standard_normal((64, 129)).astype(np.float32)
+        idx.add(data)
+        _, p = idx.search(data[:4], 3)
+        assert (np.asarray(p)[:, 0] == np.arange(4)).all()
+        with pytest.raises(ValueError, match="even dim"):
+            DeviceFlatIndex(dim=129, capacity=128, dtype=jnp.int8, refine="int4")
+
     def test_refine_survives_snapshot_and_incremental_adds(self, rng, tmp_path):
         from rag_arc_tpu.index.persistence import load_store, save_store
         from rag_arc_tpu.index.vector_store import TPUVectorStore

@@ -69,7 +69,10 @@ class TestMirror:
         # event_graphrag_neo4j.py:266-300), dim from the embedder
         vector = [(q, p) for q, p in driver.queries if "VECTOR INDEX" in q]
         assert len(vector) == 3
-        assert all(p["dim"] == 16 for _, p in vector)
+        # dim is INLINED, not a $parameter — Neo4j rejects parameters in
+        # schema commands, so a parameterized form fails on a real server
+        assert all("`vector.dimensions`: 16" in q for q, _ in vector)
+        assert all(not p for _, p in vector)
         assert any(":Entity" in q for q, _ in vector)
         assert set(driver.databases) == {"graphdb"}
 
@@ -132,7 +135,30 @@ class TestMirror:
         assert len(driver.queries) == 1  # auto-flushed at the batch size
         assert len(driver.queries[0][1]["rows"]) == 5
 
-    def test_nodes_flush_before_edges(self):
+    def test_failed_flush_requeues_rows(self):
+        """An outage past the retry budget must NOT drop buffered mirror
+        rows: flush re-queues the unwritten remainder and re-raises; the
+        next flush writes everything."""
+        driver = FakeDriver()
+        s = Neo4jGraphStore(
+            HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
+            batch_size=100, max_retries=2,
+        )
+        driver.queries.clear()
+        for i in range(4):
+            s.upsert_node(GraphNode(key=f"n{i}", kind="entity", content=f"c{i}"))
+        driver.fail_next = 2  # exhaust both retries of the first UNWIND
+        with pytest.raises(ConnectionError):
+            s.flush()
+        assert driver.queries == []  # nothing written
+        assert s._pending == 4  # ...but nothing lost either
+        # a fresh upsert joins the survivors; the retry writes all 5
+        s.upsert_node(GraphNode(key="n4", kind="entity", content="c4"))
+        s.flush()
+        (query, params), = driver.queries
+        assert query.startswith("UNWIND")
+        assert {r["key"] for r in params["rows"]} == {f"n{i}" for i in range(5)}
+        assert s._pending == 0
         driver = FakeDriver()
         s = Neo4jGraphStore(
             HashEmbeddings(dim=16), driver=driver, retry_wait_base=0.0,
