@@ -406,30 +406,13 @@ class DeviceFlatIndex:
         self._tail_scale = 0.0
         self._alloc(self.capacity)
         if keep.size:
-            kept = emb[keep]
-            if self.quantized:
-                # re-quantize the dequantized survivors (scale round-trips
-                # exactly: amax of codes*scale is 127*scale)
-                self.add(kept)
-                return mapping
-            # rows were normalized/prepared at original add time
-            sqnorm = (kept * kept).sum(axis=1).astype(np.float32)
-            padded = _pad_pow2(keep.size, ADD_BLOCK)
-            if padded > self.capacity:
-                if keep.size <= self.capacity:
-                    padded = min(round_up(keep.size, ADD_BLOCK), self.capacity)
-                else:
-                    self._grow_to(padded)
-            block = np.zeros((padded, self.dim), dtype=np.float32)
-            block[: keep.size] = kept
-            block_sq = np.zeros((padded,), dtype=np.float32)
-            block_sq[: keep.size] = sqnorm
-            self.emb, self.valid, self.sqnorm = _add_block(
-                self.emb, self.valid, self.sqnorm,
-                jnp.asarray(block, dtype=self.dtype), jnp.asarray(block_sq),
-                jnp.int32(0), jnp.int32(keep.size),
-            )
-            self.size = int(keep.size)
+            # re-add survivors through the ONE add() path. Quantized rows
+            # re-quantize exactly (amax of codes·scale is 127·scale);
+            # cosine rows re-normalize already-unit vectors (a no-op up to
+            # storage rounding). The pow2/capacity-capped padding logic
+            # must live in one place — the r2 silent-capacity-doubling bug
+            # lived in a duplicate of exactly this logic.
+            self.add(emb[keep])
         return mapping
 
     # -- query ------------------------------------------------------------
@@ -512,6 +495,17 @@ class DeviceFlatIndex:
         path prefers the stream whenever it can compile."""
         return self._stream_constraints_ok(b_local, tile)
 
+    def _ip_unscale(self, q: jax.Array, s: jax.Array) -> jax.Array:
+        """Every int8 path scores with a NORMALIZED query (the quantized
+        pipeline is shared with cosine, where rows are unit-norm); for
+        metric='ip' the absolute scores must be q·x, so multiply back by
+        ‖q‖ at the very end — exact, and ranking-invariant per query
+        (score-threshold filtering depends on the absolute values)."""
+        if not (self.quantized and self.metric == "ip"):
+            return s
+        qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+        return s * qn
+
     def _stream_constraints_ok(self, b: int, tile: int) -> bool:
         """The ONE Mosaic/VMEM eligibility model for the stream kernel —
         shared by the direct gate and the per-shard mesh gate so the
@@ -563,7 +557,8 @@ class DeviceFlatIndex:
         large score matrix elsewhere → chunked scan; else direct matmul.
         """
         if self.mesh is not None:
-            return self._search_sharded(q, k)
+            s, p = self._search_sharded(q, k)
+            return self._ip_unscale(q, s), p
         if self.quantized:
             # fetch extra candidates from the quantized scan, then rescore
             # them with the full-precision query (and the residual ladder
@@ -628,7 +623,7 @@ class DeviceFlatIndex:
                     )
                 else:
                     s, p = _i8_rescore(q, self.emb, self.sqnorm, s, p, k)
-            return s, p
+            return self._ip_unscale(q, s), p
         score_bytes = 4 * q.shape[0] * self.capacity
         if score_bytes <= self.SCORE_BYTES_BUDGET and not self._force_stream:
             return _search_single(self.emb, self.valid, self.sqnorm, q, k, self.metric)
@@ -943,15 +938,22 @@ class DeviceFlatIndex:
         Int8 rows dequantize through their per-row scale."""
         positions = np.asarray(positions, dtype=np.int64)
         idx = jnp.asarray(positions)
-        out = np.asarray(
-            jax.device_get(jnp.take(self.emb, idx, axis=0)), dtype=np.float32
-        )
+        # ONE device_get for every gathered piece: each fetch pays a full
+        # host round trip (~35 ms through this box's tunnel), and MMR calls
+        # take() per query
+        pieces = [jnp.take(self.emb, idx, axis=0)]
         if self.quantized:
-            scale = np.asarray(jax.device_get(jnp.take(self.sqnorm, idx)))
-            out = out * scale[:, None]
+            pieces.append(jnp.take(self.sqnorm, idx))
             if self.refine:
-                res = np.asarray(jax.device_get(jnp.take(self.res, idx, axis=0)))
-                rs = np.asarray(jax.device_get(jnp.take(self.res_scale, idx)))
+                pieces.append(jnp.take(self.res, idx, axis=0))
+                pieces.append(jnp.take(self.res_scale, idx))
+        fetched = jax.device_get(pieces)
+        out = np.asarray(fetched[0], dtype=np.float32)
+        if self.quantized:
+            out = out * np.asarray(fetched[1])[:, None]
+            if self.refine:
+                res = np.asarray(fetched[2])
+                rs = np.asarray(fetched[3])
                 out = out + _decode_residual_np(res, self.refine) * rs[:, None]
         return out
 

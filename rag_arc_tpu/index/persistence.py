@@ -12,6 +12,7 @@ so a checkpoint written single-chip restores onto an 8-chip mesh.
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Any, Dict
 
@@ -26,6 +27,8 @@ from rag_arc_tpu.models.embeddings import Embeddings
 from rag_arc_tpu.utils.data_model import Document
 
 FORMAT = "rag_arc_tpu.store.v1"
+
+logger = logging.getLogger(__name__)
 
 
 def save_store(store: TPUVectorStore, path: str | Path) -> Path:
@@ -69,6 +72,10 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         "embedding": store.embedding.describe(),
     }
     if isinstance(index, DeviceFlatIndex):
+        import jax.numpy as jnp
+
+        # storage dtype: without it a bf16 store reloads as f32 (2x HBM)
+        manifest["dtype"] = jnp.dtype(index.dtype).name
         if getattr(index, "quantized", False):
             # snapshot RAW int8 codes + per-row (block) scales: bit-exact
             # round trip — re-adding dequantized rows would re-normalize
@@ -150,14 +157,42 @@ def load_store(
     if manifest.get("format") != FORMAT:
         raise ValueError(f"unrecognized store snapshot format in {path}")
     blob_backed = manifest.get("docstore") == "blob"
-    if dtype is None and manifest.get("quantized"):
-        dtype = jnp.int8  # restore int8 storage without caller plumbing
+    if manifest.get("quantized"):
+        if dtype is None:
+            dtype = jnp.int8  # restore int8 storage without caller plumbing
+        elif jnp.dtype(dtype) != jnp.int8:
+            # the snapshot holds RAW int8 codes + block scales; pasting them
+            # into a float index would score garbage silently
+            raise ValueError(
+                f"snapshot at {path} stores int8 codes; load with "
+                "dtype=None (or int8), not {dtype}".format(dtype=dtype)
+            )
+    elif dtype is None and manifest.get("dtype"):
+        dtype = jnp.dtype(manifest["dtype"])  # restore the saved storage dtype
+    spec = manifest.get("embedding")
+    if spec:
+        have = embedding.describe()
+        if spec.get("dim") and have.get("dim") and spec["dim"] != have["dim"]:
+            raise ValueError(
+                f"snapshot was embedded at dim {spec['dim']} but the "
+                f"supplied embedder is dim {have['dim']}"
+            )
+        if spec.get("kind") != have.get("kind"):
+            logger.warning(
+                "snapshot was embedded with %r but loading with %r — "
+                "queries will score garbage unless these are equivalent",
+                spec.get("kind"), have.get("kind"),
+            )
     store = TPUVectorStore(
         embedding=embedding,
         dim=manifest["dim"],
         metric=manifest["metric"],
         mesh=mesh,
         dtype=dtype,
+        # capacity from the snapshot: default-capacity growth DOUBLES, so a
+        # 10M-row restore would land on 16.8M rows — 2x HBM, an OOM for the
+        # flagship 10M int8 corpus (growth headroom stays available)
+        capacity=max(int(manifest.get("size") or 0), 1024),
         index_type=manifest["index_type"],
         nlist=manifest["nlist"],
         nprobe=manifest["nprobe"],
@@ -212,6 +247,11 @@ def load_store(
         saved_pad = centroids.shape[0]
         if index.nlist_pad < saved_pad:
             index.nlist_pad = saved_pad
+        if index.nlist_pad % index.n_shards:
+            # a snapshot from a different topology may carry a pad that the
+            # loading shard count doesn't divide — re-pad, or _place fails
+            # on the uneven cluster axis
+            index.nlist_pad += index.n_shards - index.nlist_pad % index.n_shards
         extra = index.nlist_pad - saved_pad
 
         def pad0(a, fill=0):

@@ -359,6 +359,23 @@ class TestInt8Index:
         scores, after = idx.search(data[0:1], 5)
         assert 0 not in after[0], (scores, after)
 
+    def test_int8_ip_absolute_scores_match_f32(self, rng):
+        """metric='ip' must return q·x, not q·x/‖q‖: the int8 pipeline
+        scores with a normalized query (shared with cosine), so the final
+        scores are rescaled by ‖q‖ — score-threshold filtering reads the
+        absolute values, and they must not change with storage dtype."""
+        dim = 64
+        data = rng.standard_normal((256, dim)).astype(np.float32)
+        q = 3.0 * rng.standard_normal((2, dim)).astype(np.float32)  # ‖q‖≉1
+        f32 = DeviceFlatIndex(dim=dim, capacity=256, metric="ip")
+        f32.add(data)
+        s_f32, p_f32 = f32.search(q, 5)
+        i8 = DeviceFlatIndex(dim=dim, capacity=256, metric="ip", dtype=jnp.int8)
+        i8.add(data)
+        s_i8, p_i8 = i8.search(q, 5)
+        np.testing.assert_array_equal(p_f32, p_i8)
+        np.testing.assert_allclose(s_i8, s_f32, rtol=2e-2)
+
     def test_odd_dim_int8_defaults_to_int8_refine(self, rng):
         """int4 nibble-packing needs an even dim; the DEFAULT must fall
         back to the int8 sidecar for odd dims instead of refusing the

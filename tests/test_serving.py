@@ -166,6 +166,68 @@ class TestPersistence:
             d.content for d in loaded.similarity_search("deleted", k=10)
         ]
 
+    def test_quantized_snapshot_rejects_float_dtype(self, tmp_path):
+        """An int8 snapshot holds RAW codes; pasting them into a float
+        index silently scores garbage — load must refuse."""
+        import jax.numpy as jnp
+        import pytest
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore.from_texts(CORPUS, emb, dtype=jnp.int8)
+        save_store(store, tmp_path / "snap")
+        with pytest.raises(ValueError, match="int8 codes"):
+            load_store(tmp_path / "snap", emb, dtype=jnp.bfloat16)
+        loaded = load_store(tmp_path / "snap", emb)  # dtype=None restores int8
+        assert loaded.index.quantized
+
+    def test_load_sizes_capacity_from_snapshot(self, tmp_path):
+        """Restore must size capacity from the manifest: default-capacity
+        growth DOUBLES, landing a 10M-row snapshot on 16.8M rows (2x HBM,
+        an OOM for the flagship corpus)."""
+        emb = HashEmbeddings(dim=16)
+        store = TPUVectorStore(emb, dim=16, capacity=4096)
+        store.add_texts([f"doc {i}" for i in range(3000)])
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        # 3000 rows should restore near round_up(3000, block), NOT into a
+        # doubling ladder from 4096 (which would land on 8192+)
+        assert loaded.index.capacity <= 4096, loaded.index.capacity
+        assert len(loaded) == 3000
+
+    def test_storage_dtype_survives_snapshot(self, tmp_path):
+        """A bf16 store must reload as bf16 (f32 would double HBM)."""
+        import jax.numpy as jnp
+
+        emb = HashEmbeddings(dim=16)
+        store = TPUVectorStore.from_texts(CORPUS, emb, dtype=jnp.bfloat16)
+        save_store(store, tmp_path / "snap")
+        loaded = load_store(tmp_path / "snap", emb)
+        assert jnp.dtype(loaded.index.dtype) == jnp.bfloat16
+
+    def test_load_warns_on_embedder_kind_mismatch(self, tmp_path, caplog):
+        """The snapshot records which embedder produced the rows; loading
+        with a different kind must at least warn (same-dim garbage scores
+        are otherwise silent)."""
+        import logging
+
+        class OtherEmbeddings(HashEmbeddings):
+            def describe(self):
+                return {"kind": "other", "dim": self.dim, "reproducible": False}
+
+        emb = HashEmbeddings(dim=32)
+        store = TPUVectorStore.from_texts(CORPUS, emb)
+        save_store(store, tmp_path / "snap")
+        with caplog.at_level(logging.WARNING):
+            load_store(tmp_path / "snap", OtherEmbeddings(dim=32))
+        assert any("embedded with" in r.message for r in caplog.records)
+        import pytest
+
+        class WrongDim(HashEmbeddings):
+            pass
+
+        with pytest.raises(ValueError, match="dim"):
+            load_store(tmp_path / "snap", WrongDim(dim=64))
+
     def test_ivf_roundtrip(self, tmp_path):
         emb = HashEmbeddings(dim=32)
         store = TPUVectorStore(emb, index_type="ivf", nlist=4, train_threshold=8)
