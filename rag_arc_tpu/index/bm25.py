@@ -212,8 +212,6 @@ class DeviceBM25Index:
         df: np.ndarray,
     ) -> None:
         """Head-dense / tail-sparse structures from the CSR arrays."""
-        from rag_arc_tpu.ops.bm25 import compute_idf
-
         # size the id space from df, not len(vocab): build_from_csr accepts
         # sparse/partial vocab dicts whose max id exceeds the entry count
         n, v = self.n_docs, len(df)
@@ -250,13 +248,25 @@ class DeviceBM25Index:
         # only (start, len, count) per tail term; the device gathers the
         # postings slices itself (O(B·T) host→device traffic, which is
         # what makes this fast through a slow host link)
-        sort_idx = np.argsort(term_ids, kind="stable")
+        # head postings never ride the tail gather (the dense matmul owns
+        # them), and under Zipf they are a third or more of all postings —
+        # keep them OUT of the device tail arrays (GBs of HBM at 10M docs)
+        tail_mask = head_slot[term_ids] < 0
+        t_ids = term_ids[tail_mask]
+        sort_idx = np.argsort(t_ids, kind="stable")
         self._tail_docs = np.ascontiguousarray(
-            doc_of[sort_idx].astype(np.int32)
+            doc_of[tail_mask][sort_idx].astype(np.int32)
         )
-        self._tail_w = np.ascontiguousarray(w[sort_idx])
+        self._tail_w = np.ascontiguousarray(w[tail_mask][sort_idx])
         off = np.zeros(v + 1, dtype=np.int64)
-        np.cumsum(np.bincount(term_ids, minlength=v), out=off[1:])
+        np.cumsum(np.bincount(t_ids, minlength=v), out=off[1:])
+        if off[-1] >= (1 << 31):
+            # start offsets pack into the int32 device operand
+            raise ValueError(
+                f"hybrid tail postings ({int(off[-1])}) exceed the int32 "
+                "offset space of the packed device operands; shard the "
+                "corpus over a mesh or use backend='host'"
+            )
         self._tail_off = off
         self._df = df.astype(np.int64)
         self._head_slot = head_slot
@@ -389,6 +399,12 @@ class DeviceBM25Index:
             self.valid = None
             self.avgdl = 0.0
             self._free_host()
+            # drop the previous corpus's hybrid structures too — stale
+            # device copies are GBs of pinned HBM at 10M scale, and
+            # stats() would keep reporting the old head terms
+            self._w_head = self._hvalid = None
+            self._tail_docs_dev = self._tail_w_dev = None
+            self._tail_off = self._df = self._head_slot = None
             return
         doc_tfs: List[Dict[int, int]] = []
         doc_len = np.zeros(n, dtype=np.float64)
@@ -492,6 +508,11 @@ class DeviceBM25Index:
             return
         doc_len = np.asarray(doc_len, dtype=np.float64)
         self.avgdl = float(doc_len.mean())
+        # size the id space by the LARGEST id anywhere — a sparse vocab
+        # whose max id exceeds both the corpus max and the dict length
+        # would otherwise index past _df/_head_slot/_tail_off at query time
+        if self.vocab:
+            v = max(v, max(self.vocab.values()) + 1)
         v = max(v, len(self.vocab))
         # CSR rows hold one entry per distinct (doc, term): df is a bincount
         df = np.bincount(
@@ -733,9 +754,13 @@ class DeviceBM25Index:
             local_n = self.doc_terms.shape[0] // self.n_shards
 
             def local_topk(qt, qc, terms, weights, valid):
+                from rag_arc_tpu.ops.bm25 import select_topk
+
                 scores = bm25_scores_kernel(terms, weights, qt, qc)
                 scores = jnp.where(valid[None, :], scores, -jnp.inf)
-                s, idx = jax.lax.top_k(scores, min(k, local_n))
+                # never lax.top_k over the shard width (full sort; 9-min
+                # compiles at 2M width through the tunnel) — tournament
+                s, idx = select_topk(scores, min(k, local_n))
                 offset = jax.lax.axis_index(axis) * local_n
                 return s[None], (idx + offset)[None]
 

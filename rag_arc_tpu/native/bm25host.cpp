@@ -51,18 +51,15 @@ void* bm25host_build(const int64_t* row_offsets, const int32_t* term_ids,
   p->n_vocab = n_vocab;
   const int64_t nnz = row_offsets[n_docs];
 
-  // idf with the BM25Okapi epsilon floor (ops/bm25.py compute_idf parity)
+  // idf with the BM25Okapi epsilon floor (ops/bm25.py compute_idf parity):
+  // rank_bm25 averages over ALL idfs, negatives included
   std::vector<double> idf(n_vocab);
-  double pos_sum = 0.0;
-  int64_t pos_cnt = 0;
+  double idf_sum = 0.0;
   for (int64_t t = 0; t < n_vocab; ++t) {
     idf[t] = std::log((n_docs - df[t] + 0.5) / (df[t] + 0.5));
-    if (idf[t] > 0) {
-      pos_sum += idf[t];
-      ++pos_cnt;
-    }
+    idf_sum += idf[t];
   }
-  const double eps_floor = epsilon * (pos_cnt ? pos_sum / pos_cnt : 1.0);
+  const double eps_floor = epsilon * (n_vocab ? idf_sum / n_vocab : 1.0);
   for (int64_t t = 0; t < n_vocab; ++t)
     if (idf[t] < 0) idf[t] = eps_floor;
 

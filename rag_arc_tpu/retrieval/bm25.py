@@ -121,15 +121,33 @@ class BM25Retriever(BaseRetriever):
         return doc
 
     def _tokenize(self, text: str) -> List[str]:
+        # queries tokenize with the ACTIVE function — a CJK query must
+        # never flip the tokenizer (the corpus tokenization wouldn't
+        # change, and the inline full rebuild would block that request
+        # for minutes at scale); the corpus decides, in _rebuild
         if (
             self.preprocess_func is default_preprocess
+            and not self._cjk_warned
             and _CJK_RE.search(text)
         ):
-            # auto-upgrade: the default whitespace tokenizer produces
-            # whole-sentence tokens on CJK — switch the retriever to the
-            # in-tree bigram tokenizer so the corpus is actually
-            # retrievable (ref behavior hint: bm25.py:116-123 points at
-            # jieba; we ship a dictionary-free remedy)
+            self._cjk_warned = True
+            warnings.warn(
+                "CJK query against a whitespace-tokenized (non-CJK) "
+                "corpus — it can only match whole whitespace tokens. "
+                "Rebuild with CJK documents (auto-upgrades to the bigram "
+                "tokenizer) or pass a segmenter as preprocess_func"
+            )
+        return self.preprocess_func(text)
+
+    def _maybe_upgrade_cjk(self) -> None:
+        """Corpus-driven auto-upgrade: the default whitespace tokenizer
+        produces whole-sentence tokens on CJK — switch to the in-tree
+        bigram tokenizer so the corpus is actually retrievable (ref
+        behavior hint: bm25.py:116-123 points at jieba; we ship a
+        dictionary-free remedy)."""
+        if self.preprocess_func is default_preprocess and any(
+            _CJK_RE.search(d.content) for d in self.docs
+        ):
             if not self._cjk_warned:
                 self._cjk_warned = True
                 warnings.warn(
@@ -140,20 +158,10 @@ class BM25Retriever(BaseRetriever):
                     "relevance"
                 )
             self.preprocess_func = cjk_preprocess
-            if self.docs:
-                self._rebuild()
-        return self.preprocess_func(text)
 
     def _rebuild(self) -> None:
-        # the auto-upgrade must trigger at build time too, or corpus and
-        # query tokenizations diverge
-        if self.preprocess_func is default_preprocess and any(
-            _CJK_RE.search(d.content) for d in self.docs
-        ):
-            self._tokenize(next(
-                d.content for d in self.docs if _CJK_RE.search(d.content)
-            ))
-            return  # _tokenize recursed into _rebuild with the upgrade
+        # the upgrade decision rides the CORPUS text, never query text
+        self._maybe_upgrade_cjk()
         # native fast path: C++ tokenization+stats is byte-exact with the
         # default lower().split() on ASCII corpora
         if self.preprocess_func is default_preprocess and all(
@@ -188,7 +196,8 @@ class BM25Retriever(BaseRetriever):
     def get_top_k_with_scores(
         self, query: str, k: Optional[int] = None
     ) -> List[Tuple[Document, float]]:
-        k = int(k or self.k)
+        # `k or self.k` would silently swap an explicit k=0 for the default
+        k = self.k if k is None else int(k)
         scores, positions = self.index.search([self._tokenize(query)], k)
         return [
             (self.docs[int(p)], float(s))
@@ -248,6 +257,12 @@ class BM25Retriever(BaseRetriever):
                 "b": self.index.b,
                 "epsilon": self.index.epsilon,
                 "backend": self.index.backend,
+                # the function can't serialize, but its NAME can: in-tree
+                # tokenizers restore by name, custom ones warn at load
+                "preprocess": getattr(
+                    self.preprocess_func, "__name__",
+                    repr(self.preprocess_func),
+                ),
             },
             "documents": [
                 {"content": d.content, "metadata": d.metadata, "id": d.id}
@@ -276,6 +291,20 @@ class BM25Retriever(BaseRetriever):
                 "backend; loading onto a mesh with backend='auto'"
             )
             backend = "auto"
+        saved_tok = params.get("preprocess")
+        have_tok = getattr(preprocess_func, "__name__", repr(preprocess_func))
+        if saved_tok and saved_tok != have_tok:
+            if saved_tok == "cjk_preprocess" and preprocess_func is default_preprocess:
+                # in-tree tokenizer: restore it rather than silently
+                # re-tokenizing a CJK corpus with whitespace splits
+                preprocess_func = cjk_preprocess
+            else:
+                logger.warning(
+                    "BM25 snapshot was built with tokenizer %r but loading "
+                    "with %r — re-pass the original preprocess_func or "
+                    "relevance will silently change",
+                    saved_tok, have_tok,
+                )
         docs = [Document(**d) for d in payload["documents"]]
         return cls(
             documents=docs,

@@ -165,6 +165,53 @@ class TestRetriever:
         hits = r.invoke("cats", k=1)
         assert hits[0].content == "pure ascii doc about cats"
 
+    def test_cjk_query_does_not_flip_ascii_corpus(self):
+        """A CJK QUERY against an ASCII corpus must not switch the
+        tokenizer or trigger a full inline rebuild (minutes at scale, and
+        the ASCII corpus tokenization wouldn't change anyway) — it warns
+        and tokenizes with the active function."""
+        from rag_arc_tpu.retrieval.bm25 import default_preprocess
+
+        r = BM25Retriever.from_texts(["ascii only corpus here"])
+        built_index = r.index
+        with pytest.warns(UserWarning, match="whole whitespace tokens"):
+            r.invoke("中文查询", k=1)
+        assert r.preprocess_func is default_preprocess
+        assert r.index is built_index  # no rebuild happened
+        # corpus unaffected, later queries fine
+        assert r.invoke("ascii corpus", k=1)
+
+    def test_snapshot_restores_cjk_tokenizer(self, tmp_path):
+        """The snapshot records the tokenizer NAME; the in-tree cjk
+        tokenizer restores automatically (whitespace re-tokenization of a
+        CJK corpus would silently destroy relevance)."""
+        corpus = ["人工智能是未来科技发展的重要方向", "今天的天气很好"]
+        with pytest.warns(UserWarning, match="bigram"):
+            r = BM25Retriever.from_texts(corpus)
+        r.save_to_disk(tmp_path / "cjk.json")
+        loaded = BM25Retriever.load_from_disk(tmp_path / "cjk.json")
+        assert loaded.get_bm25_info()["preprocess_func"] == "cjk_preprocess"
+        assert loaded.invoke("人工智能", k=1)[0].content == corpus[0]
+
+    def test_top_k_zero_raises(self):
+        r = BM25Retriever.from_texts(["a doc", "another doc"])
+        with pytest.raises(ValueError, match="k"):
+            r.get_top_k_with_scores("doc", k=0)
+
+    def test_idf_floor_matches_rank_bm25(self):
+        """rank_bm25 parity: the epsilon floor averages ALL idfs
+        (negatives included), so a stopword-heavy corpus drags the floor
+        down — not the positive-only mean."""
+        from rag_arc_tpu.ops.bm25 import compute_idf
+
+        n = 10
+        df = np.asarray([9, 9, 9, 1])  # three stopwords, one rare term
+        idf = np.log((n - df + 0.5) / (df + 0.5))
+        want_floor = 0.25 * idf.mean()  # negative-dragged average
+        got = compute_idf(df, n, epsilon=0.25)
+        np.testing.assert_allclose(got[:3], want_floor, rtol=1e-6)
+        np.testing.assert_allclose(got[3], idf[3], rtol=1e-6)
+
     def test_custom_preprocess_no_cjk_warning(self, recwarn):
         r = BM25Retriever.from_texts(
             ["这是 中文 文本"], preprocess_func=lambda t: list(t.replace(" ", ""))
@@ -548,14 +595,17 @@ class TestHybridBackend:
             tids.extend(rng.choice(v_ids, size=c, replace=False))
         tfs = rng.integers(1, 4, row_offsets[-1]).astype(np.float32)
         doc_len = counts.astype(np.int64) * 2
-        sparse_vocab = {"alpha": 0, "omega": 99}  # ids 1..98 unnamed
+        # id 150 exceeds BOTH the corpus max id (99) and len(vocab): the id
+        # space must size from max(vocab.values()) or queries touching
+        # 'ultra' index past _df/_head_slot (IndexError pre-fix)
+        sparse_vocab = {"alpha": 0, "omega": 99, "ultra": 150}
         for backend in ("host", "hybrid"):
             idx = DeviceBM25Index(backend=backend)
             idx.build_from_csr(
                 row_offsets, np.asarray(tids, np.int32), tfs, doc_len,
                 vocab=sparse_vocab,
             )
-            s, p = idx.search([["alpha", "omega"], ["omega"]], 5)
+            s, p = idx.search([["alpha", "omega"], ["ultra"]], 5)
             assert s.shape == (2, 5) and np.isfinite(s).all()
 
     def test_build_from_csr_rejects_device_backend(self):
