@@ -386,6 +386,22 @@ class TPUVectorStore(VectorStore):
         with self._rw.write():
             if self.index is None:
                 self._create_index(vectors.shape[1])
+            # within-batch duplicate ids: keep the LAST occurrence
+            # (overwrite semantics). The stale check below only sees ids
+            # already in the docstore, so an earlier same-id copy in THIS
+            # batch would leave an orphaned live row — searchable forever,
+            # unresolvable, and invisible to compaction.
+            last = {d.id: i for i, d in enumerate(documents) if d.id is not None}
+            if any(
+                d.id is not None and last[d.id] != i
+                for i, d in enumerate(documents)
+            ):
+                keep = [
+                    i for i, d in enumerate(documents)
+                    if d.id is None or last[d.id] == i
+                ]
+                documents = [documents[i] for i in keep]
+                vectors = vectors[keep]
             # overwrite semantics for duplicate ids: tombstone the old rows
             stale = [
                 p
@@ -597,18 +613,25 @@ class TPUVectorStore(VectorStore):
         if not flat_queries:
             return [[] for _ in variants_per_query]
         with self._rw.read():
+            # resolution must stay under the read lock: a concurrent
+            # delete can cross compact_threshold and remap positions, and
+            # pre-compaction positions would resolve to the WRONG documents
             _, positions = self._batch_search_raw(flat_queries, k_per_variant)
-        b = len(variants_per_query)
-        p_max = max(len(vs) for vs in variants_per_query)
-        grouped = np.full((b, p_max, k_per_variant), -1, dtype=np.int32)
-        row = 0
-        for qi, vs in enumerate(variants_per_query):
-            for pi in range(len(vs)):
-                grouped[qi, pi] = positions[row]
-                row += 1
-        scores, fused = rrf_fuse_positions(jnp.asarray(grouped), k_out=k, rrf_k=rrf_k)
-        scores, fused = (np.asarray(a) for a in jax.device_get((scores, fused)))
-        return [self._resolve(s, p) for s, p in zip(scores, fused)]
+            b = len(variants_per_query)
+            p_max = max(len(vs) for vs in variants_per_query)
+            grouped = np.full((b, p_max, k_per_variant), -1, dtype=np.int32)
+            row = 0
+            for qi, vs in enumerate(variants_per_query):
+                for pi in range(len(vs)):
+                    grouped[qi, pi] = positions[row]
+                    row += 1
+            scores, fused = rrf_fuse_positions(
+                jnp.asarray(grouped), k_out=k, rrf_k=rrf_k
+            )
+            scores, fused = (
+                np.asarray(a) for a in jax.device_get((scores, fused))
+            )
+            return [self._resolve(s, p) for s, p in zip(scores, fused)]
 
     def max_marginal_relevance_search(
         self,
@@ -639,13 +662,15 @@ class TPUVectorStore(VectorStore):
             if cand_pos.size == 0:
                 return []
             cand_vecs = self.index.take(cand_pos)
-        chosen = mmr_select(q[0], cand_vecs, k=k, lambda_mult=lambda_mult)
-        docs = []
-        for i in chosen:
-            doc = self.docstore.get_by_position(int(cand_pos[i]))
-            if doc is not None:
-                docs.append(doc)
-        return docs
+            # select AND resolve under the lock — a concurrent compaction
+            # would remap positions out from under cand_pos
+            chosen = mmr_select(q[0], cand_vecs, k=k, lambda_mult=lambda_mult)
+            docs = []
+            for i in chosen:
+                doc = self.docstore.get_by_position(int(cand_pos[i]))
+                if doc is not None:
+                    docs.append(doc)
+            return docs
 
     # -- introspection ----------------------------------------------------
 

@@ -78,7 +78,11 @@ class VectorStoreRetriever(BaseRetriever):
         if self.search_type == "similarity" and batch_fn is not None:
             results = batch_fn(queries, k=k)
             return [[d for d, _ in hits][:k] for hits in results]
-        return [self._get_relevant_documents(q, k=k, **kwargs) for q in queries]
+        # per-query fallback (mmr / score-threshold): kwargs may itself
+        # carry 'k' (the serving path always passes it) — strip it or the
+        # explicit k=k below raises 'multiple values for keyword argument'
+        rest = {kk: vv for kk, vv in kwargs.items() if kk != "k"}
+        return [self._get_relevant_documents(q, k=k, **rest) for q in queries]
 
     # -- pass-throughs (dense.py add/delete/get_by_ids parity) ------------
 

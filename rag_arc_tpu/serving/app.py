@@ -67,13 +67,23 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         try:
             payload = self._read_json()
             if self.path == "/query":
+                # validate THIS request before it coalesces: an empty
+                # query would fail invoke_batch's whole-batch validation
+                # and 500 every other user's in-flight request
                 query = payload.get("query", "")
+                if not isinstance(query, str) or not query.strip():
+                    self._send(400, {"error": "query must be a non-empty string"})
+                    return
                 docs = self.pipeline.query(query, k=payload.get("k"))
                 self._send(200, {"documents": [_doc_json(d) for d in docs]})
             elif self.path == "/batch":
-                results = self.pipeline.query_batch(
-                    payload.get("queries", []), k=payload.get("k")
-                )
+                queries = payload.get("queries", [])
+                if not all(
+                    isinstance(q, str) and q.strip() for q in queries
+                ):
+                    self._send(400, {"error": "queries must be non-empty strings"})
+                    return
+                results = self.pipeline.query_batch(queries, k=payload.get("k"))
                 self._send(
                     200,
                     {"results": [[_doc_json(d) for d in docs] for docs in results]},
@@ -84,12 +94,18 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 if add is None:
                     self._send(400, {"error": "retriever does not support adds"})
                     return
+                texts = payload["texts"]
+                metadatas = payload.get("metadatas") or [{}] * len(texts)
+                if len(metadatas) != len(texts):
+                    # zip truncation would silently drop documents
+                    self._send(
+                        400,
+                        {"error": "texts and metadatas length mismatch"},
+                    )
+                    return
                 docs = [
                     Document(content=t, metadata=dict(m))
-                    for t, m in zip(
-                        payload["texts"],
-                        payload.get("metadatas") or [{}] * len(payload["texts"]),
-                    )
+                    for t, m in zip(texts, metadatas)
                 ]
                 ids = add(docs)
                 self._send(200, {"ids": ids})
@@ -178,9 +194,16 @@ def _pipeline_from_store(path: str, dim: Optional[int], k: int):
     manifest = _json.loads(
         (dense / "manifest.json").read_text(encoding="utf-8")
     )
+    spec = manifest.get("embedding")
+    if dim is not None and spec and spec.get("dim") and int(spec["dim"]) != dim:
+        logger.warning(
+            "--dim %d ignored: the snapshot records its embedder (dim %d) "
+            "and queries must match the indexed space — the override only "
+            "applies to legacy snapshots without an embedding spec",
+            dim, int(spec["dim"]),
+        )
     if dim is None:
         dim = int(manifest["dim"])
-    spec = manifest.get("embedding")
     if spec is None:
         # pre-spec snapshot: the historical behavior (ingest's default)
         logger.warning(

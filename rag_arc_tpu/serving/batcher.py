@@ -64,6 +64,13 @@ class QueryBatcher:
     def submit(self, query: str, **kwargs: Any) -> Any:
         """Blocking: returns this query's result when its batch completes."""
         pending = _Pending(query=query, kwargs=tuple(sorted(kwargs.items())))
+        try:
+            hash(pending.kwargs)
+        except TypeError as exc:
+            # reject unhashable kwargs (e.g. JSON "k": [10]) HERE, on the
+            # offending request — inside _run_batch it would kill the
+            # worker before any event is set and hang the whole batch
+            raise TypeError(f"batcher kwargs must be hashable: {exc}") from exc
         with self._lock:
             self._queue.append(pending)
             self.stats["requests"] += 1
@@ -97,26 +104,42 @@ class QueryBatcher:
         threading.Thread(target=self._run_batch, args=(batch,), daemon=True).start()
 
     def _run_batch(self, batch: List[_Pending]) -> None:
-        # group by kwargs signature so mixed-parameter requests stay correct
-        groups: Dict[tuple, List[_Pending]] = {}
-        for p in batch:
-            groups.setdefault(p.kwargs, []).append(p)
-        for kwargs_sig, group in groups.items():
-            try:
-                results = self.batch_fn(
-                    [p.query for p in group], **dict(kwargs_sig)
-                )
-                for p, r in zip(group, results):
-                    p.result = r
-            except BaseException as exc:  # noqa: BLE001 — propagate per request
-                for p in group:
+        try:
+            # group by kwargs signature so mixed-parameter requests stay
+            # correct
+            groups: Dict[tuple, List[_Pending]] = {}
+            for p in batch:
+                groups.setdefault(p.kwargs, []).append(p)
+            for kwargs_sig, group in groups.items():
+                try:
+                    results = self.batch_fn(
+                        [p.query for p in group], **dict(kwargs_sig)
+                    )
+                    if len(results) != len(group):
+                        # zip would silently hand trailing callers None
+                        raise RuntimeError(
+                            f"batch_fn returned {len(results)} results "
+                            f"for {len(group)} queries"
+                        )
+                    for p, r in zip(group, results):
+                        p.result = r
+                except BaseException as exc:  # noqa: BLE001 — per request
+                    for p in group:
+                        p.error = exc
+                finally:
+                    for p in group:
+                        p.event.set()
+        except BaseException as exc:  # noqa: BLE001 — never hang a caller
+            for p in batch:
+                if not p.event.is_set():
                     p.error = exc
-            finally:
-                for p in group:
                     p.event.set()
-        with self._lock:
-            self._in_flight -= 1
-            if self._queue and self._in_flight == 0:
-                # continuous batching: the device just went idle — drain
-                # everything that coalesced while we were running
-                self._flush_locked()
+        finally:
+            # _in_flight MUST decrement on every exit path, or the idle
+            # fast path is disabled forever and callers hang
+            with self._lock:
+                self._in_flight -= 1
+                if self._queue and self._in_flight == 0:
+                    # continuous batching: the device just went idle —
+                    # drain everything that coalesced while we were running
+                    self._flush_locked()

@@ -10,6 +10,7 @@ and the registry builds from a ``PipelineConfig``.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -17,7 +18,7 @@ from rag_arc_tpu.rerank.base import RerankerBase
 from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.retrieval.rewrite import MultiQueryRewriter
 from rag_arc_tpu.serving.batcher import QueryBatcher
-from rag_arc_tpu.utils.data_model import Document
+from rag_arc_tpu.utils.data_model import Document, RetrievalResult
 from rag_arc_tpu.utils.fusion import RRFusion
 from rag_arc_tpu.utils.tracing import get_tracer, stage
 
@@ -45,11 +46,12 @@ class RagPipeline:
             self._answer_batch, max_batch=batch_max, max_wait_ms=batch_wait_ms
         )
         self.metrics: Dict[str, float] = {"queries": 0, "total_ms": 0.0}
+        self._metrics_lock = threading.Lock()
 
     # -- core --------------------------------------------------------------
 
     def _answer_batch(self, queries: Sequence[str], k: Optional[int] = None) -> List[List[Document]]:
-        k = k or self.top_k
+        k = self.top_k if k is None else int(k)
         t0 = time.time()
         if self.rewriter is not None:
             # expand every query, answer ALL variants in one dispatch, fuse
@@ -67,8 +69,6 @@ class RagPipeline:
                 )
             candidates = []
             for lo, hi in spans:
-                from rag_arc_tpu.utils.data_model import RetrievalResult
-
                 paths = [
                     [
                         RetrievalResult(document=d, score=0.0, rank=r, source=f"v{i}")
@@ -96,8 +96,11 @@ class RagPipeline:
                     ]
         out = [docs[:k] for docs in candidates]
         elapsed = (time.time() - t0) * 1e3
-        self.metrics["queries"] += len(queries)
-        self.metrics["total_ms"] += elapsed
+        with self._metrics_lock:
+            # several batcher threads can finish at once (continuous
+            # batching) — unlocked += loses updates
+            self.metrics["queries"] += len(queries)
+            self.metrics["total_ms"] += elapsed
         return out
 
     # -- public API ----------------------------------------------------------

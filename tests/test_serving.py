@@ -51,6 +51,30 @@ class TestBatcher:
         assert sum(batches) == 10
         assert max(batches) > 1  # at least some coalescing happened
 
+    def test_unhashable_kwargs_rejected_at_submit(self):
+        """Unhashable kwargs (e.g. JSON \"k\": [10]) must fail THE
+        offending request at submit — inside the worker they killed the
+        thread before any event was set, hanging the whole batch and
+        leaking _in_flight (idle fast path disabled forever)."""
+        b = QueryBatcher(lambda qs, **kw: list(qs), max_batch=4, max_wait_ms=1.0)
+        with pytest.raises(TypeError, match="hashable"):
+            b.submit("q", k=[10])
+        # the batcher is still healthy
+        assert b.submit("ok") == "ok"
+
+    def test_short_batch_fn_result_errors_not_truncates(self):
+        """batch_fn returning fewer results than queries must raise for
+        the batch, not silently hand trailing callers None."""
+        from rag_arc_tpu.serving.batcher import _Pending
+
+        b = QueryBatcher(lambda qs, **kw: [qs[0]], max_batch=8, max_wait_ms=1.0)
+        p1, p2 = _Pending(query="a", kwargs=()), _Pending(query="b", kwargs=())
+        b._in_flight += 1  # _run_batch decrements on its way out
+        b._run_batch([p1, p2])
+        assert p1.event.is_set() and p2.event.is_set()
+        assert isinstance(p1.error, RuntimeError) and "results" in str(p1.error)
+        assert b._in_flight == 0  # fast path stays armed
+
     def test_idle_fast_path_no_window_wait(self):
         """A lone request on an idle device must dispatch immediately —
         NOT pay the coalescing window (here set absurdly high)."""
@@ -382,6 +406,22 @@ class TestHTTPApp:
         hits = self._post(f"{server}/query", {"query": "ephemeral zebra", "k": 3})
         assert all(d["content"] != "ephemeral zebra doc" for d in hits["documents"])
         assert not self._post(f"{server}/delete", {"ids": ["missing"]})["deleted"]
+
+    def test_malformed_requests_get_400_not_batch_poison(self, server):
+        """Per-request validation happens BEFORE coalescing: an empty
+        query or mismatched metadatas 400s its own request instead of
+        failing the whole coalesced batch (or silently dropping docs)."""
+        for payload in ({}, {"query": "   "}, {"query": 7}):
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                self._post(f"{server}/query", payload)
+            assert exc_info.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            self._post(
+                f"{server}/add", {"texts": ["a", "b", "c"], "metadatas": [{}]}
+            )
+        assert exc_info.value.code == 400
+        # healthy request still works afterwards
+        assert self._post(f"{server}/add", {"texts": ["recovery doc"]})["ids"]
 
     def test_error_handling(self, server):
         req = urllib.request.Request(

@@ -348,3 +348,43 @@ class TestHostDeviceHops:
         assert len(calls) == 1, f"expected 1 readback, saw {len(calls)}"
         stages = get_tracer().summary()
         assert {"store.tokenize", "store.dispatch", "store.fetch"} <= set(stages)
+
+
+class TestReviewRegressions:
+    def test_batched_mmr_and_threshold_retrieval(self):
+        """The serving path always passes k inside kwargs; the per-query
+        fallback for mmr/score-threshold retrievers used to re-pass k
+        explicitly too — TypeError: multiple values for 'k' (every such
+        pipeline 500'd)."""
+        store = TPUVectorStore.from_texts(
+            [f"document number {i}" for i in range(50)], HashEmbeddings(dim=32)
+        )
+        for st, extra in (
+            ("mmr", {}),
+            ("similarity_score_threshold", {"score_threshold": 0.0}),
+        ):
+            r = store.as_retriever(
+                search_type=st, search_kwargs={"k": 2, **extra}
+            )
+            out = r.invoke_batch(["document number 7", "document number 9"], k=2)
+            assert len(out) == 2 and all(len(hits) <= 2 for hits in out)
+            assert any("7" in d.content for d in out[0])
+
+    def test_duplicate_ids_within_one_add_batch(self):
+        """Two docs with the same id in ONE add_documents call must not
+        orphan a live index row: the docstore keeps the later doc, and the
+        earlier copy's row must not remain silently searchable."""
+        store = TPUVectorStore(HashEmbeddings(dim=32), dim=32)
+        store.add_documents(
+            [
+                Document(content="first version", id="x"),
+                Document(content="second version", id="x"),
+            ]
+        )
+        assert len(store) == 1
+        assert store.get_by_ids(["x"])[0].content == "second version"
+        # every searchable row resolves (no ghost): k over-asks on purpose
+        hits = store.similarity_search("version", k=4)
+        assert [d.content for d in hits] == ["second version"]
+        idx = store.index
+        assert idx.n_active == 1, (idx.size, idx.n_deleted)
