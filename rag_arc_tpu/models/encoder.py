@@ -111,13 +111,21 @@ class Trunk(nn.Module):
             param_dtype=cfg.param_dtype,
             name="tok_embed",
         )(ids)
+        # positions from the mask, not arange: under LEFT padding (the
+        # cross-encoder path) real tokens must embed positions 0..n-1
+        # regardless of how much padding the batch's longest row forced —
+        # absolute arange made a pair's score depend on batch composition.
+        # Right-padded rows see cumsum-1 == arange on their real tokens,
+        # and pad positions never reach pooling/attention outputs.
+        # (Same recipe as models/qwen3.py, mirroring HF position_ids.)
+        positions = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
         pos = nn.Embed(
             cfg.max_len,
             cfg.dim,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name="pos_embed",
-        )(jnp.arange(l)[None, :])
+        )(positions)
         x = tok + pos
 
         # additive attention bias: -inf at masked keys; causal if configured
@@ -221,8 +229,6 @@ class TextEncoderFast(nn.Module):
     @nn.compact
     def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
         cfg = self.cfg
-        b, l = ids.shape
-        trunk = self  # param scope mirror of Trunk inside TextEncoder
 
         class _FastTrunk(nn.Module):
             cfg: TransformerConfig
@@ -237,13 +243,18 @@ class TextEncoderFast(nn.Module):
                     param_dtype=cfg.param_dtype,
                     name="tok_embed",
                 )(ids)
+                # mask-derived positions, matching Trunk exactly (the
+                # parity contract between the twins)
+                positions = jnp.clip(
+                    jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0
+                )
                 pos = nn.Embed(
                     cfg.max_len,
                     cfg.dim,
                     dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype,
                     name="pos_embed",
-                )(jnp.arange(ids.shape[1])[None, :])
+                )(positions)
                 x = tok + pos
                 neg = jnp.asarray(-1e9, dtype=jnp.float32)
                 key_bias = jnp.where(mask[:, None, None, :], 0.0, neg)

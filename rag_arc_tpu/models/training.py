@@ -107,6 +107,11 @@ def fit(
         )
         state = shard_state(state)
     else:
+        # copy onto fresh buffers first: the jitted step DONATES its input
+        # state, and the mesh-less TrainState wraps the caller's own param
+        # arrays — donating those deletes them ('Array has been deleted'
+        # the next time the caller touches the params they passed in)
+        state = jax.tree_util.tree_map(jnp.array, state)
         step_fn = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
         shard_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
 
@@ -178,19 +183,24 @@ def make_sharded_train_step(
     step_fn = make_train_step(model, optimizer)
 
     def _sharding_for_state(state: TrainState):
-        # optimizer slots mirror param shapes → shard them like the
-        # matching param; scalar slots (counts, schedules) replicate.
-        param_leaves = jax.tree_util.tree_leaves(state.params)
-        shard_leaves = jax.tree_util.tree_leaves(p_shard)
-        shape_to_shard = {}
-        for leaf, sh in zip(param_leaves, shard_leaves):
-            shape_to_shard.setdefault(leaf.shape, sh)
+        # optimizer slots mirror the PARAM TREE (optax mu/nu are
+        # params-structured) → walk the opt_state and mirror param
+        # shardings by tree structure, never by shape: two same-shaped
+        # params with different specs (e.g. tok_embed tp-sharded vs
+        # pos_embed replicated when vocab == max_len) would otherwise
+        # collide first-match-wins and silently mis-shard one of them.
+        param_struct = jax.tree_util.tree_structure(state.params)
 
-        def assign(leaf):
-            sh = shape_to_shard.get(getattr(leaf, "shape", None))
-            return sh if sh is not None else replicated
+        def assign(node):
+            if isinstance(node, tuple):
+                parts = (assign(f) for f in node)
+                return type(node)(*parts) if hasattr(node, "_fields") else tuple(parts)
+            if jax.tree_util.tree_structure(node) == param_struct:
+                return jax.tree_util.tree_map(lambda _, s: s, node, p_shard)
+            # scalars (counts, schedules) and anything non-param-shaped
+            return jax.tree_util.tree_map(lambda _: replicated, node)
 
-        opt_shard = jax.tree_util.tree_map(assign, state.opt_state)
+        opt_shard = assign(state.opt_state)
         return TrainState(p_shard, opt_shard, replicated)
 
     def shard_state(state: TrainState) -> TrainState:

@@ -140,13 +140,9 @@ class CrossEncoderReranker(RerankerBase):
             instruction=self.instruction, query=query, document=document
         )
 
-    def compute_scores(
-        self, query: str, documents: Sequence[Document]
-    ) -> np.ndarray:
-        """Score every candidate in one device dispatch."""
-        if not documents:
-            return np.empty((0,), dtype=np.float32)
-        prompts = [self._render(query, d.content) for d in documents]
+    def _score_prompts(self, prompts: Sequence[str]) -> np.ndarray:
+        """Encode → pow2-pad the batch → one dispatch → trim. The single
+        scoring path for both rerank entry points."""
         ids, mask = self._encode_bucketed(prompts)
         n = len(prompts)
         b_pad = 1 << math.ceil(math.log2(max(n, 1)))
@@ -162,6 +158,16 @@ class CrossEncoderReranker(RerankerBase):
             self.no_id,
         )
         return np.asarray(jax.device_get(scores))[:n]
+
+    def compute_scores(
+        self, query: str, documents: Sequence[Document]
+    ) -> np.ndarray:
+        """Score every candidate in one device dispatch."""
+        if not documents:
+            return np.empty((0,), dtype=np.float32)
+        return self._score_prompts(
+            [self._render(query, d.content) for d in documents]
+        )
 
     def rerank(
         self, query: str, documents: Sequence[Document], k: Optional[int] = None, **_: Any
@@ -193,21 +199,7 @@ class CrossEncoderReranker(RerankerBase):
                 prompts.append(self._render(query, doc.content))
         if not flat_docs:
             return [[] for _ in queries]
-        ids, mask = self._encode_bucketed(prompts)
-        n = len(prompts)
-        b_pad = 1 << math.ceil(math.log2(max(n, 1)))
-        if b_pad > n:
-            ids = np.pad(ids, ((0, b_pad - n), (0, 0)))
-            mask = np.pad(mask, ((0, b_pad - n), (0, 0)))
-        scores = np.asarray(
-            jax.device_get(
-                _score_batch(
-                    self.model, self.params,
-                    jnp.asarray(ids), jnp.asarray(mask),
-                    self.yes_id, self.no_id,
-                )
-            )
-        )[:n]
+        scores = self._score_prompts(prompts)
         out = []
         for (lo, hi), docs in zip(spans, documents_per_query):
             out.append(self._sorted(list(docs), scores[lo:hi], k))
@@ -221,6 +213,17 @@ class CrossEncoderReranker(RerankerBase):
         out = []
         for i in order[:k]:
             doc = documents[int(i)]
-            doc.metadata["rerank_score"] = float(scores[int(i)])
-            out.append(doc)
+            # stamp the score on a per-request COPY: the docstore hands out
+            # the SAME Document instance every time, so mutating it in
+            # place leaks one request's score into concurrent/later
+            # responses (and into non-reranked retrievals)
+            out.append(
+                Document(
+                    content=doc.content,
+                    metadata={
+                        **doc.metadata, "rerank_score": float(scores[int(i)])
+                    },
+                    id=doc.id,
+                )
+            )
         return out

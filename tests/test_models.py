@@ -162,6 +162,30 @@ class TestReranker:
         rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
         assert rr.rerank("q", []) == []
 
+    def test_score_invariant_to_batch_composition(self):
+        """Left-padded scoring must not depend on the batch's longest
+        candidate: positions derive from the mask, so a pair scores the
+        same alone (small bucket, little padding) as next to a long doc
+        (big bucket, heavy left padding). Absolute arange positions broke
+        this — rerank order changed with candidate-set composition."""
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        short = Document(content="short relevant answer")
+        long_doc = Document(content="filler words " * 120)
+        alone = rr.compute_scores("the query", [short])[0]
+        together = rr.compute_scores("the query", [short, long_doc])[0]
+        np.testing.assert_allclose(alone, together, atol=1e-4)
+
+    def test_rerank_does_not_mutate_input_documents(self):
+        """Scores stamp a per-request COPY: the docstore hands out shared
+        Document instances, and in-place metadata writes leaked one
+        request's scores into other responses."""
+        rr = CrossEncoderReranker(cfg=TransformerConfig.tiny(causal=True))
+        docs = [Document(content=f"doc {i}", metadata={"keep": i}) for i in range(3)]
+        out = rr.rerank("q", docs, k=3)
+        assert all("rerank_score" not in d.metadata for d in docs)
+        assert all("rerank_score" in d.metadata and d.metadata["keep"] is not None
+                   for d in out)
+
 
 class TestTraining:
     def test_loss_decreases(self):
@@ -256,6 +280,36 @@ class TestFit:
         model, params = init_encoder(cfg)
         with pytest.raises(ValueError, match="batch_size"):
             fit(model, params, [("a", "b")], HashTokenizer(), batch_size=8)
+
+    def test_fit_does_not_delete_caller_params(self):
+        """The jitted step donates its state; fit must copy first or the
+        caller's own param arrays are deleted by the first step."""
+        from rag_arc_tpu.models.tokenizer import HashTokenizer
+        from rag_arc_tpu.models.training import fit
+
+        cfg = TransformerConfig.tiny()
+        model, params = init_encoder(cfg, seed=0)
+        pairs = [(f"q {i}", f"d {i}") for i in range(8)]
+        tok = HashTokenizer(vocab_size=512, max_len=16)
+        fit(model, params, pairs, tok, steps=2, batch_size=8, max_len=16)
+        # the ORIGINAL params must still be usable after training
+        ids = jnp.zeros((2, 8), jnp.int32)
+        out = model.apply(params, ids, jnp.ones((2, 8), bool))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_left_pad_truncation_keeps_the_tail(self):
+        """Last-position readers (the reranker's 'Answer:' cue) must keep
+        the END of overlong prompts through truncation."""
+        from rag_arc_tpu.models.tokenizer import HashTokenizer
+
+        tok = HashTokenizer(vocab_size=512, max_len=16)
+        prompt = " ".join(f"w{i}" for i in range(100)) + " FINALCUE"
+        ids, mask = tok.batch_encode([prompt], left_pad=True)
+        cue = tok.token_id("finalcue")
+        assert cue in ids[0].tolist()
+        # head-keep (document path) unchanged
+        ids_r, _ = tok.batch_encode([prompt], left_pad=False)
+        assert cue not in ids_r[0].tolist()
 
 
 class TestSequencePacking:
