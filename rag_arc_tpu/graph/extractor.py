@@ -89,7 +89,11 @@ class GraphExtractorBase(ABC):
             rounds_run = round_idx + 1
             if self.is_extraction_complete(history, round_idx, n_new):
                 break
-        document.metadata["knowledge"] = history
+        # plain dict, NOT the pydantic object: documents flow onward into
+        # docstores/snapshots that json.dumps their metadata — a live
+        # KnowledgeStructure there crashes the standard extract-then-index
+        # flow at ingest/save time
+        document.metadata["knowledge"] = history.model_dump()
         return ExtractionResult(document=document, knowledge=history, rounds=rounds_run)
 
     # -- fan-out ------------------------------------------------------------
@@ -118,7 +122,15 @@ class GraphExtractorBase(ABC):
     async def aclean_only(
         self, results: Sequence[ExtractionResult]
     ) -> List[ExtractionResult]:
-        return [await self._clean(r) for r in results]
+        # same fan-out discipline as extraction: one awaited LLM round
+        # trip per document in sequence would dominate wall-clock ~100x
+        sem = asyncio.Semaphore(self.max_concurrent)
+
+        async def bounded(r: ExtractionResult) -> ExtractionResult:
+            async with sem:
+                return await self._clean(r)
+
+        return list(await asyncio.gather(*(bounded(r) for r in results)))
 
     async def acall(self, documents: Sequence[Document]) -> List[ExtractionResult]:
         results = await self.aextract_only(documents)

@@ -85,19 +85,48 @@ class HyperRAGGraphExtractor(GraphExtractorBase):
         self, history: KnowledgeStructure, new: KnowledgeStructure
     ) -> tuple[KnowledgeStructure, int]:
         n_new = 0
+        # events dedup by CONTENT, not LLM-assigned id: a later round that
+        # restarts its E1.. numbering must not have its genuinely-new
+        # events silently dropped (which also fired the early-stop). A
+        # reused id on new content is re-minted, and that round's
+        # relations referencing it are remapped.
+        event_keys = {e.content.strip().lower() for e in history.events}
         event_ids = {e.id for e in history.events}
+        id_remap: dict = {}
         for event in new.events:
-            if event.id not in event_ids:
-                history.events.append(event)
-                event_ids.add(event.id)
-                n_new += 1
-        entity_names = {n.entity_name.lower() for n in history.entities}
+            key = event.content.strip().lower()
+            if key in event_keys:
+                continue
+            if event.id in event_ids:
+                n = len(event_ids) + 1
+                while f"E{n}" in event_ids:
+                    n += 1
+                id_remap[event.id] = f"E{n}"
+                event = event.model_copy(update={"id": f"E{n}"})
+            history.events.append(event)
+            event_ids.add(event.id)
+            event_keys.add(key)
+            n_new += 1
+        # entities dedup by name — but a re-extracted entity ENRICHES the
+        # kept one (later rounds often add descriptions/aliases that
+        # entity-merge richness ranking depends on); enrichment does not
+        # count toward round progress
+        entity_by_key = {
+            n.entity_name.strip().lower(): n for n in history.entities
+        }
         for entity in new.entities:
-            key = entity.entity_name.lower()
-            if key not in entity_names:
+            key = entity.entity_name.strip().lower()
+            cur = entity_by_key.get(key)
+            if cur is None:
                 history.entities.append(entity)
-                entity_names.add(key)
+                entity_by_key[key] = entity
                 n_new += 1
+                continue
+            if entity.description and not cur.description:
+                cur.description = entity.description
+            for m in entity.mentions:
+                if m not in cur.mentions:
+                    cur.mentions.append(m)
         # relations dedup by (head, tail, type); they do NOT count toward
         # round progress (reference stops on no new events/entities)
         seen_ev = {
@@ -105,6 +134,13 @@ class HyperRAGGraphExtractor(GraphExtractorBase):
             for r in history.event_relations
         }
         for rel in new.event_relations:
+            if rel.head_event in id_remap or rel.tail_event in id_remap:
+                rel = rel.model_copy(
+                    update={
+                        "head_event": id_remap.get(rel.head_event, rel.head_event),
+                        "tail_event": id_remap.get(rel.tail_event, rel.tail_event),
+                    }
+                )
             key = (rel.head_event, rel.tail_event, rel.relation_type)
             if key not in seen_ev:
                 history.event_relations.append(rel)
@@ -207,13 +243,14 @@ class HyperRAGGraphExtractor(GraphExtractorBase):
         knowledge.entities = [
             e for e in knowledge.entities if e.entity_name.lower() in kept
         ]
-        kept_names = {e.entity_name.lower() for e in knowledge.entities}
+        kept_names = {e.entity_name.strip().lower() for e in knowledge.entities}
         # 3. relation cleanup
         self._resolve_event_relations(knowledge)
         self._clean_entity_relations(knowledge, kept_names)
-        # participants must reference kept entities
+        # participants must reference kept entities (strip: padded
+        # surface forms must not sever the link)
         for event in knowledge.events:
             event.participants = [
-                p for p in event.participants if p.lower() in kept_names
+                p for p in event.participants if p.strip().lower() in kept_names
             ]
         return result

@@ -213,11 +213,22 @@ class ArrayGraphStore:
                             properties={"relation_type": rel.relation_type},
                         )
                     )
-        # 6: event relations — endpoints matched by content (ref :441-449)
+        # 6: event relations — endpoints matched by content (ref :441-449),
+        # falling back to the extractor's per-document E-ids: with
+        # clean=False the relations still hold raw ids, and content-only
+        # matching silently dropped EVERY event relation
         for res in results:
+            key_by_id = {
+                ev.id: event_key_by_content.get(ev.content)
+                for ev in res.knowledge.events
+            }
             for rel in res.knowledge.event_relations:
-                head = event_key_by_content.get(rel.head_event)
-                tail = event_key_by_content.get(rel.tail_event)
+                head = event_key_by_content.get(rel.head_event) or key_by_id.get(
+                    rel.head_event
+                )
+                tail = event_key_by_content.get(rel.tail_event) or key_by_id.get(
+                    rel.tail_event
+                )
                 if head and tail and head != tail:
                     self.add_edge(
                         GraphEdge(
@@ -236,7 +247,9 @@ class ArrayGraphStore:
                     GraphEdge(src=chunk_key, dst=ev_key, edge_type="CONTAINS")
                 )
                 for participant in ev.participants:
-                    p_key = participant.lower()
+                    # strip: whitespace-padded participant strings would
+                    # silently sever the PARTICIPATES_IN edge
+                    p_key = participant.strip().lower()
                     if p_key in self.nodes["entity"]:
                         self.add_edge(
                             GraphEdge(
@@ -527,11 +540,24 @@ class ArrayGraphStore:
                 for kind, nodes in self.nodes.items()
             },
             "edges": [e.model_dump() for e in self.edges],
+            "emb_keys": {},
         }
+        # snapshot the per-kind embedding vectors too: re-encoding every
+        # node at load is hours of encoder work at 1M nodes for data the
+        # store already holds
+        for kind, index in self._indexes.items():
+            positions = self._positions.get(kind) or {}
+            if index is None or not positions:
+                continue
+            keys = list(positions.keys())
+            vecs = index.take(np.asarray([positions[k] for k in keys]))
+            np.save(f"{path}.emb_{kind}.npy", vecs.astype(np.float32))
+            payload["emb_keys"][kind] = keys
         path.write_text(json.dumps(payload, ensure_ascii=False), encoding="utf-8")
 
     def load(self, path: str | Path) -> None:
-        payload = json.loads(Path(path).read_text(encoding="utf-8"))
+        path = Path(path)
+        payload = json.loads(path.read_text(encoding="utf-8"))
         if payload.get("format") != "rag_arc_tpu.graph.v1":
             raise ValueError(f"unrecognized graph snapshot format in {path}")
         self.delete_graph_data()
@@ -540,4 +566,15 @@ class ArrayGraphStore:
                 self.nodes[kind][key] = GraphNode.model_validate(node)
         for edge in payload["edges"]:
             self.add_edge(GraphEdge.model_validate(edge))
+        # restore snapshotted vectors where present; anything missing (or
+        # a legacy snapshot without sidecars) backfills via the encoder
+        for kind, keys in (payload.get("emb_keys") or {}).items():
+            sidecar = Path(f"{path}.emb_{kind}.npy")
+            if not keys or not sidecar.exists():
+                continue
+            vecs = np.load(sidecar)
+            index = self._index_for(kind, vecs.shape[1])
+            positions = index.add(vecs)
+            for key, pos in zip(keys, positions):
+                self._positions[kind][key] = int(pos)
         self.generate_embeddings()

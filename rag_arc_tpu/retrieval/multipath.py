@@ -22,7 +22,7 @@ from typing import Any, List, Optional, Sequence
 
 from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
-from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion
+from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion, results_from_ranked_docs
 
 logger = logging.getLogger(__name__)
 
@@ -141,10 +141,7 @@ class MultiPathRetriever(BaseRetriever):
             )
             return [[] for _ in queries]
         return [
-            [
-                RetrievalResult(document=doc, score=0.0, rank=rank, source=retriever.name)
-                for rank, doc in enumerate(docs, start=1)
-            ]
+            results_from_ranked_docs(docs, source=retriever.name)
             for docs in per_query
         ]
 

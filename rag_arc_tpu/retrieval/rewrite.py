@@ -19,7 +19,7 @@ from pydantic import BaseModel, Field
 from rag_arc_tpu.llm.base import LLMBase
 from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
-from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion
+from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion, results_from_ranked_docs
 
 logger = logging.getLogger(__name__)
 
@@ -91,10 +91,12 @@ class RewriteRetriever(BaseRetriever):
         self.top_k = top_k
         self.k_per_query = k_per_query
         self.include_original = include_original
+        self._last_variants: List[str] = []
 
     def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
         top_k = int(kwargs.get("k", self.top_k))
         queries = self.rewriter.rewrite(query)
+        self._last_variants = list(queries)
         if self.include_original or not queries:
             queries = [query] + queries
         # fully fused path: when the wrapped retriever is a dense retriever
@@ -122,14 +124,13 @@ class RewriteRetriever(BaseRetriever):
             return out
         per_query = self.retriever.invoke_batch(queries, k=self.k_per_query)
         paths = [
-            [
-                RetrievalResult(document=doc, score=0.0, rank=rank, source=f"q{qi}")
-                for rank, doc in enumerate(docs, start=1)
-            ]
+            results_from_ranked_docs(docs, source=f"q{qi}")
             for qi, docs in enumerate(per_query)
         ]
         return self.fusion_method.fuse(paths, top_k)
 
-    def last_variants(self, query: str) -> List[str]:
-        """Expose the rewrites for observability/debugging."""
-        return self.rewriter.rewrite(query)
+    def last_variants(self, query: Optional[str] = None) -> List[str]:
+        """The rewrites the LAST invoke actually retrieved with — not a
+        fresh (nondeterministic, costed) LLM call, which could return a
+        different set than the one that produced the ranking."""
+        return list(self._last_variants)

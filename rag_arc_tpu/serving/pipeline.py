@@ -19,7 +19,7 @@ from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.retrieval.rewrite import MultiQueryRewriter
 from rag_arc_tpu.serving.batcher import QueryBatcher
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
-from rag_arc_tpu.utils.fusion import RRFusion
+from rag_arc_tpu.utils.fusion import RRFusion, results_from_ranked_docs
 from rag_arc_tpu.utils.tracing import get_tracer, stage
 
 logger = logging.getLogger(__name__)
@@ -70,10 +70,7 @@ class RagPipeline:
             candidates = []
             for lo, hi in spans:
                 paths = [
-                    [
-                        RetrievalResult(document=d, score=0.0, rank=r, source=f"v{i}")
-                        for r, d in enumerate(per_variant[i], start=1)
-                    ]
+                    results_from_ranked_docs(per_variant[i], source=f"v{i}")
                     for i in range(lo, hi)
                 ]
                 candidates.append(

@@ -89,10 +89,14 @@ class WeightedScoreFusion(FusionMethod):
                 continue
             raw = [hit.score for hit in path]
             lo, hi = min(raw), max(raw)
+            uniform = hi == lo
             span = (hi - lo) or 1.0
             for hit in path:
                 key = hit.document.content
-                norm = (hit.score - lo) / span
+                # a single-hit or uniform-score path contributes its FULL
+                # weight, not zero — min-max collapse silently discarded
+                # exactly the paths most confident in their one answer
+                norm = 1.0 if uniform else (hit.score - lo) / span
                 scores[key] = scores.get(key, 0.0) + w * norm
                 first_seen.setdefault(key, hit.document)
         ranked = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)[:top_k]
@@ -103,3 +107,20 @@ class WeightedScoreFusion(FusionMethod):
             doc.metadata["fusion_score"] = score
             fused.append(doc)
         return fused
+
+
+def results_from_ranked_docs(
+    docs: Sequence[Document], source: str
+) -> List[RetrievalResult]:
+    """Wrap a retriever's RANKED documents as RetrievalResults.
+
+    Leaf retrievers return ordered documents without scores; the score
+    here is the reciprocal-rank proxy ``1/rank`` — monotone with the
+    path's own ranking, so ``WeightedScoreFusion`` gets a real signal
+    (a fabricated 0.0 collapsed it to unweighted insertion order).
+    ``RRFusion`` reads only ``rank`` and is unaffected.
+    """
+    return [
+        RetrievalResult(document=doc, score=1.0 / rank, rank=rank, source=source)
+        for rank, doc in enumerate(docs, start=1)
+    ]

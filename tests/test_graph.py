@@ -58,7 +58,12 @@ class TestExtractor:
         results = ex([Document(content="reactor startup log")])
         assert results[0].rounds == 2
         assert len(results[0].knowledge.events) == 1
-        assert results[0].document.metadata["knowledge"] is results[0].knowledge
+        # metadata carries a JSON-serializable DUMP (documents flow into
+        # docstores/snapshots that json.dumps metadata)
+        assert results[0].document.metadata["knowledge"] == results[0].knowledge.model_dump()
+        import json as _json
+
+        _json.dumps(results[0].document.metadata)
 
     def test_dedup_by_event_id_and_entity_name(self):
         llm = FakeLLM(
@@ -268,8 +273,18 @@ class TestStore:
         store.store_hyperrag_graph(extracted)
         p = tmp_path / "graph.json"
         store.save(p)
-        store2 = ArrayGraphStore(HashEmbeddings(dim=32))
+        class CountingEmbeddings(HashEmbeddings):
+            calls = 0
+
+            def encode(self, texts):
+                CountingEmbeddings.calls += 1
+                return super().encode(texts)
+
+        store2 = ArrayGraphStore(CountingEmbeddings(dim=32))
         store2.load(p)
+        # the snapshot carries the vectors: load must NOT re-encode the
+        # whole graph (hours of encoder work at 1M nodes)
+        assert CountingEmbeddings.calls == 0
         assert store2.get_graph_statistics() == store.get_graph_statistics()
         assert store2.entity_linked_chunks("reactor", k=1)
 
