@@ -61,10 +61,13 @@ class BlobDocstore:
         self._off = np.zeros(1024, dtype=np.int64)
         self._len = np.full(1024, -1, dtype=np.int64)
         self._count = 0
-        # id-hash -> position: sorted core + small pending overlay
+        # id-hash -> positions: sorted core + small pending overlay. The
+        # overlay maps hash -> LIST (newest first): two distinct ids that
+        # collide within one merge window must both stay findable — a
+        # single slot silently orphaned the earlier id's record
         self._h_sorted = np.empty(0, dtype=np.uint64)
         self._p_sorted = np.empty(0, dtype=np.int64)
-        self._pending: Dict[int, int] = {}
+        self._pending: Dict[int, List[int]] = {}
         if (self.path / "index.npz").exists():
             self._restore_index()
 
@@ -83,10 +86,19 @@ class BlobDocstore:
         self._off, self._len = off, length
 
     def _merge_pending(self, force: bool = False) -> None:
-        if not self._pending or (not force and len(self._pending) < _MERGE_THRESHOLD):
+        n = sum(len(v) for v in self._pending.values())
+        if not n or (not force and n < _MERGE_THRESHOLD):
             return
-        h = np.fromiter(self._pending.keys(), dtype=np.uint64, count=len(self._pending))
-        p = np.fromiter(self._pending.values(), dtype=np.int64, count=len(self._pending))
+        h = np.empty(n, dtype=np.uint64)
+        p = np.empty(n, dtype=np.int64)
+        i = 0
+        for hh, plist in self._pending.items():
+            # chronological (oldest first): the stable sort then keeps the
+            # newest entry last, and lookups walk equal-hash runs newest-first
+            for pp in reversed(plist):
+                h[i] = hh
+                p[i] = pp
+                i += 1
         h_all = np.concatenate([self._h_sorted, h])
         p_all = np.concatenate([self._p_sorted, p])
         order = np.argsort(h_all, kind="stable")
@@ -96,8 +108,8 @@ class BlobDocstore:
 
     def _positions_for_hash(self, h: int) -> Iterator[int]:
         """All candidate positions for an id hash (collisions + rewrites)."""
-        if h in self._pending:
-            yield self._pending[h]
+        for pos in self._pending.get(h, ()):
+            yield pos
         lo = int(np.searchsorted(self._h_sorted, np.uint64(h), side="left"))
         hi = int(np.searchsorted(self._h_sorted, np.uint64(h), side="right"))
         # later duplicates (id re-adds) shadow earlier ones: iterate newest
@@ -134,32 +146,39 @@ class BlobDocstore:
             raise ValueError("documents and positions length mismatch")
         if not documents:
             return []
+        # pass 1: serialize EVERY record before touching any state — a
+        # json.dumps failure mid-batch (e.g. a numpy scalar in metadata)
+        # must not leave earlier old-slots tombstoned and offsets pointing
+        # at bytes that were never written
+        recs: List[tuple] = []
+        for doc, pos in zip(documents, positions):
+            doc_id = doc.ensure_id()
+            rec = json.dumps(
+                {"id": doc_id, "content": doc.content, "metadata": doc.metadata},
+                ensure_ascii=False,
+            ).encode("utf-8") + b"\n"
+            recs.append((doc_id, int(pos), rec))
         self._ensure_capacity(max(positions))
         self._blob.flush()
         offset = self._blob.tell()
         ids: List[str] = []
         chunks: List[bytes] = []
         batch_pos: Dict[str, int] = {}  # ids repeated within one batch
-        for doc, pos in zip(documents, positions):
-            doc_id = doc.ensure_id()
+        for doc_id, pos, rec in recs:
             old = batch_pos.get(doc_id)
             if old is None:
                 old = self.position_of(doc_id)
-            batch_pos[doc_id] = int(pos)
-            if old is not None and old != int(pos):
+            batch_pos[doc_id] = pos
+            if old is not None and old != pos:
                 self._len[old] = -1
                 self._count -= 1
-            elif old == int(pos):
+            elif old == pos:
                 self._count -= 1  # same-slot rewrite, re-counted below
-            rec = json.dumps(
-                {"id": doc_id, "content": doc.content, "metadata": doc.metadata},
-                ensure_ascii=False,
-            ).encode("utf-8") + b"\n"
-            self._off[int(pos)] = offset
-            self._len[int(pos)] = len(rec) - 1  # exclude newline
+            self._off[pos] = offset
+            self._len[pos] = len(rec) - 1  # exclude newline
             offset += len(rec)
             chunks.append(rec)
-            self._pending[_id_hash(doc_id)] = int(pos)
+            self._pending.setdefault(_id_hash(doc_id), []).insert(0, pos)
             self._count += 1
             ids.append(doc_id)
         self._blob.write(b"".join(chunks))

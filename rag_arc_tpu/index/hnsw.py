@@ -47,6 +47,7 @@ def _bind():
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.hnsw_mark_deleted.restype = ctypes.c_int64  # rows NEWLY tombstoned
     lib.hnsw_mark_deleted.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
     ]
@@ -54,6 +55,7 @@ def _bind():
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
     lib.hnsw_count_deleted.restype = ctypes.c_int64
     lib.hnsw_count_deleted.argtypes = [ctypes.c_void_p]
+    lib.hnsw_get_vector.restype = ctypes.c_int  # -1 = out-of-range id
     lib.hnsw_get_vector.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
     ]
@@ -79,11 +81,11 @@ class _RefineStore:
         self.scales = np.empty((0,), dtype=np.float32)
 
     def append(self, rows: np.ndarray) -> None:
-        m = np.max(np.abs(rows), axis=1)
-        scales = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
-        codes = np.clip(
-            np.rint(rows / scales[:, None]), -127, 127
-        ).astype(np.int8)
+        # the ONE symmetric per-row int8 encode (ops/two_level.py) — a
+        # local copy here had already drifted on the zero-row scale
+        from rag_arc_tpu.ops.two_level import quantize_rows
+
+        codes, scales = quantize_rows(rows)
         need = self.n + rows.shape[0]
         if need > self.codes.shape[0]:
             cap = max(1024, 1 << int(np.ceil(np.log2(need))))
@@ -321,17 +323,30 @@ class HNSWIndex:
         if positions.size == 0:
             return
         if not self._trained:
-            self._staged_deleted.update(int(p) for p in positions)
-            self.n_deleted += int(positions.size)
+            # validate like the C++ path does: a -1 search-miss sentinel
+            # forwarded here would wrap in the staged delete mask and
+            # silently tombstone the LAST staged doc; count only rows
+            # actually newly deleted (n_active drives caller behavior)
+            valid = positions[(positions >= 0) & (positions < len(self._staged))]
+            newly = {int(p) for p in valid} - self._staged_deleted
+            self._staged_deleted.update(newly)
+            self.n_deleted += len(newly)
             return
-        self._lib.hnsw_mark_deleted(
+        newly = self._lib.hnsw_mark_deleted(
             self._handle,
             positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             positions.size,
         )
-        self.n_deleted += int(positions.size)
+        self.n_deleted += int(newly)
 
     def take(self, positions: np.ndarray) -> np.ndarray:
+        positions = np.asarray(positions, dtype=np.int64)
+        if positions.size and (
+            (positions < 0).any() or (positions >= self.size).any()
+        ):
+            # catch the search API's -1 miss sentinel here, not as an
+            # out-of-bounds read in C (garbage vectors / segfault)
+            raise ValueError("take() positions must be valid row ids (>= 0)")
         if not self._trained:
             return np.stack([self._staged[int(p)] for p in positions])
         out = np.empty((len(positions), self.dim), dtype=np.float32)

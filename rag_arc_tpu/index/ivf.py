@@ -101,6 +101,10 @@ class DeviceIVFIndex:
         self._fill = np.zeros(nlist, dtype=np.int64)
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
+        # host mirror of tombstoned positions: keeps n_deleted exact under
+        # duplicate/repeated deletes (n_active drives MMR emptiness and the
+        # compaction threshold, so overcounting has behavioral fallout)
+        self._deleted_pos: set = set()
 
     def _place(self, lists, sqnorm, valid, pos, centroids, cluster_valid):
         """Device placement: shard the cluster axis when a mesh is set."""
@@ -310,6 +314,7 @@ class DeviceIVFIndex:
         # assigns by nearest centroid, which matches the original layout)
         self.size = 0
         self.n_deleted = 0
+        self._deleted_pos.clear()
         self._fill = np.zeros(self.nlist, dtype=np.int64)
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
@@ -330,9 +335,14 @@ class DeviceIVFIndex:
 
     def mark_deleted(self, positions: np.ndarray) -> None:
         positions = np.asarray(positions, dtype=np.int64)
-        positions = positions[(positions >= 0) & (positions < self.size)]
+        positions = np.unique(positions[(positions >= 0) & (positions < self.size)])
+        positions = np.asarray(
+            [p for p in positions if int(p) not in self._deleted_pos],
+            dtype=positions.dtype,
+        )
         if positions.size == 0:
             return
+        self._deleted_pos.update(int(p) for p in positions)
         clusters = jnp.asarray(self._pos_cluster[positions])
         slots = jnp.asarray(self._pos_slot[positions])
         self.valid = self.valid.at[clusters, slots].set(False)

@@ -267,6 +267,20 @@ class TPUVectorStore(VectorStore):
         self._rw = RWLock()
         self._init_capacity = capacity
         self._dtype = dtype
+        # validate IVF dtype constraints NOW: the DeviceIVFIndex is only
+        # constructed mid-add at auto-train time, and failing there leaves
+        # the caller with recorded docs and an add() that re-raises forever
+        if (
+            index_type == "ivf"
+            and dtype is not None
+            and np.dtype(dtype) == np.int8
+        ):
+            if metric == "l2":
+                raise ValueError("int8 IVF storage supports cosine/ip, not l2")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "int8 IVF storage is single-device for now; use bf16 on meshes"
+                )
         # docstore_path selects the disk-backed store (content in an
         # append-only blob, mmap reads, bounded host RAM) for 10M-doc
         # corpora; default keeps documents in host RAM

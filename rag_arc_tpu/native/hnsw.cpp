@@ -299,12 +299,30 @@ struct Hnsw {
   std::vector<Cand> search_layer(const float* q, const float* lut, int ep,
                                  int ef, int level,
                                  bool skip_deleted) const {
-    std::vector<uint8_t> visited(n, 0);
+    // epoch-tagged per-thread visited buffer (hnswlib's VisitedListPool
+    // idea): a fresh zero-filled O(n) vector per query memsets ~10 MB at
+    // 10M nodes — milliseconds on the latency-critical single-query path
+    // and n_threads x that per batch. The buffer is thread_local, so the
+    // threaded batch path needs no locking; epoch wrap re-zeros once per
+    // 2^32 queries.
+    static thread_local std::vector<uint32_t> visited_tags;
+    static thread_local uint32_t visit_epoch = 0;
+    if (visited_tags.size() < (size_t)n) visited_tags.assign(n + 1024, 0);
+    if (++visit_epoch == 0) {
+      std::fill(visited_tags.begin(), visited_tags.end(), 0);
+      visit_epoch = 1;
+    }
+    const uint32_t epoch = visit_epoch;
+    auto visited_test_set = [&](int idx) {
+      if (visited_tags[idx] == epoch) return true;
+      visited_tags[idx] = epoch;
+      return false;
+    };
     // candidates: min-heap by distance; results: max-heap by distance
     std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> cands;
     std::priority_queue<Cand> results;
     const float d0 = dist_q(q, lut, ep);
-    visited[ep] = 1;
+    visited_test_set(ep);
     cands.push({d0, ep});
     if (!skip_deleted || !deleted[ep]) results.push({d0, ep});
 
@@ -316,8 +334,7 @@ struct Hnsw {
       cands.pop();
       const auto& nbrs = links[c.second][level];
       for (const int nb : nbrs) {
-        if (visited[nb]) continue;
-        visited[nb] = 1;
+        if (visited_test_set(nb)) continue;
         const float d = dist_q(q, lut, nb);
         if ((int)results.size() < ef ||
             (!results.empty() && d < results.top().first)) {
@@ -433,8 +450,9 @@ struct Hnsw {
     for (int lc = std::min(level, max_level); lc >= 0; --lc) {
       auto cands =
           search_layer(v, lutp, cur, efc, lc, /*skip_deleted=*/false);
-      const int m = lc == 0 ? maxM0 : M;
-      auto nbrs = select_neighbors(cands, std::min(m, M));
+      // insertion selects M neighbors at EVERY level (hnswlib semantics;
+      // maxM0 only caps the level-0 shrink limit in shrink_links)
+      auto nbrs = select_neighbors(cands, M);
       links[id][lc] = nbrs;
       for (const int nb : nbrs) {
         links[nb][lc].push_back((int)id);
@@ -486,8 +504,7 @@ struct Hnsw {
       if (i < (int)cands.size()) {
         // report score with larger-is-better semantics like the device
         // indexes: ip -> dot product; l2 -> negative squared distance
-        out_scores[i] =
-            metric == METRIC_IP ? -cands[i].first : -cands[i].first;
+        out_scores[i] = -cands[i].first;
         out_ids[i] = cands[i].second;
       } else {
         out_scores[i] = -3.0e38f;
@@ -565,10 +582,17 @@ void hnsw_search(void* h, const float* queries, int64_t nq, int k, int ef,
   for (auto& t : pool) t.join();
 }
 
-void hnsw_mark_deleted(void* h, const int64_t* ids, int64_t count) {
+// returns the number of rows NEWLY tombstoned (duplicates and
+// already-deleted ids don't count — callers keep n_deleted exact)
+int64_t hnsw_mark_deleted(void* h, const int64_t* ids, int64_t count) {
   Hnsw* index = static_cast<Hnsw*>(h);
+  int64_t newly = 0;
   for (int64_t i = 0; i < count; ++i)
-    if (ids[i] >= 0 && ids[i] < index->n) index->deleted[ids[i]] = 1;
+    if (ids[i] >= 0 && ids[i] < index->n && !index->deleted[ids[i]]) {
+      index->deleted[ids[i]] = 1;
+      ++newly;
+    }
+  return newly;
 }
 
 int64_t hnsw_size(void* h) { return static_cast<Hnsw*>(h)->n; }
@@ -580,22 +604,29 @@ int64_t hnsw_count_deleted(void* h) {
   return count;
 }
 
-void hnsw_get_vector(void* h, int64_t id, float* out) {
+int hnsw_get_vector(void* h, int64_t id, float* out) {
   const Hnsw* index = static_cast<const Hnsw*>(h);
+  if (id < 0 || id >= index->n) {
+    // -1 is the search API's miss sentinel: an unchecked pass-through
+    // here read out of bounds (garbage vectors or a segfault)
+    std::memset(out, 0, sizeof(float) * index->dim);
+    return -1;
+  }
   if (index->pq) {
     const uint8_t* cd = index->pqcodes.data() + id * index->pq_m;
     for (int j = 0; j < index->pq_m; ++j)
       std::memcpy(out + j * index->dsub, index->centroid(j, cd[j]),
                   sizeof(float) * index->dsub);
-    return;
+    return 0;
   }
   if (index->sq8) {
     const int8_t* c = index->code(id);
     const float s = index->scales[id];
     for (int i = 0; i < index->dim; ++i) out[i] = (float)c[i] * s;
-    return;
+    return 0;
   }
   std::memcpy(out, index->vec(id), sizeof(float) * index->dim);
+  return 0;
 }
 
 // -- binary snapshot ------------------------------------------------------
@@ -608,35 +639,40 @@ int hnsw_save(void* h, const char* path) {
   // payload = codebooks + per-node codes (sym tables rebuilt at load).
   // V2 (sq8 flag) and V1 (f32) files still load.
   const char magic[8] = {'R', 'A', 'T', 'H', 'N', 'S', 'W', '3'};
-  std::fwrite(magic, 1, 8, f);
+  // every write checked: a disk-full mid-save that reported rc=0 produced
+  // a truncated snapshot only discovered when hnsw_load fails at restore
+  bool ok = true;
+  auto W = [&](const void* p, size_t sz, size_t cnt) {
+    ok = ok && std::fwrite(p, sz, cnt, f) == cnt;
+  };
+  W(magic, 1, 8);
   const int32_t quant = x->pq ? QUANT_PQ : (x->sq8 ? QUANT_SQ8 : QUANT_F32);
   int32_t header[7] = {x->dim,           x->M,         x->efc,
                        (int32_t)x->metric, x->max_level, quant, x->pq_m};
-  std::fwrite(header, sizeof(int32_t), 7, f);
+  W(header, sizeof(int32_t), 7);
   int64_t meta[2] = {x->n, (int64_t)x->entry};
-  std::fwrite(meta, sizeof(int64_t), 2, f);
+  W(meta, sizeof(int64_t), 2);
   if (x->pq) {
-    std::fwrite(x->pq_centroids.data(), sizeof(float), x->pq_centroids.size(),
-                f);
-    std::fwrite(x->pqcodes.data(), 1, x->pqcodes.size(), f);
+    W(x->pq_centroids.data(), sizeof(float), x->pq_centroids.size());
+    W(x->pqcodes.data(), 1, x->pqcodes.size());
   } else if (x->sq8) {
-    std::fwrite(x->codes.data(), 1, x->codes.size(), f);
-    std::fwrite(x->scales.data(), sizeof(float), x->scales.size(), f);
+    W(x->codes.data(), 1, x->codes.size());
+    W(x->scales.data(), sizeof(float), x->scales.size());
   } else {
-    std::fwrite(x->data.data(), sizeof(float), x->data.size(), f);
+    W(x->data.data(), sizeof(float), x->data.size());
   }
-  std::fwrite(x->levels.data(), sizeof(int), x->levels.size(), f);
-  std::fwrite(x->deleted.data(), 1, x->deleted.size(), f);
-  for (int64_t i = 0; i < x->n; ++i) {
+  W(x->levels.data(), sizeof(int), x->levels.size());
+  W(x->deleted.data(), 1, x->deleted.size());
+  for (int64_t i = 0; ok && i < x->n; ++i) {
     for (int lc = 0; lc <= x->levels[i]; ++lc) {
       const auto& nbrs = x->links[i][lc];
       const int32_t sz = (int32_t)nbrs.size();
-      std::fwrite(&sz, sizeof(int32_t), 1, f);
-      std::fwrite(nbrs.data(), sizeof(int), sz, f);
+      W(&sz, sizeof(int32_t), 1);
+      W(nbrs.data(), sizeof(int), sz);
     }
   }
-  std::fclose(f);
-  return 0;
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
 void* hnsw_load(const char* path) {

@@ -168,3 +168,39 @@ def test_duplicate_id_within_one_batch(tmp_path):
     assert blob.position_of("x") == 1
     assert blob.get_by_position(0) is None
     assert blob.get_by_position(1).content == "v2"
+
+
+def test_pending_hash_collision_keeps_both_ids(tmp_path, monkeypatch):
+    """Two DISTINCT ids whose 64-bit hashes collide inside one merge
+    window must both stay findable — the pending overlay was a single
+    slot per hash and silently orphaned the earlier id's record."""
+    import rag_arc_tpu.index.blob_docstore as bd
+
+    monkeypatch.setattr(bd, "_id_hash", lambda doc_id: 42)  # force collision
+    store = bd.BlobDocstore(tmp_path / "blob")
+    store.add(
+        [Document(content="first", id="a"), Document(content="second", id="b")],
+        [0, 1],
+    )
+    assert store.position_of("a") == 0
+    assert store.position_of("b") == 1
+    assert store.get_by_ids(["a"])[0].content == "first"
+
+
+def test_failed_serialization_leaves_store_consistent(tmp_path):
+    """A non-JSON-serializable metadata value mid-batch must not leave
+    tombstoned old slots and offsets pointing at bytes never written."""
+    import numpy as np
+    import pytest
+
+    from rag_arc_tpu.index.blob_docstore import BlobDocstore
+
+    store = BlobDocstore(tmp_path / "blob")
+    store.add([Document(content="keep me", id="k")], [0])
+    bad = Document(content="x", id="k", metadata={"v": np.float32(1.0)})
+    with pytest.raises(TypeError):
+        store.add([Document(content="ok", id="o"), bad], [1, 2])
+    # nothing from the failed batch landed; the old record survives
+    assert len(store) == 1
+    assert store.get_by_ids(["k"])[0].content == "keep me"
+    assert store.position_of("o") is None

@@ -387,3 +387,33 @@ def test_pq_refine_roundtrip(tmp_path):
 def test_pq_aggressive_config_warns():
     with pytest.warns(UserWarning, match="pq_refine"):
         HNSWIndex(dim=64, pq_m=8)  # dsub=8, no refine -> warn
+
+
+def test_staged_delete_rejects_sentinels_and_dupes():
+    """mark_deleted(-1) on a staged (untrained-PQ) index silently
+    tombstoned the LAST staged doc via wraparound; duplicate deletes
+    overcounted n_deleted (n_active drives caller behavior)."""
+    idx = HNSWIndex(dim=8, pq_m=4, pq_train_threshold=4096)
+    idx.add(np.random.default_rng(0).standard_normal((10, 8)).astype(np.float32))
+    idx.mark_deleted(np.asarray([-1, 100]))  # sentinels/out of range: no-ops
+    assert idx.n_deleted == 0
+    s, p = idx.search(np.zeros((1, 8), np.float32), k=10)
+    assert (p[0] >= 0).sum() == 10  # nobody tombstoned
+    idx.mark_deleted(np.asarray([3, 3]))
+    idx.mark_deleted(np.asarray([3]))
+    assert idx.n_deleted == 1
+
+
+def test_take_rejects_miss_sentinel():
+    idx = HNSWIndex(dim=8)
+    idx.add(np.random.default_rng(0).standard_normal((5, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="positions"):
+        idx.take(np.asarray([-1]))
+
+
+def test_trained_double_delete_counts_once():
+    idx = HNSWIndex(dim=8)
+    idx.add(np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32))
+    idx.mark_deleted(np.asarray([5, 5, 7]))
+    idx.mark_deleted(np.asarray([5]))
+    assert idx.n_deleted == 2

@@ -429,3 +429,35 @@ class TestIVFQuantized:
         assert store.index.stats()["kind"] == "ivf"
         hits = store.similarity_search("row 42 group 0", k=3)
         assert hits[0].content == "row 42 group 0"
+
+
+def test_int8_mesh_config_rejected_at_store_construction():
+    """index_type='ivf' + int8 + mesh must fail AT CONSTRUCTION: the
+    DeviceIVFIndex is only built mid-add at auto-train time, and failing
+    there leaves recorded docs with an add() that re-raises forever."""
+    import jax.numpy as jnp
+    import pytest
+
+    from rag_arc_tpu.index.vector_store import TPUVectorStore
+    from rag_arc_tpu.models.embeddings import HashEmbeddings
+    from rag_arc_tpu.parallel.mesh import default_mesh
+
+    with pytest.raises(NotImplementedError, match="single-device"):
+        TPUVectorStore(
+            HashEmbeddings(dim=16), dim=16, index_type="ivf",
+            dtype=jnp.int8, mesh=default_mesh(),
+        )
+    with pytest.raises(ValueError, match="l2"):
+        TPUVectorStore(
+            HashEmbeddings(dim=16), dim=16, index_type="ivf",
+            dtype=jnp.int8, metric="l2",
+        )
+
+
+def test_ivf_double_delete_counts_once(rng):
+    data = rng.standard_normal((64, 16)).astype(np.float32)
+    index = DeviceIVFIndex.from_vectors(data, nlist=4)
+    index.mark_deleted(np.asarray([3, 3, 5]))
+    index.mark_deleted(np.asarray([3]))
+    assert index.n_deleted == 2
+    assert index.n_active == 62
