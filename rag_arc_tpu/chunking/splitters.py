@@ -61,6 +61,14 @@ class MarkdownHeaderTextSplitter:
             key=lambda p: -len(p[0]),  # longest prefix wins
         )
         self.strip_headers = strip_headers
+        if max_chars is not None and overlap >= max_chars:
+            # the sibling splitters raise for this; a silent stride-1
+            # fallback shreds a 10k-char section into ~10k 99%-duplicate
+            # chunks
+            raise ValueError(
+                f"overlap ({overlap}) must be smaller than max_chars "
+                f"({max_chars})"
+            )
         self.max_chars = max_chars
         self.overlap = overlap
 
@@ -139,6 +147,8 @@ class MarkdownHeaderTextSplitter:
                     out.append(
                         Document(content=piece, metadata=dict(doc.metadata))
                     )
+                if start + self.max_chars >= len(doc.content):
+                    break  # next window = strict suffix (duplicate chunk)
         return out
 
     def split_documents(self, docs: Iterable[Document]) -> List[Document]:
@@ -267,11 +277,16 @@ class RecursiveCharacterTextSplitter:
 
     def _hard_split(self, text: str) -> List[str]:
         stride = self.chunk_size - self.chunk_overlap
-        return [
-            text[i : i + self.chunk_size]
-            for i in range(0, len(text), stride)
-            if text[i : i + self.chunk_size]
-        ]
+        out: List[str] = []
+        for i in range(0, len(text), stride):
+            piece = text[i : i + self.chunk_size]
+            if piece:
+                out.append(piece)
+            if i + self.chunk_size >= len(text):
+                # the next window would be a strict SUFFIX of this one
+                # (tail shorter than the overlap) — a pure-duplicate chunk
+                break
+        return out
 
     def _recurse(self, text: str, separators: Sequence[str]) -> List[str]:
         if len(text) <= self.chunk_size:
@@ -420,9 +435,13 @@ class SemanticChunker:
         combined = self._combine_sentences(sentences)
         distances = self._distances(combined)
         threshold = self._threshold(distances)
-        if self.threshold_type == "gradient":
+        if self.threshold_type == "gradient" and self.number_of_chunks is None:
             over = np.gradient(distances) > threshold
         else:
+            # number_of_chunks interpolates a percentile of DISTANCES, so
+            # the comparison must run in the same domain even under
+            # gradient mode — comparing gradients (~0-centered) against a
+            # distance percentile ignored the requested chunk count
             over = distances > threshold
         breakpoints = [i for i, flag in enumerate(over) if flag]
 

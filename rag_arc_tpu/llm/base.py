@@ -11,9 +11,10 @@ ingestion (graph extraction), query rewrite, and generation.
 from __future__ import annotations
 
 import asyncio
+import threading
 from abc import ABC, abstractmethod
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Type, TypeVar
 
 from pydantic import BaseModel
@@ -31,12 +32,18 @@ class UsageStats:
     completion_tokens: int = 0
     total_tokens: int = 0
     requests: int = 0
+    # the async twins run on a shared 16-worker executor: unlocked +=
+    # read-modify-writes lose updates under asyncio.gather fan-out
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def add(self, prompt: int, completion: int) -> None:
-        self.prompt_tokens += prompt
-        self.completion_tokens += completion
-        self.total_tokens += prompt + completion
-        self.requests += 1
+        with self._lock:
+            self.prompt_tokens += prompt
+            self.completion_tokens += completion
+            self.total_tokens += prompt + completion
+            self.requests += 1
 
     def as_dict(self) -> Dict[str, int]:
         return {
@@ -122,10 +129,33 @@ class LLMBase(ABC):
         )
 
     async def astream_chat(self, messages: Sequence[Message], **kwargs: Any):
-        for piece in await asyncio.get_running_loop().run_in_executor(
-            self._pool(), lambda: list(self.stream_chat(messages, **kwargs))
-        ):
-            yield piece
+        # truly incremental: pump the sync generator from the executor
+        # into a queue as pieces arrive — buffering the full stream first
+        # made time-to-first-token equal total generation time
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        end = object()
+
+        def pump() -> None:
+            try:
+                for piece in self.stream_chat(messages, **kwargs):
+                    loop.call_soon_threadsafe(queue.put_nowait, piece)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                loop.call_soon_threadsafe(queue.put_nowait, exc)
+                return
+            loop.call_soon_threadsafe(queue.put_nowait, end)
+
+        future = loop.run_in_executor(self._pool(), pump)
+        try:
+            while True:
+                item = await queue.get()
+                if item is end:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            await future
 
     async def aembed(self, texts: Sequence[str], **kwargs: Any) -> List[List[float]]:
         loop = asyncio.get_running_loop()

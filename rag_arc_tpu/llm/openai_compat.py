@@ -69,25 +69,45 @@ class OpenAICompatLLM(LLMBase):
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as exc:
+                # HTTPError subclasses URLError: without this branch a 400
+                # was retried, then masked as 'unreachable' with the
+                # server's error detail discarded. 4xx (minus 408/429) is
+                # permanent — surface it immediately with the body.
+                detail = ""
+                try:
+                    detail = exc.read().decode("utf-8", "replace")[:500]
+                except Exception:  # noqa: BLE001 — detail is best-effort
+                    pass
+                if 400 <= exc.code < 500 and exc.code not in (408, 429):
+                    raise RuntimeError(
+                        f"LLM endpoint rejected the request "
+                        f"(HTTP {exc.code}): {detail}"
+                    ) from exc
+                last_err = RuntimeError(f"HTTP {exc.code}: {detail}")
             except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
                 last_err = exc
+            if attempt + 1 < self.max_retries:
                 wait = min(2.0**attempt, 8.0)
                 logger.warning(
                     "LLM request failed (attempt %d/%d): %s; retrying in %.1fs",
                     attempt + 1,
                     self.max_retries,
-                    exc,
+                    last_err,
                     wait,
                 )
-                time.sleep(wait)
+                time.sleep(wait)  # no terminal sleep after the last attempt
         raise ConnectionError(
             f"LLM endpoint {self.base_url}{path} unreachable after "
             f"{self.max_retries} attempts"
         ) from last_err
 
     def _record_usage(self, data: Dict[str, Any]) -> None:
-        if self.track_usage and "usage" in data:
-            u = data["usage"] or {}
+        # 'usage': null rides EVERY intermediate SSE chunk when
+        # include_usage is set — counting those as requests inflated the
+        # requests metric by the chunk count
+        if self.track_usage and data.get("usage"):
+            u = data["usage"]
             self.usage.add(
                 int(u.get("prompt_tokens", 0)), int(u.get("completion_tokens", 0))
             )
@@ -167,6 +187,11 @@ class OpenAICompatLLM(LLMBase):
                 },
             },
         }
+        # honor the completion cap here too — chat() already does, and an
+        # uncapped structured extraction can run away on cost/latency
+        max_tokens = kwargs.get("max_tokens", self.max_tokens)
+        if max_tokens:
+            payload["max_tokens"] = max_tokens
         data = self._post("/chat/completions", payload)
         self._record_usage(data)
         content = data["choices"][0]["message"]["content"]

@@ -44,10 +44,16 @@ class RWLock:
     def write(self):
         with self._cond:
             self._writers_waiting += 1
-            while self._writer_active or self._readers:
-                self._cond.wait()
-            self._writers_waiting -= 1
-            self._writer_active = True
+            try:
+                while self._writer_active or self._readers:
+                    self._cond.wait()
+                self._writer_active = True
+            finally:
+                # ALWAYS decrement: an exception while waiting (e.g.
+                # KeyboardInterrupt) would otherwise leak the counter and
+                # block every future reader forever
+                self._writers_waiting -= 1
+                self._cond.notify_all()
         try:
             yield
         finally:

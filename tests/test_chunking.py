@@ -184,3 +184,44 @@ class TestSemantic:
     def test_bad_threshold_type(self):
         with pytest.raises(ValueError):
             SemanticChunker(HashEmbeddings(dim=8), breakpoint_threshold_type="nope")
+
+
+class TestReviewRegressions:
+    def test_hard_split_no_suffix_duplicate_chunk(self):
+        import string
+
+        s = RecursiveCharacterTextSplitter(chunk_size=40, chunk_overlap=10)
+        # separator-free (no '#'/newlines) but position-distinct content
+        alpha = string.ascii_letters + string.digits
+        text = "".join(alpha[i % len(alpha)] for i in range(100))
+        chunks = s.split_text(text)
+        for a, b in zip(chunks, chunks[1:]):
+            assert not a.endswith(b), (a, b)  # no pure-suffix duplicates
+        # full coverage with the 10-char overlaps intact
+        assert chunks[0] == text[:40] and chunks[-1].endswith(text[-1])
+
+    def test_markdown_subchunk_no_suffix_duplicate(self):
+        s = MarkdownHeaderTextSplitter(max_chars=40, overlap=10)
+        body = "".join(chr(33 + i % 90) for i in range(100))
+        docs = s.split_text("# H\n" + body)
+        contents = [d.content for d in docs]
+        for a, b in zip(contents, contents[1:]):
+            assert not a.endswith(b)
+
+    def test_markdown_overlap_must_be_smaller(self):
+        with pytest.raises(ValueError, match="overlap"):
+            MarkdownHeaderTextSplitter(max_chars=100, overlap=100)
+
+    def test_gradient_with_chunk_count_honors_count(self):
+        """number_of_chunks interpolates a DISTANCE percentile; under
+        gradient mode the comparison must use distances too, or the
+        requested count is ignored (measured: always 1 chunk)."""
+        emb = HashEmbeddings(dim=32)
+        text = ". ".join(
+            f"sentence about topic {i // 4} number {i}" for i in range(24)
+        ) + "."
+        chunker = SemanticChunker(
+            emb, breakpoint_threshold_type="gradient", number_of_chunks=5
+        )
+        chunks = chunker.split_text(text)
+        assert len(chunks) > 1, chunks

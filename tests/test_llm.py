@@ -99,6 +99,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         length = int(self.headers["Content-Length"])
         payload = json.loads(self.rfile.read(length))
+        if payload.get("messages") and payload["messages"][-1]["content"] == "RAISE400":
+            body = json.dumps({"error": {"message": "bad schema"}}).encode()
+            self.send_response(400)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path.endswith("/embeddings"):
             data = {
                 "data": [
@@ -112,8 +119,19 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", "text/event-stream")
             self.end_headers()
             for piece in ["Hel", "lo"]:
-                chunk = {"choices": [{"delta": {"content": piece}}]}
+                # real OpenAI SSE carries "usage": null on EVERY delta
+                # chunk when include_usage is on
+                chunk = {
+                    "choices": [{"delta": {"content": piece}}],
+                    "usage": None,
+                }
                 self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            if (payload.get("stream_options") or {}).get("include_usage"):
+                final = {
+                    "choices": [],
+                    "usage": {"prompt_tokens": 5, "completion_tokens": 2},
+                }
+                self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
             self.wfile.write(b"data: [DONE]\n\n")
             return
         else:
@@ -180,6 +198,39 @@ class TestOpenAICompat:
             assert out == "echo:retry"
         finally:
             _Handler.fail_first_n = 0
+
+    def test_http_400_surfaces_immediately_with_detail(self, server):
+        """Permanent 4xx must not burn retries and then masquerade as
+        'unreachable' — surface the server's error body at once."""
+        import time as _time
+
+        llm = OpenAICompatLLM("m", base_url=server, max_retries=3)
+        t0 = _time.time()
+        with pytest.raises(RuntimeError, match="HTTP 400.*bad schema"):
+            llm.chat([{"role": "user", "content": "RAISE400"}])
+        assert _time.time() - t0 < 1.0  # no retry backoff burned
+
+    def test_streaming_usage_counts_one_request(self, server):
+        """'usage': null rides every SSE delta chunk; only the real final
+        usage object may count (requests was inflated by chunk count)."""
+        llm = OpenAICompatLLM("m", base_url=server, track_usage=True)
+        pieces = list(llm.stream_chat([{"role": "user", "content": "hi"}]))
+        assert "".join(pieces) == "Hello"
+        assert llm.usage.requests == 1
+        assert llm.usage.completion_tokens == 2
+
+    def test_astream_chat_yields_incrementally(self, server):
+        import asyncio
+
+        llm = OpenAICompatLLM("m", base_url=server)
+
+        async def collect():
+            out = []
+            async for piece in llm.astream_chat([{"role": "user", "content": "hi"}]):
+                out.append(piece)
+            return out
+
+        assert "".join(asyncio.run(collect())) == "Hello"
 
     def test_unreachable_raises_connectionerror(self):
         llm = OpenAICompatLLM(
