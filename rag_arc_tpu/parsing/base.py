@@ -11,6 +11,7 @@ image — and OOXML is just zipped XML.
 
 from __future__ import annotations
 
+import hashlib
 import html
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
@@ -37,8 +38,16 @@ class ParsedDocument:
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(self.source).stem or "document"
         md_path = out_dir / f"{stem}.md"
+        if md_path.exists():
+            # two sources sharing a stem (a/index.html + b/index.html)
+            # silently clobbered each other — disambiguate by a short
+            # source-path hash instead of losing data with exit code 0
+            suffix = hashlib.md5(str(self.source).encode()).hexdigest()[:8]
+            stem = f"{stem}-{suffix}"
+            md_path = out_dir / f"{stem}.md"
         md_path.write_text(self.markdown, encoding="utf-8")
         for rel, blob in self.assets.items():
+            # flat next to the markdown: its links reference bare names
             asset_path = out_dir / rel
             asset_path.parent.mkdir(parents=True, exist_ok=True)
             asset_path.write_bytes(blob)

@@ -11,8 +11,11 @@ headers/footers dropped — ``format_transformer.py:144-179``).
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Any, Dict, List, Sequence, Tuple
+
+logger = logging.getLogger(__name__)
 
 PATCH_FACTOR = 28  # ViT patch granularity of the layout VLM
 MIN_PIXELS = 56 * 56
@@ -90,8 +93,16 @@ def rescale_layout(
     out = []
     for cell in cells:
         cell = dict(cell)
-        if "bbox" in cell and cell["bbox"] is not None:
-            cell["bbox"] = rescale_bbox(cell["bbox"], from_size, to_size)
+        bbox = cell.get("bbox")
+        if bbox is not None:
+            # VLM output is untrusted: a malformed bbox (wrong arity, a
+            # string) must degrade THIS cell to bbox-less, not abort the
+            # whole multi-page parse through the page thread pool
+            try:
+                cell["bbox"] = rescale_bbox(bbox, from_size, to_size)
+            except (TypeError, ValueError):
+                logger.warning("dropping malformed bbox %r", bbox)
+                cell["bbox"] = None
         out.append(cell)
     return out
 
@@ -104,6 +115,7 @@ def layout_to_markdown(
     """Render layout cells (already in reading order) to markdown."""
     parts: List[str] = []
     pic_idx = 0
+    fn_idx = 0
     for cell in cells:
         category = cell.get("category", "Text")
         text = (cell.get("text") or "").strip()
@@ -118,7 +130,10 @@ def layout_to_markdown(
         elif category == "Table":
             parts.append(text)  # VLM emits HTML tables
         elif category == "Picture":
-            if include_pictures:
+            # only bbox-bearing pictures get CROPPED ASSETS (ocr.py
+            # _page_assets filters on bbox) — numbering must count the
+            # same set or links point at the wrong crop / dangle
+            if include_pictures and cell.get("bbox"):
                 pic_idx += 1
                 parts.append(f"![{picture_prefix}-{pic_idx}]({picture_prefix}_{pic_idx}.png)")
         elif category == "List-item":
@@ -126,7 +141,9 @@ def layout_to_markdown(
         elif category == "Caption":
             parts.append(f"*{text}*")
         elif category == "Footnote":
-            parts.append(f"[^{pic_idx}]: {text}" if text else "")
+            if text:
+                fn_idx += 1
+                parts.append(f"[^{fn_idx}]: {text}")
         else:
             parts.append(text)
     return "\n\n".join(p for p in parts if p).strip()

@@ -23,6 +23,7 @@ from __future__ import annotations
 import base64
 import json
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Protocol, Sequence, Tuple
@@ -92,7 +93,12 @@ class OpenAIVisionClient:
                     "content": [
                         {
                             "type": "image_url",
-                            "image_url": {"url": f"data:image/png;base64,{b64}"},
+                            # sniff the actual payload type: labeling JPEG
+                            # bytes image/png fails strict servers
+                            "image_url": {
+                                "url": f"data:{_image_mime(image_bytes)};"
+                                f"base64,{b64}"
+                            },
                         },
                         {"type": "text", "text": prompt},
                     ],
@@ -105,19 +111,34 @@ class OpenAIVisionClient:
         return data["choices"][0]["message"]["content"]
 
 
+def _image_mime(image_bytes: bytes) -> str:
+    """Magic-byte MIME sniff for the data-URL label."""
+    if image_bytes[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if image_bytes[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if image_bytes[:4] == b"RIFF" and image_bytes[8:12] == b"WEBP":
+        return "image/webp"
+    return "image/png"
+
+
 class FakeVLMClient:
     """Deterministic layouts for tests: returns canned responses in order,
-    then repeats the last one."""
+    then repeats the last one. Thread-safe and popped under a lock —
+    parse_images fans pages across a 16-thread pool, and a check-then-pop
+    raced (IndexError / pages swapping each other's canned layouts)."""
 
     def __init__(self, responses: Sequence[str]):
         self.responses = list(responses)
         self.calls: List[str] = []
+        self._lock = threading.Lock()
 
     def generate(self, image_bytes: bytes, prompt: str) -> str:
-        self.calls.append(prompt)
-        if len(self.responses) > 1:
-            return self.responses.pop(0)
-        return self.responses[0]
+        with self._lock:
+            self.calls.append(prompt)
+            if len(self.responses) > 1:
+                return self.responses.pop(0)
+            return self.responses[0]
 
 
 def render_pdf_pages(

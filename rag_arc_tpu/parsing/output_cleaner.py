@@ -57,7 +57,13 @@ class OutputCleaner:
         text = self._strip_fences(raw.strip())
         direct = self._try_load(text)
         if direct is not None:
-            return self._dedup(self._ensure_list(direct))
+            cells = self._dedup(self._ensure_list(direct))
+            if cells or direct == []:
+                # a literal [] is a valid empty page; valid JSON whose
+                # items were ALL filtered out (strings, scalars) is
+                # garbage — fall through to salvage, then report failure
+                # rather than a silently-successful empty layout
+                return cells
         elements, _ = self._scan_elements(text)
         if elements:
             return self._dedup(elements)

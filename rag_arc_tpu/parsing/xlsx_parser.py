@@ -53,7 +53,8 @@ class ExcelParser(ParserBase):
 
     def parse(self, path: str | Path) -> ParsedDocument:
         path = Path(path)
-        head = path.read_bytes()[:8]
+        with path.open("rb") as f:  # 8 bytes, not the whole (maybe GB) file
+            head = f.read(8)
         if head.startswith(XLSX_MAGIC):
             sheets = self._parse_xlsx(path)
         elif head.startswith(OLE2_MAGIC):
@@ -119,7 +120,13 @@ class ExcelParser(ParserBase):
             for i, sheet in enumerate(wb.findall(f"{S}sheets/{S}sheet")):
                 name = sheet.get("name", f"Sheet{i + 1}")
                 target = rels.get(sheet.get(f"{R}id"), f"worksheets/sheet{i + 1}.xml")
-                member = "xl/" + target.lstrip("/")
+                # OPC allows absolute targets ('/xl/worksheets/sheet1.xml');
+                # prefixing those again made 'xl/xl/...' and dropped the sheet
+                member = (
+                    target.lstrip("/")
+                    if target.startswith("/")
+                    else "xl/" + target
+                )
                 try:
                     sheet_xml = zf.read(member)
                 except KeyError:
@@ -143,8 +150,11 @@ class ExcelParser(ParserBase):
         rows: List[List[str]] = []
         for row in root.findall(f"{S}sheetData/{S}row"):
             cells: Dict[int, str] = {}
+            next_col = 0  # ECMA-376: c/@r is optional; position is implied
             for c in row.findall(f"{S}c"):
-                col = _col_index(c.get("r", ""))
+                ref = c.get("r", "")
+                col = _col_index(ref) if ref else next_col
+                next_col = col + 1
                 ctype = c.get("t", "n")
                 if ctype == "inlineStr":
                     value = "".join(t.text or "" for t in c.iter(f"{S}t"))

@@ -112,6 +112,35 @@ class TestXlsx:
         doc = ExcelParser().parse(p)
         assert "北京" in doc.markdown
 
+    def test_implied_cell_positions(self, tmp_path):
+        """ECMA-376 makes c/@r optional (position implied sequentially);
+        cells without it all collapsed onto column 0."""
+        sheet = (
+            f'<?xml version="1.0"?><worksheet {S_NS}><sheetData>'
+            '<row><c t="inlineStr"><is><t>a</t></is></c>'
+            '<c t="inlineStr"><is><t>b</t></is></c>'
+            '<c t="inlineStr"><is><t>c</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+        workbook = (
+            f'<?xml version="1.0"?><workbook {S_NS} '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        )
+        # absolute OPC target too: '/xl/...' was prefixed again -> dropped
+        rels = (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Target="/xl/worksheets/sheet1.xml"/></Relationships>'
+        )
+        path = tmp_path / "implied.xlsx"
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("xl/workbook.xml", workbook)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        doc = ExcelParser().parse(path)
+        assert "<th>a</th>" in doc.markdown and "<th>c</th>" in doc.markdown
+
     def test_ole2_rejected(self, tmp_path):
         p = tmp_path / "old.xls"
         p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 100)
@@ -164,6 +193,14 @@ class TestOutputCleaner:
     def test_fenced(self):
         raw = '```json\n[{"category": "Text", "text": "hi"}]\n```'
         assert self.C.clean_model_output(raw)[0]["text"] == "hi"
+
+    def test_dict_free_json_is_failure_not_empty_success(self):
+        # valid JSON with no layout dicts is garbage, not an empty page:
+        # returning [] made the caller record a successful empty layout
+        assert self.C.clean_model_output('["line one", "line two"]') is None
+        assert self.C.clean_model_output('"just a string"') is None
+        # a literal empty list IS a valid empty page
+        assert self.C.clean_model_output("[]") == []
 
     def test_truncated_list_recovers_complete_elements(self):
         raw = '[{"category": "Text", "text": "a"}, {"category": "Text", "text": "b"}, {"categ'
@@ -237,6 +274,37 @@ class TestLayout:
         md = layout_to_markdown(cells)
         assert "skip me" not in md
         assert "# Doc" in md and "$$" in md and "<table>" in md and "- item" in md
+
+    def test_malformed_bbox_degrades_cell_not_page(self):
+        from rag_arc_tpu.parsing.layout import rescale_layout
+
+        cells = [
+            {"category": "Text", "text": "good", "bbox": [0, 0, 10, 10]},
+            {"category": "Text", "text": "bad arity", "bbox": [1, 2, 3]},
+            {"category": "Text", "text": "stringy", "bbox": "0,0,5,5"},
+        ]
+        out = rescale_layout(cells, from_size=(28, 28), to_size=(28, 28))
+        assert out[0]["bbox"] == [0, 0, 10, 10]
+        assert out[1]["bbox"] is None and out[2]["bbox"] is None
+
+    def test_footnotes_numbered_independently(self):
+        cells = [
+            {"category": "Picture", "bbox": [0, 0, 9, 9]},
+            {"category": "Footnote", "text": "first note"},
+            {"category": "Footnote", "text": "second note"},
+        ]
+        md = layout_to_markdown(cells)
+        assert "[^1]: first note" in md and "[^2]: second note" in md
+
+    def test_picture_links_match_cropped_assets_only(self):
+        # a bbox-less Picture has NO cropped asset; emitting a link for it
+        # shifted numbering so links pointed at the wrong crops
+        cells = [
+            {"category": "Picture"},  # no bbox -> no asset -> no link
+            {"category": "Picture", "bbox": [0, 0, 9, 9]},
+        ]
+        md = layout_to_markdown(cells, picture_prefix="p")
+        assert md.count("![") == 1 and "p_1.png" in md
 
     def test_reading_order(self):
         cells = [
@@ -323,6 +391,19 @@ def test_parsed_document_save_writes_assets(tmp_path):
     assert md.read_text().startswith("# Title")
     assert (tmp_path / "out" / "layout" / "page_0.json").read_bytes() == b"[]"
     assert (tmp_path / "out" / "images" / "a.png").exists()
+
+
+def test_parsed_document_save_disambiguates_stem_collisions(tmp_path):
+    """a/index.html and b/index.html must not silently clobber each other
+    in the output directory (data loss with exit code 0)."""
+    from rag_arc_tpu.parsing.base import ParsedDocument
+
+    d1 = ParsedDocument(markdown="first", source="a/index.html")
+    d2 = ParsedDocument(markdown="second", source="b/index.html")
+    p1 = d1.save(tmp_path / "out")
+    p2 = d2.save(tmp_path / "out")
+    assert p1 != p2
+    assert p1.read_text() == "first" and p2.read_text() == "second"
 
 
 class TestOCRModeMatrix:
