@@ -91,11 +91,19 @@ class HyperRAGGraphExtractor(GraphExtractorBase):
         # reused id on new content is re-minted, and that round's
         # relations referencing it are remapped.
         event_keys = {e.content.strip().lower() for e in history.events}
+        event_key_to_id = {e.content.strip().lower(): e.id for e in history.events}
         event_ids = {e.id for e in history.events}
         id_remap: dict = {}
         for event in new.events:
             key = event.content.strip().lower()
             if key in event_keys:
+                # content-duplicate: the round's OWN numbering may still
+                # reference this id in its relations — point it at the
+                # kept event, else those relations dangle (or hit
+                # whatever unrelated event happens to own the id)
+                kept = event_key_to_id[key]
+                if event.id != kept:
+                    id_remap[event.id] = kept
                 continue
             if event.id in event_ids:
                 n = len(event_ids) + 1
@@ -106,6 +114,7 @@ class HyperRAGGraphExtractor(GraphExtractorBase):
             history.events.append(event)
             event_ids.add(event.id)
             event_keys.add(key)
+            event_key_to_id[key] = event.id
             n_new += 1
         # entities dedup by name — but a re-extracted entity ENRICHES the
         # kept one (later rounds often add descriptions/aliases that

@@ -568,11 +568,23 @@ class ArrayGraphStore:
             self.add_edge(GraphEdge.model_validate(edge))
         # restore snapshotted vectors where present; anything missing (or
         # a legacy snapshot without sidecars) backfills via the encoder
+        # a sidecar saved under a different embedder dim must NOT restore:
+        # the first query/backfill after load would encode at the current
+        # dim and crash against the restored index far from the cause —
+        # fall back to re-encoding (slow but consistent) instead
+        expect_dim = getattr(self.embeddings, "dim", None)
         for kind, keys in (payload.get("emb_keys") or {}).items():
             sidecar = Path(f"{path}.emb_{kind}.npy")
             if not keys or not sidecar.exists():
                 continue
             vecs = np.load(sidecar)
+            if expect_dim is not None and vecs.shape[1] != expect_dim:
+                logger.warning(
+                    "graph snapshot %s sidecar for %r has dim %d but the "
+                    "current embedder produces dim %d; re-encoding instead",
+                    path, kind, vecs.shape[1], expect_dim,
+                )
+                continue
             index = self._index_for(kind, vecs.shape[1])
             positions = index.add(vecs)
             for key, pos in zip(keys, positions):

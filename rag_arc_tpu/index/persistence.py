@@ -165,7 +165,7 @@ def load_store(
             # into a float index would score garbage silently
             raise ValueError(
                 f"snapshot at {path} stores int8 codes; load with "
-                "dtype=None (or int8), not {dtype}".format(dtype=dtype)
+                f"dtype=None (or int8), not {dtype}"
             )
     elif dtype is None and manifest.get("dtype"):
         dtype = jnp.dtype(manifest["dtype"])  # restore the saved storage dtype

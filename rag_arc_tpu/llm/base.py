@@ -135,17 +135,30 @@ class LLMBase(ABC):
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
         end = object()
+        # consumer-gone flag: the finally below cannot `await` (closing an
+        # async generator raises GeneratorExit at the yield, and awaiting
+        # there is a RuntimeError) — so early termination signals the pump
+        # to stop at the next piece instead of draining the whole stream
+        stop = threading.Event()
+
+        def notify(item) -> None:
+            try:
+                loop.call_soon_threadsafe(queue.put_nowait, item)
+            except RuntimeError:
+                pass  # event loop already closed; consumer is gone
 
         def pump() -> None:
             try:
                 for piece in self.stream_chat(messages, **kwargs):
-                    loop.call_soon_threadsafe(queue.put_nowait, piece)
+                    if stop.is_set():
+                        return
+                    notify(piece)
             except BaseException as exc:  # noqa: BLE001 — re-raised below
-                loop.call_soon_threadsafe(queue.put_nowait, exc)
+                notify(exc)
                 return
-            loop.call_soon_threadsafe(queue.put_nowait, end)
+            notify(end)
 
-        future = loop.run_in_executor(self._pool(), pump)
+        self._pool().submit(pump)
         try:
             while True:
                 item = await queue.get()
@@ -155,7 +168,7 @@ class LLMBase(ABC):
                     raise item
                 yield item
         finally:
-            await future
+            stop.set()
 
     async def aembed(self, texts: Sequence[str], **kwargs: Any) -> List[List[float]]:
         loop = asyncio.get_running_loop()

@@ -52,14 +52,18 @@ void* bm25host_build(const int64_t* row_offsets, const int32_t* term_ids,
   const int64_t nnz = row_offsets[n_docs];
 
   // idf with the BM25Okapi epsilon floor (ops/bm25.py compute_idf parity):
-  // rank_bm25 averages over ALL idfs, negatives included
+  // rank_bm25 averages over every CORPUS term's idf (negatives included);
+  // df=0 filler ids in sparse id spaces are excluded — BM25Okapi's idf
+  // dict only ever holds corpus terms, and their big positive idf would
+  // inflate the floor
   std::vector<double> idf(n_vocab);
   double idf_sum = 0.0;
+  int64_t n_present = 0;
   for (int64_t t = 0; t < n_vocab; ++t) {
     idf[t] = std::log((n_docs - df[t] + 0.5) / (df[t] + 0.5));
-    idf_sum += idf[t];
+    if (df[t] > 0) { idf_sum += idf[t]; ++n_present; }
   }
-  const double eps_floor = epsilon * (n_vocab ? idf_sum / n_vocab : 1.0);
+  const double eps_floor = epsilon * (n_present ? idf_sum / n_present : 1.0);
   for (int64_t t = 0; t < n_vocab; ++t)
     if (idf[t] < 0) idf[t] = eps_floor;
 

@@ -33,11 +33,15 @@ def compute_idf(doc_freq: np.ndarray, n_docs: int, epsilon: float = 0.25) -> np.
     """BM25Okapi IDF with the negative-IDF epsilon floor.
 
     rank_bm25 parity (the reference's backend, ``bm25.py:179``): the floor
-    is ``epsilon * mean(idf)`` where the mean runs over ALL terms,
-    negatives included — a stopword-heavy corpus drags the floor down and
-    can make it negative, exactly as BM25Okapi does."""
+    is ``epsilon * mean(idf)`` where the mean runs over every CORPUS term
+    (df ≥ 1), negatives included — a stopword-heavy corpus drags the floor
+    down and can make it negative, exactly as BM25Okapi does. df=0 slots
+    (filler ids in sparse/partial-vocab CSR builds) are excluded from the
+    mean: BM25Okapi's idf dict only ever contains corpus terms, and their
+    log((n+0.5)/0.5) idf would inflate the floor."""
     idf = np.log((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
-    avg_idf = idf.mean() if idf.size else 1.0
+    present = doc_freq > 0
+    avg_idf = idf[present].mean() if present.any() else 1.0
     eps_floor = epsilon * avg_idf
     return np.where(idf < 0, eps_floor, idf).astype(np.float32)
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import html
+import json
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -37,18 +38,36 @@ class ParsedDocument:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(self.source).stem or "document"
-        md_path = out_dir / f"{stem}.md"
-        if md_path.exists():
-            # two sources sharing a stem (a/index.html + b/index.html)
-            # silently clobbered each other — disambiguate by a short
-            # source-path hash instead of losing data with exit code 0
+        # stem ownership manifest: re-saving the SAME source overwrites
+        # (idempotent re-ingest); a DIFFERENT source sharing the stem
+        # (a/index.html + b/index.html) gets a source-hash suffix instead
+        # of silently clobbering — existence of the md alone can't tell
+        # those two cases apart
+        manifest_path = out_dir / ".sources.json"
+        try:
+            manifest = json.loads(manifest_path.read_text(encoding="utf-8"))
+        except (OSError, ValueError):
+            manifest = {}
+        owner = manifest.get(stem)
+        if owner is not None and owner != str(self.source):
             suffix = hashlib.md5(str(self.source).encode()).hexdigest()[:8]
             stem = f"{stem}-{suffix}"
-            md_path = out_dir / f"{stem}.md"
-        md_path.write_text(self.markdown, encoding="utf-8")
+        manifest[stem] = str(self.source)
+        manifest_path.write_text(
+            json.dumps(manifest, sort_keys=True, ensure_ascii=False),
+            encoding="utf-8",
+        )
+        md_path = out_dir / f"{stem}.md"
+        # assets are namespaced per document: every source emits the same
+        # page_N_picture_M.png names, so flat placement clobbers across
+        # sources; the in-memory markdown links bare names — rewrite them
+        # to the namespaced location as part of the save
+        markdown = self.markdown
+        for rel in self.assets:
+            markdown = markdown.replace(f"]({rel})", f"]({stem}/{rel})")
+        md_path.write_text(markdown, encoding="utf-8")
         for rel, blob in self.assets.items():
-            # flat next to the markdown: its links reference bare names
-            asset_path = out_dir / rel
+            asset_path = out_dir / stem / rel
             asset_path.parent.mkdir(parents=True, exist_ok=True)
             asset_path.write_bytes(blob)
         return md_path

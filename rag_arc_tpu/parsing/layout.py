@@ -107,6 +107,22 @@ def rescale_layout(
     return out
 
 
+def croppable_picture(cell: Dict[str, Any]) -> bool:
+    """True iff this cell will get a cropped image asset. The markdown
+    renderer and the asset writer (``ocr.py _page_assets``) MUST agree on
+    this set — a link emitted for a cell whose crop is skipped dangles."""
+    if cell.get("category") != "Picture":
+        return False
+    bbox = cell.get("bbox")
+    if not isinstance(bbox, (list, tuple)) or len(bbox) != 4:
+        return False
+    try:
+        x1, y1, x2, y2 = (float(v) for v in bbox)
+    except (TypeError, ValueError):
+        return False
+    return x2 > x1 and y2 > y1
+
+
 def layout_to_markdown(
     cells: List[Dict[str, Any]],
     include_pictures: bool = True,
@@ -130,10 +146,11 @@ def layout_to_markdown(
         elif category == "Table":
             parts.append(text)  # VLM emits HTML tables
         elif category == "Picture":
-            # only bbox-bearing pictures get CROPPED ASSETS (ocr.py
-            # _page_assets filters on bbox) — numbering must count the
-            # same set or links point at the wrong crop / dangle
-            if include_pictures and cell.get("bbox"):
+            # link emission and asset cropping share ONE predicate
+            # (croppable_picture) — numbering must count the same set or
+            # links point at the wrong crop / dangle (incl. degenerate
+            # zero-area bboxes, which the crop loop skips)
+            if include_pictures and croppable_picture(cell):
                 pic_idx += 1
                 parts.append(f"![{picture_prefix}-{pic_idx}]({picture_prefix}_{pic_idx}.png)")
         elif category == "List-item":

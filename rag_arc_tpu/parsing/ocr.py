@@ -30,6 +30,7 @@ from typing import Any, Callable, Dict, List, Protocol, Sequence, Tuple
 
 from rag_arc_tpu.parsing.base import ParsedDocument, ParserBase
 from rag_arc_tpu.parsing.layout import (
+    croppable_picture,
     layout_to_markdown,
     rescale_layout,
     smart_resize,
@@ -319,9 +320,9 @@ class OCRParser(ParserBase):
         ``ParsedDocument.assets`` — ref ``format_transformer.py:144-179``)
         plus the optional layout-draw debug image."""
         assets: Dict[str, bytes] = {}
-        pictures = [
-            c for c in cells if c.get("category") == "Picture" and c.get("bbox")
-        ]
+        # same predicate as layout_to_markdown's link numbering — the two
+        # sets must match exactly or links dangle / point at wrong crops
+        pictures = [c for c in cells if croppable_picture(c)]
         if not pictures and not self.draw_layout:
             return assets
         import io
@@ -335,8 +336,6 @@ class OCRParser(ParserBase):
             im = im.convert("RGB")
             for i, cell in enumerate(pictures, start=1):
                 x1, y1, x2, y2 = cell["bbox"]
-                if x2 <= x1 or y2 <= y1:
-                    continue
                 buf = io.BytesIO()
                 im.crop((x1, y1, x2, y2)).save(buf, format="PNG")
                 assets[f"{prefix}_{i}.png"] = buf.getvalue()

@@ -78,10 +78,14 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 self._send(200, {"documents": [_doc_json(d) for d in docs]})
             elif self.path == "/batch":
                 queries = payload.get("queries", [])
-                if not all(
+                # a bare string would pass the element check char-by-char
+                # and fan out one search per character — require a list
+                if not isinstance(queries, list) or not all(
                     isinstance(q, str) and q.strip() for q in queries
                 ):
-                    self._send(400, {"error": "queries must be non-empty strings"})
+                    self._send(
+                        400, {"error": "queries must be a list of non-empty strings"}
+                    )
                     return
                 results = self.pipeline.query_batch(queries, k=payload.get("k"))
                 self._send(
@@ -95,6 +99,11 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                     self._send(400, {"error": "retriever does not support adds"})
                     return
                 texts = payload["texts"]
+                if not isinstance(texts, list) or not all(
+                    isinstance(t, str) for t in texts
+                ):
+                    self._send(400, {"error": "texts must be a list of strings"})
+                    return
                 metadatas = payload.get("metadatas") or [{}] * len(texts)
                 if len(metadatas) != len(texts):
                     # zip truncation would silently drop documents

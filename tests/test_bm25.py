@@ -212,6 +212,19 @@ class TestRetriever:
         np.testing.assert_allclose(got[:3], want_floor, rtol=1e-6)
         np.testing.assert_allclose(got[3], idf[3], rtol=1e-6)
 
+    def test_idf_floor_ignores_df0_filler_ids(self):
+        """Sparse/partial-vocab CSR builds carry df=0 filler ids; rank_bm25's
+        idf dict only ever holds corpus terms, so the floor mean must skip
+        the fillers (whose log((n+0.5)/0.5) idf would inflate it)."""
+        from rag_arc_tpu.ops.bm25 import compute_idf
+
+        n = 10
+        df_dense = np.asarray([9, 9, 9, 1])
+        df_sparse = np.concatenate([df_dense, np.zeros(96, np.int64)])
+        np.testing.assert_allclose(
+            compute_idf(df_sparse, n)[:4], compute_idf(df_dense, n), rtol=1e-6
+        )
+
     def test_custom_preprocess_no_cjk_warning(self, recwarn):
         r = BM25Retriever.from_texts(
             ["这是 中文 文本"], preprocess_func=lambda t: list(t.replace(" ", ""))

@@ -78,6 +78,27 @@ class TestExtractor:
         assert [e.id for e in k.events] == ["E1", "E2"]
         assert len(k.entities) == 1  # "Reactor" dedups case-insensitively
 
+    def test_duplicate_event_relations_remap_to_kept_id(self):
+        # round 2 re-emits E1's CONTENT under its own numbering ("E7") and
+        # relates it to a new event; the relation must land on the KEPT
+        # event, not dangle on the round-local id
+        dup = Event(id="E7", content="the reactor was started", participants=[])
+        e2 = Event(id="E2", content="pressure rose sharply", participants=[])
+        rel = EventRelation(head_event="E7", tail_event="E2", relation_type="CAUSES")
+        llm = FakeLLM(
+            responses=[
+                ks(events=[E1]),
+                ks(events=[dup, e2], ev_rels=[rel]),
+                ks(),
+            ]
+        )
+        ex = HyperRAGGraphExtractor(llm, max_rounds=3, clean=False)
+        k = ex([Document(content="log")])[0].knowledge
+        assert [e.id for e in k.events] == ["E1", "E2"]
+        assert len(k.event_relations) == 1
+        assert k.event_relations[0].head_event == "E1"
+        assert k.event_relations[0].tail_event == "E2"
+
     def test_llm_failure_isolated_per_document(self):
         class Flaky(FakeLLM):
             def __init__(self):
@@ -287,6 +308,20 @@ class TestStore:
         assert CountingEmbeddings.calls == 0
         assert store2.get_graph_statistics() == store.get_graph_statistics()
         assert store2.entity_linked_chunks("reactor", k=1)
+
+    def test_load_with_different_embedder_dim_reencodes(self, extracted, tmp_path):
+        """A sidecar saved at dim 32 must not restore into a store whose
+        embedder produces dim 16 — that deferred the crash to the first
+        search/add; instead load falls back to re-encoding."""
+        store = ArrayGraphStore(HashEmbeddings(dim=32))
+        store.store_hyperrag_graph(extracted)
+        p = tmp_path / "graph.json"
+        store.save(p)
+        store2 = ArrayGraphStore(HashEmbeddings(dim=16))
+        store2.load(p)
+        assert store2.get_graph_statistics() == store.get_graph_statistics()
+        # searching at the new dim works — index was rebuilt, not restored
+        assert store2.search_nodes("event", "pressure rise", k=1)
 
     def test_delete_and_health(self, extracted):
         store = ArrayGraphStore(HashEmbeddings(dim=32))

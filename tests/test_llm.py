@@ -232,6 +232,42 @@ class TestOpenAICompat:
 
         assert "".join(asyncio.run(collect())) == "Hello"
 
+    def test_astream_chat_early_break_stops_pump(self):
+        """Breaking out of the async generator must not raise
+        'async generator ignored GeneratorExit' nor keep the pump thread
+        draining the stream (an abandoned executor slot per request)."""
+        import time
+
+        pulled = []
+        release = threading.Event()
+
+        class Slow(FakeLLM):
+            def stream_chat(self, messages, **kw):
+                for i in range(1000):
+                    pulled.append(i)
+                    yield f"p{i} "
+                    # after the consumer breaks, the pump must stop at the
+                    # next piece boundary instead of draining all 1000
+                    release.wait(0.005)
+
+        llm = Slow()
+
+        async def take_two():
+            out = []
+            async for piece in llm.astream_chat([{"role": "user", "content": "x"}]):
+                out.append(piece)
+                if len(out) == 2:
+                    break
+            return out
+
+        assert len(asyncio.run(take_two())) == 2
+        # asyncio.run shut the async generator down (stop flag set); if the
+        # pump ignored it, releasing the waits lets it blast through all
+        # 1000 pieces within milliseconds
+        release.set()
+        time.sleep(0.3)
+        assert len(pulled) < 1000, "pump kept draining after break"
+
     def test_unreachable_raises_connectionerror(self):
         llm = OpenAICompatLLM(
             "m", base_url="http://127.0.0.1:9", max_retries=2, timeout=0.3

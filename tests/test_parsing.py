@@ -389,21 +389,62 @@ def test_parsed_document_save_writes_assets(tmp_path):
     )
     md = doc.save(tmp_path / "out")
     assert md.read_text().startswith("# Title")
-    assert (tmp_path / "out" / "layout" / "page_0.json").read_bytes() == b"[]"
-    assert (tmp_path / "out" / "images" / "a.png").exists()
+    # assets are namespaced per document stem (sources share names like
+    # page_0_picture_1.png, so flat placement clobbers across sources)
+    assert (tmp_path / "out" / "x" / "layout" / "page_0.json").read_bytes() == b"[]"
+    assert (tmp_path / "out" / "x" / "images" / "a.png").exists()
+
+
+def test_parsed_document_save_rewrites_asset_links(tmp_path):
+    from rag_arc_tpu.parsing.base import ParsedDocument
+
+    doc = ParsedDocument(
+        markdown="![fig](images/a.png)\n",
+        source="report.pdf",
+        assets={"images/a.png": b"\x89PNG"},
+    )
+    md = doc.save(tmp_path / "out")
+    # the link must resolve relative to the saved markdown
+    link = md.read_text().split("](")[1].rstrip(")\n")
+    assert (md.parent / link).read_bytes() == b"\x89PNG"
 
 
 def test_parsed_document_save_disambiguates_stem_collisions(tmp_path):
     """a/index.html and b/index.html must not silently clobber each other
-    in the output directory (data loss with exit code 0)."""
+    in the output directory (data loss with exit code 0) — and their
+    identically-named assets must stay separate too."""
     from rag_arc_tpu.parsing.base import ParsedDocument
 
-    d1 = ParsedDocument(markdown="first", source="a/index.html")
-    d2 = ParsedDocument(markdown="second", source="b/index.html")
+    d1 = ParsedDocument(
+        markdown="first ![i](p.png)",
+        source="a/index.html",
+        assets={"p.png": b"one"},
+    )
+    d2 = ParsedDocument(
+        markdown="second ![i](p.png)",
+        source="b/index.html",
+        assets={"p.png": b"two"},
+    )
     p1 = d1.save(tmp_path / "out")
     p2 = d2.save(tmp_path / "out")
     assert p1 != p2
-    assert p1.read_text() == "first" and p2.read_text() == "second"
+    assert p1.read_text().startswith("first") and p2.read_text().startswith("second")
+    for p, blob in ((p1, b"one"), (p2, b"two")):
+        link = p.read_text().split("](")[1].rstrip(")")
+        assert (p.parent / link).read_bytes() == blob
+
+
+def test_parsed_document_save_same_source_is_idempotent(tmp_path):
+    """Re-ingesting the same source must overwrite its outputs, not pile
+    up stale duplicates next to them."""
+    from rag_arc_tpu.parsing.base import ParsedDocument
+
+    p1 = ParsedDocument(markdown="v1", source="a/index.html").save(tmp_path / "out")
+    p2 = ParsedDocument(markdown="v2", source="a/index.html").save(tmp_path / "out")
+    assert p1 == p2
+    assert p2.read_text() == "v2"
+    mds = sorted(f.name for f in (tmp_path / "out").glob("*.md"))
+    assert mds == ["index.md"]
 
 
 class TestOCRModeMatrix:
@@ -471,6 +512,23 @@ class TestOCRModeMatrix:
 
         with Image.open(io.BytesIO(doc.assets[links[0]])) as im:
             assert im.size == (100, 100)
+
+    def test_degenerate_picture_bbox_gets_no_link(self):
+        """Zero-area bboxes are skipped by the crop loop; the markdown
+        renderer must skip them too or the link dangles."""
+        layout = json.dumps(
+            [
+                {"category": "Picture", "bbox": [100, 50, 100, 200]},  # x2==x1
+                {"category": "Picture", "bbox": [10, 30, 110, 130]},  # real
+            ]
+        )
+        parser = OCRParser(FakeVLMClient([layout]))
+        doc = parser.parse_images([(self._png(), (280, 280))])
+        import re
+
+        links = re.findall(r"!\[[^\]]*\]\(([^)]+)\)", doc.markdown)
+        assert len(links) == 1
+        assert links[0] in doc.assets
 
     def test_picture_links_unique_across_pages(self):
         layout = json.dumps([{"category": "Picture", "bbox": [0, 0, 50, 50]}])

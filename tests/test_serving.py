@@ -420,6 +420,15 @@ class TestHTTPApp:
                 f"{server}/add", {"texts": ["a", "b", "c"], "metadatas": [{}]}
             )
         assert exc_info.value.code == 400
+        # a bare string iterates char-by-char through the element checks:
+        # {"queries": "hello"} must 400, not run 5 one-char searches
+        for url, payload in (
+            (f"{server}/batch", {"queries": "hello"}),
+            (f"{server}/add", {"texts": "abc"}),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                self._post(url, payload)
+            assert exc_info.value.code == 400
         # healthy request still works afterwards
         assert self._post(f"{server}/add", {"texts": ["recovery doc"]})["ids"]
 
