@@ -318,9 +318,15 @@ class DeviceFlatIndex:
         skip the validity stream in pass 1 — its exactness certificate
         relies on every dead/padding row scoring 0. ``take()`` of a deleted
         position returns zeros from then on (it was dead data anyway)."""
-        positions = np.asarray(positions, dtype=np.int32)
+        positions = np.unique(np.asarray(positions, dtype=np.int32))
         if positions.size == 0:
             return
+        # count only rows that were actually live: double-deleting (a
+        # retried request, a stale id map) must not inflate n_deleted —
+        # that corrupts n_active and fires compaction early
+        was_valid = int(
+            np.asarray(jnp.take(self.valid, jnp.asarray(positions))).sum()
+        )
         padded = _pad_pow2(positions.size, 8)
         block = np.full((padded,), positions[0], dtype=np.int32)
         block[: positions.size] = positions
@@ -333,7 +339,7 @@ class DeviceFlatIndex:
             # score, and a leftover residual would give a deleted row a
             # nonzero exact score that can outrank weak live docs
             self.res_scale = _clear_res_scale(self.res_scale, jnp.asarray(block))
-        self.n_deleted += int(positions.size)
+        self.n_deleted += was_valid
 
     def restore_rows(
         self,
@@ -356,6 +362,14 @@ class DeviceFlatIndex:
         size = int(len(rows))
         if size == 0:
             return
+        if self.size or self.n_deleted:
+            # pasting over a non-empty index would leave rows in
+            # [size, old_size) valid and searchable — restore is a
+            # fresh-index operation (persistence.load_store's usage)
+            raise ValueError(
+                "restore_rows requires an empty index; this one holds "
+                f"{self.size} rows"
+            )
         want_refine = refine if (self.quantized and res is not None) else None
         if want_refine != self.refine:
             self.refine = want_refine
@@ -441,7 +455,14 @@ class DeviceFlatIndex:
         scores, positions = jax.device_get((scores, positions))
         scores = np.asarray(scores)[:b]
         positions = np.asarray(positions)[:b].astype(np.int64)
-        positions = np.where(np.isneginf(scores), -1, positions)
+        # normalize the two device sentinels to the documented contract
+        # (-inf / -1): the direct path emits -inf scores, the Pallas paths
+        # emit the finite NEG=-3e38 sentinel with position -1 — callers
+        # must see ONE convention regardless of which kernel ran
+        positions = np.where(
+            np.isneginf(scores) | (scores <= -1.0e38), -1, positions
+        )
+        scores = np.where(positions < 0, -np.inf, scores)
         if k_eff < k:  # index smaller than k: pad result
             pad = k - k_eff
             scores = np.concatenate(
@@ -555,20 +576,32 @@ class DeviceFlatIndex:
         Path selection: mesh → per-shard top-k + merge; TPU with a large
         score matrix → fused Pallas kernel (no (B, N) materialization);
         large score matrix elsewhere → chunked scan; else direct matmul.
+
+        Device-side empty slots carry the finite NEG=-3e38 sentinel on the
+        Pallas paths (position -1); the host boundary (``search``,
+        ``_batch_search_raw``) normalizes them to the documented -inf.
         """
+        # the certificate flag describes THIS search only; non-stream
+        # paths must not leave a stale one behind for stats()
+        self._last_certified = None
         if self.mesh is not None:
+            b0 = q.shape[0]
+            if self.n_replicas > 1 and b0 % self.n_replicas:
+                # replica meshes split the query batch over REPLICA_AXIS;
+                # search() rounds the batch up but device-chained callers
+                # (vector_store._batch_search_raw) pad to a power of two
+                # only — enforce the divisibility here
+                q = jnp.pad(
+                    q, ((0, round_up(b0, self.n_replicas) - b0), (0, 0))
+                )
             s, p = self._search_sharded(q, k)
-            return self._ip_unscale(q, s), p
+            return self._ip_unscale(q, s)[:b0], p[:b0]
         if self.quantized:
             # fetch extra candidates from the quantized scan, then rescore
             # them with the full-precision query (and the residual ladder
             # when refine is on): quantized-metric ceiling 0.979 → ≥0.99
             # at 10M for one tiny gather+dot
-            kf = (
-                min(max(4 * k, 32), self.capacity)
-                if (self.rescore_i8 or self.refine)
-                else k
-            )
+            kf = self._kf_local(k, self.capacity)
             # auto-widen sub-tiles until resident + search temporaries fit
             # the chip. Temp model calibrated against XLA memory_analysis
             # of the block_scales kernels (r3): the (N, 1) valid column
@@ -603,15 +636,21 @@ class DeviceFlatIndex:
                     interpret=self._force_stream, block_scales=True,
                 )
                 self._last_certified = ok
-            elif jax.default_backend() in ("tpu", "axon") or (
-                4 * q.shape[0] * self.capacity > self.SCORE_BYTES_BUDGET
-            ):
+            elif jax.default_backend() in ("tpu", "axon"):
                 from rag_arc_tpu.ops.two_level import two_level_topk_i8
 
                 s, p = two_level_topk_i8(
                     q, self.emb, self.sqnorm, self.valid, kf,
                     g=g, tile_n=min(self._tile_n(), 2048),
                     block_scales=True,
+                )
+            elif 4 * q.shape[0] * self.capacity > self.SCORE_BYTES_BUDGET:
+                # non-TPU backend, score matrix too big to materialize:
+                # Mosaic can't lower here, so stream row chunks through
+                # XLA with a running top-k (mirrors masked_topk_chunked)
+                s, p = _i8_topk_chunked(
+                    self.emb, self.sqnorm, self.valid, q, kf,
+                    chunk=self._tile_n(),
                 )
             else:
                 s, p = _search_single_i8(self.emb, self.sqnorm, self.valid, q, kf)
@@ -657,6 +696,15 @@ class DeviceFlatIndex:
         return masked_topk_chunked(
             q, self.emb, self.valid, self.sqnorm, k,
             metric=self.metric, chunk=self._tile_n(),
+        )
+
+    def _kf_local(self, k_local: int, local_cap: int) -> int:
+        """Candidate over-fetch for quantized rescore (shared by every
+        mesh path and the direct path — keep the formula in ONE place)."""
+        return (
+            min(max(4 * k_local, 32), local_cap)
+            if self.quantized and (self.rescore_i8 or self.refine)
+            else k_local
         )
 
     def _refine_shard_args(self, row2d_spec, row1d_spec):
@@ -748,6 +796,22 @@ class DeviceFlatIndex:
         return (path, q.shape, jnp.dtype(q.dtype).name, k, self.capacity,
                 self._force_stream, self.refine, self.rescore_i8)
 
+    @staticmethod
+    def _merge_gathered(s_all, p_all, b, k):
+        """Merge gathered per-shard candidates (S, b, k_local) → (b, k).
+        The ONE implementation of the transpose/reshape/top_k merge used
+        by every mesh path; clamps to the available candidate count and
+        pads back to k so callers always see (b, k)."""
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+        p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+        kk = min(k, s_flat.shape[1])
+        sm, sel = jax.lax.top_k(s_flat, kk)
+        pm = jnp.take_along_axis(p_flat, sel, axis=-1)
+        if kk < k:
+            sm = jnp.pad(sm, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            pm = jnp.pad(pm, ((0, 0), (0, k - kk)), constant_values=-1)
+        return sm, pm
+
     def _search_sharded(self, q: jax.Array, k: int):
         mesh, axis = self.mesh, self.axis_name
         local_cap = self.capacity // self.n_shards
@@ -770,14 +834,11 @@ class DeviceFlatIndex:
             while local_cap % (tile * 2) == 0 and tile < 2048:
                 tile *= 2
 
-            kf_local = (
-                min(max(4 * k_local, 32), local_cap)
-                if self.quantized and (self.rescore_i8 or self.refine)
-                else k_local
-            )
             produce = self._make_local_producer(
-                q.shape[0], tile, use_fused, k_local, kf_local
+                q.shape[0], tile, use_fused, k_local,
+                self._kf_local(k_local, local_cap),
             )
+            merge = self._merge_gathered
 
             def local_topk(q, emb, valid, sqnorm, *extra):
                 s, idx = produce(q, emb, valid, sqnorm, extra)
@@ -795,11 +856,7 @@ class DeviceFlatIndex:
                     # metadata; out_specs state the sharding explicitly
                     check_vma=False,
                 )(q, emb, valid, sqnorm, *extra_in)
-                b = q.shape[0]
-                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
-                s, sel = jax.lax.top_k(s_flat, k)
-                return s, jnp.take_along_axis(p_flat, sel, axis=-1)
+                return merge(s_all, p_all, q.shape[0], k)
 
             self._mesh_jit_cache[self._mesh_jit_key("data", q, k)] = run
 
@@ -832,21 +889,18 @@ class DeviceFlatIndex:
             while local_cap % (tile * 2) == 0 and tile < 2048:
                 tile *= 2
 
-            def merge_axis(s, p, b, axis_name, k_out):
-                s_all = jax.lax.all_gather(s, axis_name)  # (S, b, k)
-                p_all = jax.lax.all_gather(p, axis_name)
-                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
-                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
-                sm, sel = jax.lax.top_k(s_flat, min(k_out, s_flat.shape[1]))
-                return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+            merge = self._merge_gathered
 
-            kf_local = (
-                min(max(4 * k_local, 32), local_cap)
-                if self.quantized and (self.rescore_i8 or self.refine)
-                else k_local
-            )
+            def merge_axis(s, p, b, axis_name, k_out):
+                return merge(
+                    jax.lax.all_gather(s, axis_name),
+                    jax.lax.all_gather(p, axis_name),
+                    b, k_out,
+                )
+
             produce = self._make_local_producer(
-                q.shape[0] // self.n_replicas, tile, use_fused, k_local, kf_local
+                q.shape[0] // self.n_replicas, tile, use_fused, k_local,
+                self._kf_local(k_local, local_cap),
             )
 
             def local_fn(q_local, emb, valid, sqnorm, *extra):
@@ -898,25 +952,20 @@ class DeviceFlatIndex:
             while local_cap % (tile * 2) == 0 and tile < 2048:
                 tile *= 2
 
-            kf_local = (
-                min(max(4 * k_local, 32), local_cap)
-                if self.quantized and (self.rescore_i8 or self.refine)
-                else k_local
-            )
             produce = self._make_local_producer(
-                q.shape[0] // self.n_replicas, tile, use_fused, k_local, kf_local
+                q.shape[0] // self.n_replicas, tile, use_fused, k_local,
+                self._kf_local(k_local, local_cap),
             )
+            merge = self._merge_gathered
 
             def local_fn(q_local, emb, valid, sqnorm, *extra):
                 s, idx = produce(q_local, emb, valid, sqnorm, extra)
                 idx = idx + jax.lax.axis_index(axis) * local_cap
-                s_all = jax.lax.all_gather(s, axis)  # (S, b_r, k_local)
-                p_all = jax.lax.all_gather(idx, axis)
-                b_r = q_local.shape[0]
-                s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b_r, -1)
-                p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b_r, -1)
-                sm, sel = jax.lax.top_k(s_flat, k)
-                return sm, jnp.take_along_axis(p_flat, sel, axis=-1)
+                return merge(
+                    jax.lax.all_gather(s, axis),   # (S, b_r, k_local)
+                    jax.lax.all_gather(idx, axis),
+                    q_local.shape[0], k,
+                )
 
             run = jax.jit(
                 jax.shard_map(
@@ -984,8 +1033,10 @@ class DeviceFlatIndex:
             ),
         }
         if self._last_certified is not None:
-            # True: last stream search was certified exact without the
-            # masked-grid fallback; False: the in-program fallback ran
+            # True: the LAST search ran the certified stream without the
+            # masked-grid fallback; False: the in-program fallback ran.
+            # Absent entirely when the last search took a non-stream path
+            # (search_device resets the flag per call — no stale reads)
             out["stream_certified"] = bool(jax.device_get(self._last_certified))
         return out
 
@@ -1139,6 +1190,53 @@ def _i8_topk_body(emb_i8, row_scale, valid, q, k):
 def _search_single_i8(emb_i8, row_scale, valid, q, k):
     """Small-corpus int8 path, same quantized metric as the TPU kernel."""
     return _i8_topk_body(emb_i8, row_scale, valid, q, k)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _i8_topk_chunked(emb_i8, row_scale, valid, q, k, chunk):
+    """Memory-bounded int8 top-k for non-TPU backends (the Mosaic kernels
+    can't lower there): same quantized metric as ``_i8_topk_body``, corpus
+    streamed in row chunks via ``lax.scan`` with a running (B, k) merge —
+    peak memory O(B·chunk) instead of O(B·N)."""
+    n = emb_i8.shape[0]
+    n_chunks = n // chunk  # chunk = _tile_n() divides capacity by construction
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    qn = q / jnp.maximum(norm, 1e-12)
+    qmax = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qn / qscale), -127, 127).astype(jnp.float32)
+    b = q.shape[0]
+    init = (
+        jnp.full((b, k), NEG_INF, dtype=jnp.float32),
+        jnp.full((b, k), -1, dtype=jnp.int32),
+    )
+
+    def step(carry, inputs):
+        run_s, run_p = carry
+        idx, c_emb, c_scale, c_valid = inputs
+        scores = jnp.dot(
+            q_i8, c_emb.astype(jnp.float32).T,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * c_scale[None, :]
+        scores = jnp.where(c_valid[None, :], scores, NEG_INF)
+        s, local = jax.lax.top_k(scores, k)
+        p = (idx * chunk + local).astype(jnp.int32)
+        cat_s = jnp.concatenate([run_s, s], axis=1)
+        cat_p = jnp.concatenate([run_p, p], axis=1)
+        ms, sel = jax.lax.top_k(cat_s, k)
+        return (ms, jnp.take_along_axis(cat_p, sel, axis=1)), None
+
+    (s, p), _ = jax.lax.scan(
+        step,
+        init,
+        (
+            jnp.arange(n_chunks, dtype=jnp.int32),
+            emb_i8.reshape(n_chunks, chunk, emb_i8.shape[1]),
+            row_scale.reshape(n_chunks, chunk),
+            valid.reshape(n_chunks, chunk),
+        ),
+    )
+    return s * qscale, p
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -598,7 +598,12 @@ class TPUVectorStore(VectorStore):
             s_host, p_host = jax.device_get((s_dev, p_dev))
         scores = np.asarray(s_host)[:b]
         positions = np.asarray(p_host)[:b].astype(np.int64)
-        positions = np.where(np.isneginf(scores), -1, positions)
+        # normalize both device sentinels (-inf from the direct path,
+        # finite NEG=-3e38 from the Pallas paths) to the -inf/-1 contract
+        positions = np.where(
+            np.isneginf(scores) | (scores <= -1.0e38), -1, positions
+        )
+        scores = np.where(positions < 0, -np.inf, scores)
         if k_eff < k:
             pad = k - k_eff
             scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)

@@ -246,11 +246,18 @@ def subtile_max_stream(
     g: int = 32,
     tile_n: int = 2048,
     interpret: bool = False,
-    masked: bool = True,
+    masked: bool = False,
     pipelined: bool = False,
 ) -> jax.Array:
     """(N/g, B) sub-tile maxima — streaming producer for two_level's
     select/rescore stages. Whole query batch in one kernel invocation.
+
+    ``masked=False`` (the default, and the only variant production uses —
+    ``two_level_topk_certified`` guarantees exactness via the certificate
+    instead) is the Mosaic-compilable path. ``masked=True`` applies the
+    valid-row bias in-kernel; it is exercised in interpret mode as a test
+    oracle but performs the lane-crossing (v_rows, 128) → (rows, g)
+    reshape that Mosaic cannot lower, so don't ship it to a real TPU.
 
     ``pipelined`` (maskless only) uses the two-slab variant that issues
     tile i's matmul before reducing tile i-1's slab, letting the MXU and

@@ -82,6 +82,28 @@ def test_tombstone_excludes_deleted(rng):
     assert index.n_active == 99
 
 
+def test_double_delete_counts_once(rng):
+    """Deleting the same position twice (a retried request) must not
+    inflate n_deleted — that corrupts n_active and fires compaction early."""
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    index = DeviceFlatIndex(dim=8)
+    index.add(data)
+    index.mark_deleted(np.array([5]))
+    index.mark_deleted(np.array([5, 5, 7]))
+    assert index.n_deleted == 2
+    assert index.n_active == 98
+
+
+def test_restore_rows_requires_empty_index(rng):
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    index = DeviceFlatIndex(dim=8)
+    index.add(data)
+    with pytest.raises(ValueError, match="empty"):
+        index.restore_rows(
+            data, np.ones(64, np.float32), np.ones(64, bool)
+        )
+
+
 def test_search_smaller_than_k(rng):
     index = DeviceFlatIndex(dim=8)
     index.add(rng.standard_normal((3, 8)).astype(np.float32))
@@ -192,6 +214,23 @@ class TestReplicaMesh:
         _, p = index.search(data[42:43], k=1)  # B=1 padded to replica multiple
         assert p[0, 0] == 42
 
+    def test_replica_mesh_odd_batch_via_search_device(self, rng):
+        """The device-chained path (vector_store._batch_search_raw) pads
+        batches to a power of two only; search_device itself must enforce
+        the replica divisibility (B=1 on a 4-replica mesh used to crash
+        shard_map)."""
+        import jax.numpy as jnp
+
+        from rag_arc_tpu.parallel.mesh import replica_mesh
+
+        mesh = replica_mesh(replicas=4, shards=2)
+        data = rng.standard_normal((512, 16)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        index = DeviceFlatIndex(dim=16, capacity=1024, mesh=mesh)
+        index.add(data)
+        s, p = index.search_device(jnp.asarray(data[7:8]), k=3)
+        assert s.shape == (1, 3) and int(np.asarray(p)[0, 0]) == 7
+
     def test_replica_mesh_too_many_devices(self):
         from rag_arc_tpu.parallel.mesh import replica_mesh
 
@@ -261,6 +300,23 @@ class TestSliceMesh:
 class TestInt8Index:
     """Per-row-scaled int8 storage: half the HBM of bf16, exact under the
     quantized metric, recall ~bf16 vs the f32 oracle."""
+
+    def test_chunked_matches_direct(self, rng):
+        """The non-TPU big-corpus fallback (_i8_topk_chunked: lax.scan over
+        row chunks, O(B·chunk) memory) must score identically to the
+        direct quantized path — it's what serves int8 indexes where
+        Mosaic can't lower."""
+        from rag_arc_tpu.index.flat import _i8_topk_chunked, _search_single_i8
+
+        data = rng.standard_normal((4096, 32)).astype(np.float32)
+        idx = DeviceFlatIndex(dim=32, capacity=4096, dtype=jnp.int8, refine=None)
+        idx.add(data)
+        idx.mark_deleted(np.arange(10, 20))
+        q = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+        s1, p1 = _search_single_i8(idx.emb, idx.sqnorm, idx.valid, q, 10)
+        s2, p2 = _i8_topk_chunked(idx.emb, idx.sqnorm, idx.valid, q, 10, chunk=1024)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
 
     def test_add_search_recall(self, rng):
         data = rng.standard_normal((4096, 64)).astype(np.float32)

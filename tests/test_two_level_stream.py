@@ -44,7 +44,7 @@ def test_masked_matches_oracle(rng, g):
     got = np.asarray(
         subtile_max_stream(
             jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(valid),
-            g=g, tile_n=1024, interpret=True,
+            g=g, tile_n=1024, interpret=True, masked=True,
         )
     )
     np.testing.assert_allclose(got, oracle(q, corpus, valid, g), rtol=1e-4, atol=1e-4)
@@ -134,6 +134,34 @@ def test_flat_index_stream_path(rng):
     s2, p2 = ref.search(q, 5)
     np.testing.assert_array_equal(p, p2)
     np.testing.assert_allclose(s, s2, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_path_empty_slots_are_neg_inf(rng):
+    """The Pallas paths emit the finite NEG=-3e38 sentinel on device; the
+    host boundary must normalize it to the documented -inf / -1 contract
+    (np.isneginf / JSON consumers would otherwise see ghost scores)."""
+    idx = DeviceFlatIndex(dim=64, metric="cosine", capacity=2048)
+    idx._force_stream = True
+    vecs = rng.standard_normal((5, 64)).astype(np.float32)
+    idx.add(vecs)
+    s, p = idx.search(rng.standard_normal((2, 64)).astype(np.float32), 8)
+    assert (p[:, 5:] == -1).all()
+    assert np.isneginf(s[:, 5:]).all()
+    assert np.isfinite(s[:, :5]).all()
+
+
+def test_stats_certified_flag_not_stale(rng):
+    """A grid/direct-path search after a stream search must clear the
+    stream_certified flag — monitoring reads it per-search."""
+    idx = DeviceFlatIndex(dim=64, metric="cosine", capacity=2048)
+    idx._force_stream = True
+    vecs = rng.standard_normal((1000, 64)).astype(np.float32)
+    idx.add(vecs)
+    idx.search(rng.standard_normal((4, 64)).astype(np.float32), 3)
+    assert "stream_certified" in idx.stats()
+    idx._force_stream = False  # next search takes the direct path
+    idx.search(rng.standard_normal((4, 64)).astype(np.float32), 3)
+    assert "stream_certified" not in idx.stats()
 
 
 def test_flat_index_stream_fallback_exact(rng):
