@@ -31,8 +31,19 @@ from rag_arc_tpu.ops.bm25 import (
     compute_idf,
 )
 from rag_arc_tpu.parallel.mesh import CORPUS_AXIS, corpus_sharding, round_up, row_sharding, shard_count
+from rag_arc_tpu.utils.locks import RWLock
 
 Tokenizer = Callable[[str], List[str]]
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _paste_head_rows(buf, rows_f32, start):
+    """Write a block of head-matrix rows into the device buffer in place
+    (donated) — the chunked hybrid build's way of materializing the
+    (H, N_pad) head without ever holding it fully on host."""
+    return jax.lax.dynamic_update_slice(
+        buf, rows_f32.astype(buf.dtype), (start, jnp.int32(0))
+    )
 
 
 class PendingSearch:
@@ -107,6 +118,14 @@ class DeviceBM25Index:
         # head cost is O(B·H·N /MXU) instead of the host's O(Σ df).
         self.head_terms = int(head_terms)
         self.head_dtype = head_dtype
+        # byte cap on the dense (H, N_pad) head matrix; _build_hybrid
+        # halves H until it fits (10M docs x 256 head terms x f32 would
+        # be ~10 GB of HBM before the score array and tail postings)
+        self.HEAD_BYTES_BUDGET = 6 << 30
+        # host-RAM bound per build chunk: the head materializes on device
+        # in row blocks of ~this many f32 bytes instead of one full-size
+        # host array (10 GB at 10M docs)
+        self.HEAD_CHUNK_BYTES = 1 << 28
         self.host_budget = int(host_budget)
         self._w_head = None       # (H, N_pad) device
         self._hvalid = None       # (N_pad,) device
@@ -138,6 +157,10 @@ class DeviceBM25Index:
         self._host_handle = None
         self._host_lib = None
         self._sharded_jit: Dict = {}
+        # rebuilds free the C++ postings handle and swap the device/hybrid
+        # arrays; searches read them — RW lock so a rebuild never lands
+        # under an in-flight search (use-after-free on the host path)
+        self._rw = RWLock()
 
     def __del__(self):
         self._free_host()
@@ -232,17 +255,60 @@ class DeviceBM25Index:
         head = order[: self.head_terms]
         head = head[df[head] >= df_min]
         h = len(head)
-        head_slot = np.full(v, -1, dtype=np.int32)
-        head_slot[head] = np.arange(h, dtype=np.int32)
         # 1024-multiple pad: lets the kernel's coarse top-k reduce clean
         # 512/256-column groups (ops/bm25.py::_coarse_topk); pad columns
         # are hvalid=False -> -inf, never selected
         n_pad = round_up(max(n, 1024), 1024)
-        w_head = np.zeros((max(h, 1), n_pad), dtype=np.float32)
+        # cap the dense head by BYTES, not term count: at 10M docs a
+        # 256-row f32 head is ~10 GB of HBM — more than the score array,
+        # tail postings, and workspace leave free. Shrinking H moves the
+        # overflow terms to the tail postings (slower for those terms,
+        # but the index fits)
+        itemsize = jnp.dtype(self.head_dtype).itemsize
+        while h > 1 and h * n_pad * itemsize > self.HEAD_BYTES_BUDGET:
+            h //= 2
+        if h < len(head):
+            import warnings
+
+            warnings.warn(
+                f"hybrid head shrunk {len(head)} -> {h} terms to fit the "
+                f"{self.HEAD_BYTES_BUDGET >> 30} GiB head budget at "
+                f"{n} docs (dtype {jnp.dtype(self.head_dtype).name}); "
+                "overflow terms score via tail postings"
+            )
+            head = head[:h]
+        head_slot = np.full(v, -1, dtype=np.int32)
+        head_slot[head] = np.arange(h, dtype=np.int32)
         is_head = head_slot[term_ids] >= 0
-        w_head[head_slot[term_ids[is_head]], doc_of[is_head]] = w[is_head]
+        slots = head_slot[term_ids[is_head]]
+        docs_h = doc_of[is_head]
+        vals_h = w[is_head]
         hvalid = np.zeros(n_pad, dtype=bool)
         hvalid[:n] = True
+
+        # materialize the (H, N_pad) head on DEVICE in row chunks: one
+        # full-size f32 host array would be another ~10 GB of host RAM at
+        # 10M docs on top of the device copy
+        row_bytes = n_pad * 4
+        chunk_rows = max(1, min(max(h, 1), int(self.HEAD_CHUNK_BYTES // row_bytes)))
+        if chunk_rows >= max(h, 1):
+            w_head = np.zeros((max(h, 1), n_pad), dtype=np.float32)
+            w_head[slots, docs_h] = vals_h
+            w_head_dev = jnp.asarray(w_head, dtype=self.head_dtype)
+        else:
+            by_slot = np.argsort(slots, kind="stable")
+            slots_s = slots[by_slot]
+            docs_s = docs_h[by_slot]
+            vals_s = vals_h[by_slot]
+            w_head_dev = jnp.zeros((h, n_pad), dtype=self.head_dtype)
+            for s0 in range(0, h, chunk_rows):
+                e0 = min(s0 + chunk_rows, h)
+                lo, hi_ = np.searchsorted(slots_s, [s0, e0])
+                arr = np.zeros((e0 - s0, n_pad), dtype=np.float32)
+                arr[slots_s[lo:hi_] - s0, docs_s[lo:hi_]] = vals_s[lo:hi_]
+                w_head_dev = _paste_head_rows(
+                    w_head_dev, jnp.asarray(arr), jnp.int32(s0)
+                )
 
         # tail postings, term-major, RESIDENT IN HBM — query time ships
         # only (start, len, count) per tail term; the device gathers the
@@ -270,7 +336,7 @@ class DeviceBM25Index:
         self._tail_off = off
         self._df = df.astype(np.int64)
         self._head_slot = head_slot
-        self._w_head = jnp.asarray(w_head, dtype=self.head_dtype)
+        self._w_head = w_head_dev
         self._hvalid = jnp.asarray(hvalid)
         # static slab width: posting lists split into segments of this
         # width at query time (long mid-frequency lists just occupy more
@@ -294,23 +360,34 @@ class DeviceBM25Index:
         # this backend exists for (~4.8 GB at 600M postings)
         self._tail_docs = self._tail_w = None
 
-    def _estimated_entries(
+    def _count_terms(
         self, tokenized_queries: Sequence[Sequence[str]]
-    ) -> int:
+    ) -> List[Dict[int, int]]:
+        """Per-query indexed-term-id → count maps. The ONE tokenize-count
+        pass shared by the dispatch signal, both encoders, and the hybrid
+        path — search_dispatch used to walk every token twice (estimate,
+        then encode) on the hot serving path."""
+        out: List[Dict[int, int]] = []
+        vocab_get = self.vocab.get
+        for toks in tokenized_queries:
+            counts: Dict[int, int] = {}
+            for tok in toks:
+                tid = vocab_get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            out.append(counts)
+        return out
+
+    def _estimated_entries(self, counts: Sequence[Dict[int, int]]) -> int:
         """Σ df over the batch's indexed query terms — the host scorer's
         work; the dispatch signal between host CSR and the device."""
-        total = 0
-        for toks in tokenized_queries:
-            seen = set()
-            for tok in toks:
-                tid = self.vocab.get(tok)
-                if tid is not None and tid not in seen:
-                    seen.add(tid)
-                    total += int(self._df[tid])
-        return total
+        return int(sum(self._df[tid] for c in counts for tid in c))
 
     def _hybrid_dispatch(
-        self, tokenized_queries: Sequence[Sequence[str]], k: int
+        self,
+        tokenized_queries: Sequence[Sequence[str]],
+        k: int,
+        term_counts: Optional[Sequence[Dict[int, int]]] = None,
     ) -> "PendingSearch":
         """Host-encode + enqueue one hybrid batch; does NOT block on the
         device. All four per-query operands (q_head, starts, lens, counts)
@@ -325,12 +402,9 @@ class DeviceBM25Index:
         rows: List[List[Tuple[int, int, float]]] = []
         head_rows: List[Dict[int, int]] = []
         t_max = 1
-        for toks in tokenized_queries:
-            counts: Dict[int, int] = {}
-            for tok in toks:
-                tid = self.vocab.get(tok)
-                if tid is not None:
-                    counts[tid] = counts.get(tid, 0) + 1
+        if term_counts is None:
+            term_counts = self._count_terms(tokenized_queries)
+        for counts in term_counts:
             row: List[Tuple[int, int, float]] = []
             hrow: Dict[int, int] = {}
             for tid, c in counts.items():
@@ -390,6 +464,10 @@ class DeviceBM25Index:
         return self._hybrid_dispatch(tokenized_queries, k).result()
 
     def build(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
+        with self._rw.write():
+            self._build_unlocked(tokenized_docs)
+
+    def _build_unlocked(self, tokenized_docs: Sequence[Sequence[str]]) -> None:
         n = len(tokenized_docs)
         self.n_docs = n
         self.vocab = {}
@@ -482,6 +560,19 @@ class DeviceBM25Index:
         doc_len: np.ndarray,
         vocab: Optional[Dict[str, int]] = None,
     ) -> None:
+        with self._rw.write():
+            self._build_from_csr_unlocked(
+                row_offsets, term_ids, tfs, doc_len, vocab
+            )
+
+    def _build_from_csr_unlocked(
+        self,
+        row_offsets: np.ndarray,
+        term_ids: np.ndarray,
+        tfs: np.ndarray,
+        doc_len: np.ndarray,
+        vocab: Optional[Dict[str, int]] = None,
+    ) -> None:
         """Build directly from CSR term-frequency arrays.
 
         Ingest fast path for corpora that are already tokenized to integer
@@ -504,7 +595,7 @@ class DeviceBM25Index:
             vocab if vocab is not None else {f"w{i}": i for i in range(v)}
         )
         if n == 0:
-            self.build([])
+            self._build_unlocked([])
             return
         doc_len = np.asarray(doc_len, dtype=np.float64)
         self.avgdl = float(doc_len.mean())
@@ -535,6 +626,10 @@ class DeviceBM25Index:
             )
 
     def build_from_texts_native(self, contents: Sequence[str]) -> None:
+        with self._rw.write():
+            self._build_from_texts_native_unlocked(contents)
+
+    def _build_from_texts_native_unlocked(self, contents: Sequence[str]) -> None:
         """Fast build path: tokenization + term statistics in C++
         (native/textproc.cpp), byte-exact with ``text.lower().split()`` for
         ASCII corpora. The caller is responsible for checking
@@ -546,7 +641,7 @@ class DeviceBM25Index:
         n = len(contents)
         self.n_docs = n
         if n == 0:
-            self.build([])
+            self._build_unlocked([])
             return
         lib = load_library("textproc")
         lib.textproc_build.restype = ctypes.c_void_p
@@ -655,12 +750,7 @@ class DeviceBM25Index:
         qt = np.full((b, self.qmax), QUERY_PAD, dtype=np.int32)
         qc = np.zeros((b, self.qmax), dtype=np.float32)
         warned = False
-        for i, toks in enumerate(tokenized_queries):
-            counts: Dict[int, int] = {}
-            for tok in toks:
-                tid = self.vocab.get(tok)
-                if tid is not None:
-                    counts[tid] = counts.get(tid, 0) + 1
+        for i, counts in enumerate(self._count_terms(tokenized_queries)):
             if len(counts) > self.qmax and not warned:
                 warned = True
                 import warnings
@@ -697,39 +787,47 @@ class DeviceBM25Index:
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         b = len(tokenized_queries)
-        if (self.doc_terms is None and self._host_handle is None) or b == 0:
-            out = (
-                np.full((b, k), -np.inf, dtype=np.float32),
-                np.full((b, k), -1, dtype=np.int64),
-            )
-            return PendingSearch(lambda: out)
-        if self._host_handle is not None:
-            if (
-                self._w_head is not None
-                and self._estimated_entries(tokenized_queries) > self.host_budget
-            ):
-                # df dispatcher: this batch's postings volume would drown
-                # the host CSR scorer (head-term profile) — the device
-                # pays one MXU matmul instead of Σ df accumulations
-                return self._hybrid_dispatch(tokenized_queries, k)
-            host_out = self._host_search(tokenized_queries, k)
-            return PendingSearch(lambda: host_out)
-        qt, qc = self.encode_queries(tokenized_queries)
-        b_pad = max(1, 1 << math.ceil(math.log2(b)))
-        if b_pad > b:
-            qt = np.pad(qt, ((0, b_pad - b), (0, 0)), constant_values=QUERY_PAD)
-            qc = np.pad(qc, ((0, b_pad - b), (0, 0)))
-        n_pad = self.doc_terms.shape[0]
-        k_eff = min(k, n_pad)
-        if self.mesh is not None:
-            scores, positions = self._search_sharded(
-                jnp.asarray(qt), jnp.asarray(qc), k_eff
-            )
-        else:
-            scores, positions = bm25_topk(
-                self.doc_terms, self.doc_weights, self.valid,
-                jnp.asarray(qt), jnp.asarray(qc), k_eff,
-            )
+        # read lock: a concurrent rebuild (add/delete fan-out) frees the
+        # C++ postings handle and swaps the device arrays — dispatching
+        # against half-replaced state is a use-after-free on the host path
+        with self._rw.read():
+            if (self.doc_terms is None and self._host_handle is None) or b == 0:
+                out = (
+                    np.full((b, k), -np.inf, dtype=np.float32),
+                    np.full((b, k), -1, dtype=np.int64),
+                )
+                return PendingSearch(lambda: out)
+            if self._host_handle is not None:
+                term_counts = self._count_terms(tokenized_queries)
+                if (
+                    self._w_head is not None
+                    and self._estimated_entries(term_counts) > self.host_budget
+                ):
+                    # df dispatcher: this batch's postings volume would
+                    # drown the host CSR scorer (head-term profile) — the
+                    # device pays one MXU matmul instead of Σ df
+                    # accumulations
+                    return self._hybrid_dispatch(tokenized_queries, k, term_counts)
+                host_out = self._host_search(tokenized_queries, k, term_counts)
+                return PendingSearch(lambda: host_out)
+            qt, qc = self.encode_queries(tokenized_queries)
+            b_pad = max(1, 1 << math.ceil(math.log2(b)))
+            if b_pad > b:
+                qt = np.pad(
+                    qt, ((0, b_pad - b), (0, 0)), constant_values=QUERY_PAD
+                )
+                qc = np.pad(qc, ((0, b_pad - b), (0, 0)))
+            n_pad = self.doc_terms.shape[0]
+            k_eff = min(k, n_pad)
+            if self.mesh is not None:
+                scores, positions = self._search_sharded(
+                    jnp.asarray(qt), jnp.asarray(qc), k_eff
+                )
+            else:
+                scores, positions = bm25_topk(
+                    self.doc_terms, self.doc_weights, self.valid,
+                    jnp.asarray(qt), jnp.asarray(qc), k_eff,
+                )
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
             s = np.asarray(jax.device_get(scores))[:b]
@@ -782,21 +880,14 @@ class DeviceBM25Index:
         return run(qt, qc, self.doc_terms, self.doc_weights, self.valid)
 
     def _encode_flat(
-        self, tokenized_queries: Sequence[Sequence[str]]
+        self, term_counts: Sequence[Dict[int, int]]
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Variable-length query encoding for the host scorer — no ``qmax``
         truncation (the host path scores every indexed query term)."""
-        import ctypes  # noqa: F401 — keeps the import near its use sites
-
         terms: List[int] = []
         counts: List[float] = []
-        offsets = np.zeros(len(tokenized_queries) + 1, dtype=np.int64)
-        for i, toks in enumerate(tokenized_queries):
-            c: Dict[int, int] = {}
-            for tok in toks:
-                tid = self.vocab.get(tok)
-                if tid is not None:
-                    c[tid] = c.get(tid, 0) + 1
+        offsets = np.zeros(len(term_counts) + 1, dtype=np.int64)
+        for i, c in enumerate(term_counts):
             terms.extend(c.keys())
             counts.extend(float(v) for v in c.values())
             offsets[i + 1] = len(terms)
@@ -807,12 +898,17 @@ class DeviceBM25Index:
         )
 
     def _host_search(
-        self, tokenized_queries: Sequence[Sequence[str]], k: int
+        self,
+        tokenized_queries: Sequence[Sequence[str]],
+        k: int,
+        term_counts: Optional[Sequence[Dict[int, int]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         import ctypes
         import os
 
-        terms, counts, offsets = self._encode_flat(tokenized_queries)
+        if term_counts is None:
+            term_counts = self._count_terms(tokenized_queries)
+        terms, counts, offsets = self._encode_flat(term_counts)
         b = len(tokenized_queries)
         out_scores = np.empty((b, k), dtype=np.float32)
         out_pos = np.empty((b, k), dtype=np.int64)
@@ -836,28 +932,30 @@ class DeviceBM25Index:
     def get_scores(self, tokenized_query: Sequence[str]) -> np.ndarray:
         """Full dense score vector for one query (reference bm25.py
         ``get_scores`` parity)."""
-        if self._host_handle is not None:
-            import ctypes
+        with self._rw.read():
+            if self._host_handle is not None:
+                import ctypes
 
-            terms, counts, _ = self._encode_flat([tokenized_query])
-            out = np.zeros(self.n_docs, dtype=np.float32)
-            if terms.size:
-                self._host_lib.bm25host_scores(
-                    self._host_handle,
-                    terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    terms.size,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                terms, counts, _ = self._encode_flat(
+                    self._count_terms([tokenized_query])
                 )
-            return out
-        if self.doc_terms is None:
-            return np.zeros(0, dtype=np.float32)
-        qt, qc = self.encode_queries([tokenized_query])
-        scores = bm25_scores_kernel(
-            self.doc_terms, self.doc_weights, jnp.asarray(qt), jnp.asarray(qc)
-        )
-        out = np.asarray(jax.device_get(scores))[0][: self.n_docs]
-        return out
+                out = np.zeros(self.n_docs, dtype=np.float32)
+                if terms.size:
+                    self._host_lib.bm25host_scores(
+                        self._host_handle,
+                        terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        terms.size,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    )
+                return out
+            if self.doc_terms is None:
+                return np.zeros(0, dtype=np.float32)
+            qt, qc = self.encode_queries([tokenized_query])
+            scores = bm25_scores_kernel(
+                self.doc_terms, self.doc_weights, jnp.asarray(qt), jnp.asarray(qc)
+            )
+            return np.asarray(jax.device_get(scores))[0][: self.n_docs]
 
     def stats(self) -> Dict[str, object]:
         return {

@@ -18,10 +18,19 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
 namespace {
+
+struct Worker {
+  std::vector<float> acc;
+  std::vector<uint32_t> tag;
+  std::vector<int32_t> touched;
+  uint32_t epoch = 0;
+};
 
 struct Postings {
   int64_t n_docs = 0;
@@ -29,13 +38,32 @@ struct Postings {
   std::vector<int64_t> offsets;  // n_vocab + 1, into docs/weights
   std::vector<int32_t> docs;     // nnz
   std::vector<float> weights;    // nnz — idf·tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl))
-};
+  // reusable per-thread scratch: acc+tag are 8 bytes/doc — 80 MB at 10M
+  // docs, far too much to allocate+zero per search call (the epoch tags
+  // exist precisely so the arrays never need re-zeroing). Concurrent
+  // searches on one handle each check a distinct Worker out of the pool.
+  std::mutex pool_mu;
+  std::vector<std::unique_ptr<Worker>> pool;
 
-struct Worker {
-  std::vector<float> acc;
-  std::vector<uint32_t> tag;
-  std::vector<int32_t> touched;
-  uint32_t epoch = 0;
+  std::unique_ptr<Worker> acquire_worker() {
+    {
+      std::lock_guard<std::mutex> g(pool_mu);
+      if (!pool.empty()) {
+        auto w = std::move(pool.back());
+        pool.pop_back();
+        return w;
+      }
+    }
+    auto w = std::make_unique<Worker>();
+    w->acc.assign(n_docs, 0.0f);
+    w->tag.assign(n_docs, 0);
+    return w;
+  }
+
+  void release_worker(std::unique_ptr<Worker> w) {
+    std::lock_guard<std::mutex> g(pool_mu);
+    pool.push_back(std::move(w));
+  }
 };
 
 }  // namespace
@@ -115,17 +143,19 @@ void bm25host_search(void* h, const int32_t* q_terms, const float* q_counts,
                      const int64_t* q_offsets, int64_t n_queries, int32_t k,
                      const uint8_t* valid, float* out_scores,
                      int64_t* out_pos, int32_t n_threads) {
-  const Postings* p = static_cast<const Postings*>(h);
+  Postings* p = static_cast<Postings*>(h);
   if (n_threads <= 0) n_threads = 1;
   std::atomic<int64_t> next(0);
 
   auto run = [&]() {
-    Worker w;
-    w.acc.assign(p->n_docs, 0.0f);
-    w.tag.assign(p->n_docs, 0);
+    auto wp = p->acquire_worker();
+    Worker& w = *wp;
     int64_t q;
     while ((q = next.fetch_add(1)) < n_queries) {
-      ++w.epoch;
+      if (++w.epoch == 0) {  // uint32 wrap: stale tags could false-match
+        std::fill(w.tag.begin(), w.tag.end(), 0u);
+        w.epoch = 1;
+      }
       w.touched.clear();
       for (int64_t j = q_offsets[q]; j < q_offsets[q + 1]; ++j) {
         const int32_t t = q_terms[j];
@@ -163,27 +193,45 @@ void bm25host_search(void* h, const int32_t* q_terms, const float* q_counts,
       }
       std::sort_heap(heap.begin(), heap.end(), cmp);
       // dense-scoring parity (rank_bm25 argsort over a dense vector):
-      // when fewer than k docs match any query term, the remaining slots
-      // carry zero-scored live docs, not empties
+      // untouched docs carry score 0, so they MERGE with the touched
+      // top-k, not merely pad it — with a negative idf floor (stopword-
+      // heavy corpora) matched docs can score below zero and must rank
+      // BELOW zero-scored non-matching docs, exactly as the dense
+      // backends order them
       int64_t filler = 0;
-      for (int32_t i = 0; i < k; ++i) {
-        if (i < (int32_t)heap.size()) {
-          out_scores[q * k + i] = heap[i].first;
-          out_pos[q * k + i] = heap[i].second;
-          continue;
-        }
+      auto next_filler = [&]() -> int64_t {
         while (filler < p->n_docs &&
                ((w.tag[filler] == w.epoch) || (valid && !valid[filler])))
           ++filler;
-        if (filler < p->n_docs) {
+        return filler < p->n_docs ? filler : -1;
+      };
+      size_t hi = 0;
+      for (int32_t i = 0; i < k; ++i) {
+        const bool have_t = hi < heap.size();
+        const int64_t f = next_filler();
+        // touched beats filler on score > 0, or on lower index at 0
+        const bool take_t =
+            have_t && (f < 0 || heap[hi].first > 0.0f ||
+                       (heap[hi].first == 0.0f && heap[hi].second < f));
+        if (take_t) {
+          out_scores[q * k + i] = heap[hi].first;
+          out_pos[q * k + i] = heap[hi].second;
+          ++hi;
+        } else if (f >= 0) {
           out_scores[q * k + i] = 0.0f;
-          out_pos[q * k + i] = filler++;
+          out_pos[q * k + i] = f;
+          ++filler;
+        } else if (have_t) {  // negatives, no zero docs left
+          out_scores[q * k + i] = heap[hi].first;
+          out_pos[q * k + i] = heap[hi].second;
+          ++hi;
         } else {
           out_scores[q * k + i] = -INFINITY;
           out_pos[q * k + i] = -1;
         }
       }
     }
+    p->release_worker(std::move(wp));
   };
 
   if (n_threads == 1 || n_queries == 1) {

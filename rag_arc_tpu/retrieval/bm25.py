@@ -99,6 +99,16 @@ class BM25Retriever(BaseRetriever):
         **kwargs: Any,
     ) -> "BM25Retriever":
         metadatas = metadatas or [{} for _ in texts]
+        if len(metadatas) != len(texts):
+            # zip truncation would silently drop (or mis-pair) documents
+            raise ValueError(
+                f"texts ({len(texts)}) and metadatas ({len(metadatas)}) "
+                "length mismatch"
+            )
+        if ids is not None and len(ids) != len(texts):
+            raise ValueError(
+                f"texts ({len(texts)}) and ids ({len(ids)}) length mismatch"
+            )
         docs = [
             Document(content=t, metadata=dict(m)) for t, m in zip(texts, metadatas)
         ]
@@ -198,6 +208,10 @@ class BM25Retriever(BaseRetriever):
     ) -> List[Tuple[Document, float]]:
         # `k or self.k` would silently swap an explicit k=0 for the default
         k = self.k if k is None else int(k)
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
+        if k == 0:  # honored, not crashed (index.search rejects k<=0)
+            return []
         scores, positions = self.index.search([self._tokenize(query)], k)
         return [
             (self.docs[int(p)], float(s))
@@ -227,6 +241,11 @@ class BM25Retriever(BaseRetriever):
         self, texts: Sequence[str], metadatas: Optional[Sequence[dict]] = None
     ) -> List[str]:
         metadatas = metadatas or [{} for _ in texts]
+        if len(metadatas) != len(texts):
+            raise ValueError(
+                f"texts ({len(texts)}) and metadatas ({len(metadatas)}) "
+                "length mismatch"
+            )
         return self.add_documents(
             [Document(content=t, metadata=dict(m)) for t, m in zip(texts, metadatas)]
         )

@@ -157,7 +157,13 @@ class TestRetriever:
     def test_cjk_query_on_cjk_corpus_added_later(self):
         # corpus starts ASCII (native build), CJK docs arrive later: the
         # upgrade must rebuild so corpus and query tokenizations agree
-        r = BM25Retriever.from_texts(["pure ascii doc about cats"])
+        # two ASCII docs, not one: at n=2 a df=1 term has idf exactly 0
+        # (log(1.5/1.5)), the matched doc ties at 0.0 with unmatched docs,
+        # and rank_bm25's dense argsort breaks the tie by INDEX — a
+        # degenerate corpus, not a tokenizer problem
+        r = BM25Retriever.from_texts(
+            ["pure ascii doc about cats", "another ascii doc about dogs"]
+        )
         with pytest.warns(UserWarning, match="bigram"):
             r.add_texts(["数据库系统实现原理"])
         hits = r.invoke("数据库原理", k=1)
@@ -193,10 +199,37 @@ class TestRetriever:
         assert loaded.get_bm25_info()["preprocess_func"] == "cjk_preprocess"
         assert loaded.invoke("人工智能", k=1)[0].content == corpus[0]
 
-    def test_top_k_zero_raises(self):
+    def test_top_k_zero_and_negative(self):
+        """An explicit k=0 is honored (empty result — the adjacent comment
+        deliberately avoids `k or self.k` for exactly this); negative k
+        still raises."""
         r = BM25Retriever.from_texts(["a doc", "another doc"])
+        assert r.get_top_k_with_scores("doc", k=0) == []
         with pytest.raises(ValueError, match="k"):
-            r.get_top_k_with_scores("doc", k=0)
+            r.get_top_k_with_scores("doc", k=-1)
+
+    def test_host_negative_scores_rank_below_zero_docs(self):
+        """Stopword-heavy corpora give the BM25Okapi epsilon floor a
+        NEGATIVE value, so matched docs can score below zero; rank_bm25's
+        dense argsort (and our dense backends) then rank non-matching
+        docs (score 0) ABOVE them — the host top-k must merge its zero
+        fillers, not append them."""
+        texts = ["the a of"] * 9 + ["rare"]
+        r = BM25Retriever.from_texts(texts, backend="host")
+        hits = r.get_top_k_with_scores("the", k=3)
+        assert hits[0][0].content == "rare" and hits[0][1] == 0.0
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s < 0 for s in scores[1:])  # the matched stopword docs
+
+    def test_mismatched_lengths_raise(self):
+        with pytest.raises(ValueError, match="mismatch"):
+            BM25Retriever.from_texts(["a", "b", "c"], metadatas=[{}])
+        with pytest.raises(ValueError, match="mismatch"):
+            BM25Retriever.from_texts(["a", "b"], ids=["x"])
+        r = BM25Retriever.from_texts(["a doc"])
+        with pytest.raises(ValueError, match="mismatch"):
+            r.add_texts(["b", "c"], metadatas=[{}])
 
     def test_idf_floor_matches_rank_bm25(self):
         """rank_bm25 parity: the epsilon floor averages ALL idfs
@@ -498,11 +531,13 @@ class TestHybridBackend:
         orig_hybrid = index._hybrid_dispatch
         monkeypatch.setattr(
             index, "_host_search",
-            lambda q, k: calls.__setitem__("host", calls["host"] + 1) or orig_host(q, k),
+            lambda q, k, *a: calls.__setitem__("host", calls["host"] + 1)
+            or orig_host(q, k, *a),
         )
         monkeypatch.setattr(
             index, "_hybrid_dispatch",
-            lambda q, k: calls.__setitem__("hybrid", calls["hybrid"] + 1) or orig_hybrid(q, k),
+            lambda q, k, *a: calls.__setitem__("hybrid", calls["hybrid"] + 1)
+            or orig_hybrid(q, k, *a),
         )
         index.search([["rare11"]], 3)          # tiny df -> host
         assert calls == {"host": 1, "hybrid": 0}
@@ -518,6 +553,54 @@ class TestHybridBackend:
         s1, p1 = hyb._hybrid_search(queries, 8)
         s2, p2 = host.search(queries, 8)
         np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    def test_head_budget_shrinks_and_chunked_build_matches(self, corpus):
+        """A tiny HEAD_BYTES_BUDGET must (a) shrink the head with a warning
+        and (b) exercise the chunked device fill — results must still match
+        the host oracle exactly (overflow terms ride the tail postings)."""
+        host = DeviceBM25Index(backend="host")
+        host.build(corpus)
+        hyb = DeviceBM25Index(backend="hybrid")
+        # per-row bytes = n_pad * 4 = 4096: budget allows 4 head rows, and
+        # a 1-row chunk size forces the multi-chunk device fill
+        hyb.HEAD_BYTES_BUDGET = 4 * 1024 * 4
+        hyb.HEAD_CHUNK_BYTES = 1024 * 4
+        with pytest.warns(UserWarning, match="head shrunk"):
+            hyb.build(corpus)
+        assert hyb._w_head.shape[0] == 4  # shrunk well below head_terms=256
+        queries = [["the", "rare13", "w55"], ["w100", "w200", "of"]]
+        s1, p1 = hyb._hybrid_search(queries, 8)
+        s2, p2 = host.search(queries, 8)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    def test_concurrent_search_and_rebuild(self, corpus):
+        """Rebuild frees the C++ postings handle; a search in flight on
+        another thread must never observe the freed handle (RW lock)."""
+        import threading
+
+        index = DeviceBM25Index(backend="host")
+        index.build(corpus)
+        stop = threading.Event()
+        errors = []
+
+        def searcher():
+            while not stop.is_set():
+                try:
+                    s, p = index.search([["the", "w55"]], 5)
+                    assert p.shape == (1, 5)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for _ in range(10):
+            index.build(corpus)
+        stop.set()
+        for t in threads:
+            t.join()
+        assert not errors, errors
 
     def test_pipelined_dispatch_matches_sync(self, corpus):
         """search_dispatch: several in-flight batches fetched after the
