@@ -141,6 +141,23 @@ class Trunk(nn.Module):
         return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
 
 
+def l2_normalize_rows(pooled: jax.Array) -> jax.Array:
+    """L2-normalize along the last axis (f32; zero rows stay zero). The
+    ONE normalization shared by every encoder head — the packed/fast
+    variants' parity with TextEncoder depends on identical arithmetic."""
+    norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+def masked_mean_pool(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """f32-accumulated masked mean over the length axis (all-False rows
+    pool to exact zero)."""
+    m = mask[..., None].astype(jnp.float32)
+    return jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0
+    )
+
+
 class TextEncoder(nn.Module):
     """Masked-mean-pooled, L2-normalized sentence encoder."""
 
@@ -149,12 +166,7 @@ class TextEncoder(nn.Module):
     @nn.compact
     def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
         x = Trunk(self.cfg, name="trunk")(ids, mask)
-        m = mask[..., None].astype(jnp.float32)
-        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
-            jnp.sum(m, axis=1), 1.0
-        )
-        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
-        return pooled / jnp.maximum(norm, 1e-12)
+        return l2_normalize_rows(masked_mean_pool(x, mask))
 
 
 class CausalLM(nn.Module):
@@ -263,12 +275,7 @@ class TextEncoderFast(nn.Module):
                 return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
 
         x = _FastTrunk(cfg, name="trunk")(ids, mask)
-        m = mask[..., None].astype(jnp.float32)
-        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
-            jnp.sum(m, axis=1), 1.0
-        )
-        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
-        return pooled / jnp.maximum(norm, 1e-12)
+        return l2_normalize_rows(masked_mean_pool(x, mask))
 
 
 class PackedTextEncoder(nn.Module):
@@ -337,8 +344,7 @@ class PackedTextEncoder(nn.Module):
         sums = jnp.einsum("bld,bls->bsd", x.astype(jnp.float32), onehot)
         counts = jnp.sum(onehot, axis=1)  # (B, S)
         pooled = sums / jnp.maximum(counts[..., None], 1.0)
-        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
-        return pooled / jnp.maximum(norm, 1e-12)
+        return l2_normalize_rows(pooled)
 
 
 # -- parameter sharding (tensor parallel) ---------------------------------

@@ -68,8 +68,15 @@ class FlaxEncoderEmbeddings(Embeddings):
         )
         self.batch_size = batch_size
         self.mesh = mesh
+        # batch paddings must divide the data axis: in_shardings of
+        # P("data", ...) reject a batch dim not divisible by the axis size
+        self._data_ax = int(mesh.shape["data"]) if mesh is not None else 1
         self.dim = self.cfg.dim
         self.pack_short = bool(pack_short)
+        # packed routing must respect the position table: a doc of
+        # PACK_MAX_TOKENS tokens gets per-segment positions up to that
+        # count, which nn.Embed would silently CLAMP past cfg.max_len
+        self._pack_max = min(PACK_MAX_TOKENS, self.cfg.max_len)
         self.packed_model = PackedTextEncoder(
             self.cfg, max_segments=PACK_MAX_SEGMENTS
         )
@@ -105,6 +112,12 @@ class FlaxEncoderEmbeddings(Embeddings):
                 "mlp_ratio": c.mlp_ratio,
                 "max_len": c.max_len,
                 "causal": c.causal,
+                # dtypes change the VECTORS (bf16 vs f32 activations drift
+                # through the depth); a rebuild that silently flips to the
+                # bf16 default would score queries against a numerically
+                # different space than the snapshot's documents
+                "dtype": jnp.dtype(c.dtype).name,
+                "param_dtype": jnp.dtype(c.param_dtype).name,
             },
         }
 
@@ -114,11 +127,28 @@ class FlaxEncoderEmbeddings(Embeddings):
                 return b
         return self.cfg.max_len
 
+    def _pad_count(self, n: int) -> int:
+        """Pow2 batch pad (bounded compile-shape count), rounded up to the
+        mesh data-axis size — in_shardings of P('data', ...) reject a
+        batch dim the axis doesn't divide."""
+        p = 1 << math.ceil(math.log2(max(n, 1)))
+        ax = self._data_ax
+        if ax > 1 and p % ax:
+            p = ((p + ax - 1) // ax) * ax
+        return p
+
     def _token_lists(self, texts: List[str]) -> List[List[int]]:
         if hasattr(self.tokenizer, "encode"):
             return [self.tokenizer.encode(t) for t in texts]
-        ids, mask = self.tokenizer.batch_encode(texts)
-        return [ids[i, mask[i]].tolist() for i in range(len(texts))]
+        # chunked: one corpus-wide batch_encode would materialize an
+        # (N, longest) padded id matrix for a million-doc ingest before
+        # any encoding starts
+        out: List[List[int]] = []
+        for start in range(0, len(texts), 256):
+            chunk = texts[start : start + 256]
+            ids, mask = self.tokenizer.batch_encode(chunk)
+            out.extend(ids[i, mask[i]].tolist() for i in range(len(chunk)))
+        return out
 
     def encode(self, texts: List[str]) -> np.ndarray:
         if not texts:
@@ -129,12 +159,12 @@ class FlaxEncoderEmbeddings(Embeddings):
         if self.pack_short:
             short = [
                 i for i, tl in enumerate(token_lists)
-                if len(tl) <= PACK_MAX_TOKENS
+                if len(tl) <= self._pack_max
             ]
         else:
             short = []
         long = (
-            [i for i in range(len(cleaned)) if len(token_lists[i]) > PACK_MAX_TOKENS]
+            [i for i in range(len(cleaned)) if len(token_lists[i]) > self._pack_max]
             if self.pack_short
             else list(range(len(cleaned)))
         )
@@ -153,17 +183,21 @@ class FlaxEncoderEmbeddings(Embeddings):
         n_rows = ids.shape[0]
         rows_per = max(self.batch_size, 65536 // PACK_ROW_LEN)
         outs: list = []
-        host_rows: list = []
+        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
+        map_rows = np.asarray([r for r, _ in mapping], dtype=np.int64)
+        map_segs = np.asarray([s for _, s in mapping], dtype=np.int64)
 
         def drain() -> None:
             # one fetch per window: amortizes the host<->device round trip
             # while BOUNDING live device output buffers — an unbounded
             # deferred fetch holds every chunk's output in HBM at once and
-            # OOMs million-doc ingests
-            fetched = jax.device_get([o for o, _ in outs])
-            host_rows.extend(
-                np.asarray(f)[:r] for f, (_, r) in zip(fetched, outs)
-            )
+            # OOMs million-doc ingests. Each fetched (rows, S, dim) chunk
+            # scatters straight into `out` and is dropped — retaining all
+            # chunks would hold S/occupancy times the real output on host
+            fetched = jax.device_get([o for o, _, _ in outs])
+            for f, (_, start, r) in zip(fetched, outs):
+                sel = np.nonzero((map_rows >= start) & (map_rows < start + r))[0]
+                out[sel] = np.asarray(f)[map_rows[sel] - start, map_segs[sel]]
             outs.clear()
 
         for start in range(0, n_rows, rows_per):
@@ -171,7 +205,7 @@ class FlaxEncoderEmbeddings(Embeddings):
             cpos = pos[start : start + rows_per]
             cseg = seg[start : start + rows_per]
             r = cids.shape[0]
-            r_pad = 1 << math.ceil(math.log2(max(r, 1)))
+            r_pad = self._pad_count(r)
             if r_pad > r:
                 cids = np.pad(cids, ((0, r_pad - r), (0, 0)))
                 cpos = np.pad(cpos, ((0, r_pad - r), (0, 0)))
@@ -186,16 +220,13 @@ class FlaxEncoderEmbeddings(Embeddings):
                         jnp.asarray(cpos),
                         jnp.asarray(cseg),
                     ),
+                    start,
                     r,
                 )
             )
             if len(outs) >= MAX_INFLIGHT_CHUNKS:
                 drain()
         drain()
-        all_rows = np.concatenate(host_rows, axis=0)
-        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
-        for i, (r, s) in enumerate(mapping):
-            out[i] = all_rows[r, s]
         return out
 
     def _encode_bucketed(self, token_lists: List[List[int]]) -> np.ndarray:
@@ -221,7 +252,7 @@ class FlaxEncoderEmbeddings(Embeddings):
                 tl = tl[:length]
                 ids2[i, : len(tl)] = tl
                 mask2[i, : len(tl)] = True
-            b_pad = 1 << math.ceil(math.log2(max(len(chunk), 1)))
+            b_pad = self._pad_count(len(chunk))
             if b_pad > len(chunk):
                 ids2 = np.pad(ids2, ((0, b_pad - len(chunk)), (0, 0)))
                 mask2 = np.pad(mask2, ((0, b_pad - len(chunk)), (0, 0)))

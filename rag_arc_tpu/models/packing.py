@@ -49,7 +49,11 @@ def pack_token_lists(
     WINDOW = 64
     for i in order:
         toks = token_lists[i][:row_len]
-        need = max(len(toks), 1)
+        # empty lists consume a SEGMENT SLOT but zero tokens: marking a
+        # pad token live would pool the PAD hidden state into a unit-norm
+        # vector, while the unpacked path (all-False mask) yields exact
+        # zero — the slot stays unmarked so segment pooling returns 0 too
+        need = len(toks)
         placed = -1
         for r in open_rows:
             if rows_free[r] >= need and len(rows_docs[r]) < max_segments:
@@ -76,11 +80,11 @@ def pack_token_lists(
     for r, docs in enumerate(rows_docs):
         cursor = 0
         for slot, (doc_idx, toks) in enumerate(docs):
-            m = max(len(toks), 1)
-            if toks:
-                ids[r, cursor : cursor + len(toks)] = toks
-            pos[r, cursor : cursor + m] = np.arange(m)
-            seg[r, cursor : cursor + m] = slot
+            m = len(toks)
+            if m:
+                ids[r, cursor : cursor + m] = toks
+                pos[r, cursor : cursor + m] = np.arange(m)
+                seg[r, cursor : cursor + m] = slot
             mapping[doc_idx] = (r, slot)
             cursor += m
     return ids, pos, seg, mapping

@@ -54,6 +54,10 @@ class QueryBatcher:
         self._lock = threading.Lock()
         self._queue: List[_Pending] = []
         self._flusher: Optional[threading.Timer] = None
+        # generation counter: a timer that FIRED but lost the lock race to
+        # a flush must not later flush a NEWER coalescing window early —
+        # cancel() is a no-op on an already-fired Timer
+        self._flusher_gen = 0
         self._in_flight = 0
         self.stats: Dict[str, float] = {
             "requests": 0,
@@ -79,7 +83,10 @@ class QueryBatcher:
                 # request pay the coalescing window for nothing
                 self._flush_locked()
             elif self._flusher is None:
-                self._flusher = threading.Timer(self.max_wait_s, self._flush_timer)
+                self._flusher_gen += 1
+                self._flusher = threading.Timer(
+                    self.max_wait_s, self._flush_timer, args=(self._flusher_gen,)
+                )
                 self._flusher.daemon = True
                 self._flusher.start()
         pending.event.wait()
@@ -87,11 +94,15 @@ class QueryBatcher:
             raise pending.error
         return pending.result
 
-    def _flush_timer(self) -> None:
+    def _flush_timer(self, gen: int) -> None:
         with self._lock:
+            if gen != self._flusher_gen:
+                return  # superseded: another flush consumed this window
             self._flush_locked()
 
     def _flush_locked(self) -> None:
+        # invalidate ANY armed-or-fired timer for the window being flushed
+        self._flusher_gen += 1
         if self._flusher is not None:
             self._flusher.cancel()
             self._flusher = None
@@ -101,7 +112,18 @@ class QueryBatcher:
         self.stats["batches"] += 1
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(batch))
         self._in_flight += 1
-        threading.Thread(target=self._run_batch, args=(batch,), daemon=True).start()
+        try:
+            threading.Thread(
+                target=self._run_batch, args=(batch,), daemon=True
+            ).start()
+        except BaseException as exc:  # noqa: BLE001 — thread exhaustion
+            # roll back and fail the batch: leaving _in_flight raised with
+            # no _run_batch to decrement it would hang these callers AND
+            # permanently disable the idle fast path
+            self._in_flight -= 1
+            for p in batch:
+                p.error = exc
+                p.event.set()
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         try:

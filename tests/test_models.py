@@ -399,6 +399,67 @@ class TestSequencePacking:
         assert out.shape == (3, cfg.dim)
         assert np.isfinite(out).all()
         # norms ~1 (L2-normalized embeddings)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-3)
+
+    def test_empty_token_list_packed_equals_unpacked(self):
+        """A tokenizer that emits [] for empty text (no BOS/EOS) must get
+        the SAME vector on both paths — the packed path used to pool a
+        phantom PAD token into a unit-norm vector where unpacked gave 0."""
+
+        class NoSpecials:
+            def encode(self, t):
+                return [ord(c) % 256 + 1 for c in t.strip()][:16]
+
+            def batch_encode(self, texts, left_pad=False):
+                raise AssertionError("encode() path expected")
+
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        a = FlaxEncoderEmbeddings(cfg=cfg, tokenizer=NoSpecials(), pack_short=True)
+        b = FlaxEncoderEmbeddings(cfg=cfg, tokenizer=NoSpecials(), pack_short=False)
+        texts = ["hello", "   ", "world"]
+        va, vb = a.encode(texts), b.encode(texts)
+        np.testing.assert_allclose(va, vb, atol=1e-4, rtol=1e-4)
+        assert np.allclose(va[1], 0.0)  # empty doc -> exact zero vector
+
+    def test_packed_routing_respects_max_len(self):
+        """Docs between cfg.max_len and PACK_MAX_TOKENS must not take the
+        packed path: per-segment positions past the pos_embed table would
+        silently clamp instead of truncate."""
+        cfg = TransformerConfig.tiny(dtype=jnp.float32, max_len=32)
+        packed = FlaxEncoderEmbeddings(cfg=cfg, pack_short=True)
+        plain = FlaxEncoderEmbeddings(cfg=cfg, pack_short=False)
+        text = "tok " * 50  # ~50 tokens: > max_len=32, <= PACK_MAX_TOKENS=64
         np.testing.assert_allclose(
-            np.linalg.norm(out, axis=1), 1.0, atol=1e-3
+            packed.encode([text, "tiny"]), plain.encode([text, "tiny"]),
+            atol=1e-4, rtol=1e-4,
         )
+
+    def test_mesh_encode_small_batches(self):
+        """Mesh-sharded embeddings must handle batches smaller than the
+        data axis (pow2 padding alone is not divisible by 8)."""
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        emb = FlaxEncoderEmbeddings(cfg=cfg, mesh=default_mesh())
+        one = emb.encode(["lonely query"])
+        assert one.shape == (1, cfg.dim) and np.isfinite(one).all()
+        three = emb.encode(["a", "b b b", "c " * 100])  # packed + bucketed
+        assert three.shape == (3, cfg.dim) and np.isfinite(three).all()
+        ref = FlaxEncoderEmbeddings(cfg=cfg)
+        np.testing.assert_allclose(
+            three, ref.encode(["a", "b b b", "c " * 100]), atol=1e-4, rtol=1e-4
+        )
+
+    def test_describe_records_dtypes(self):
+        """The snapshot spec must pin activation/param dtypes: a rebuild
+        that silently flips f32 -> bf16 drifts every vector."""
+        cfg = TransformerConfig.tiny(dtype=jnp.float32)
+        spec = FlaxEncoderEmbeddings(cfg=cfg).describe()
+        assert spec["cfg"]["dtype"] == "float32"
+        rebuilt = FlaxEncoderEmbeddings(cfg=TransformerConfig(**spec["cfg"]))
+        out = rebuilt.encode(["x y z"])
+        np.testing.assert_allclose(
+            FlaxEncoderEmbeddings(cfg=cfg).encode(["x y z"]), out, atol=1e-6
+        )
+        # norms ~1 (L2-normalized embeddings)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-3)
