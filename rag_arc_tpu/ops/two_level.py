@@ -60,7 +60,15 @@ def _subtile_max_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_ref,
                         *, g: int, metric: str):
     # transposed layout throughout: scores are (tile_n, q_block) so the
     # output block is (tile_n/g, q_block) — Mosaic requires the last two
-    # block dims to be (8, 128)-aligned, which (q_block, tile_n/g) is not
+    # block dims to be (8, 128)-aligned, which (q_block, tile_n/g) is not.
+    # This l2 variant keeps the (tile_n, 1) column operands: the 3-D
+    # blocked sqnorm form (see _subtile_max_kernel_ip's valid handling)
+    # fails Mosaic lowering on v5e for the fused -(q_sq - 2s + sqnorm)
+    # expression, and l2 is not the production metric — cosine/ip (the
+    # column-free kernel below) and the int8 kernels carry the 10M-scale
+    # paths. At 10M rows the columns would lane-pad 128x (5.1 GiB for an
+    # f32 column, the measured OOM pattern); l2 corpora that large should
+    # use the certified stream or int8 paths.
     q = q_ref[:]           # (q_block, d)
     tile = corpus_ref[:]   # (tile_n, d) — resident across the q sweep
     scores = jax.lax.dot_general(
@@ -76,6 +84,26 @@ def _subtile_max_kernel(q_ref, corpus_ref, valid_ref, sqnorm_ref, out_ref,
     scores = jnp.where(valid_ref[:] != 0, scores, NEG)  # valid (tile_n, 1)
     tn, qb = scores.shape
     out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
+
+
+def _subtile_max_kernel_ip(q_ref, corpus_ref, valid_ref, out_ref,
+                           *, g: int):
+    """Cosine/ip grid kernel: no sqnorm operand at all — the l2 kernel's
+    sqnorm stream would be pure dead DMA here (Pallas operands are opaque
+    to XLA DCE, so an unused ref still materializes its padded layout)."""
+    q = q_ref[:]
+    tile = corpus_ref[:]
+    scores = jax.lax.dot_general(
+        tile,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tn, qb = scores.shape
+    s3 = scores.reshape(tn // g, g, qb)
+    v3 = valid_ref[:].astype(jnp.int32)[:, :, None]  # i8->i32: Mosaic minor-dim rule
+    s3 = jnp.where(v3 != 0, s3, NEG)
+    out_ref[:] = jnp.max(s3, axis=1)
 
 
 def _subtile_max_kernel_i8(q_ref, corpus_ref, scale_ref, valid_ref, out_ref,
@@ -94,10 +122,12 @@ def _subtile_max_kernel_i8(q_ref, corpus_ref, scale_ref, valid_ref, out_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (tile_n, q_block) int32
-    scores = scores.astype(jnp.float32) * scale_ref[:]  # scale (tile_n, 1)
-    scores = jnp.where(valid_ref[:] != 0, scores, NEG)
     tn, qb = scores.shape
-    out_ref[:] = jnp.max(scores.reshape(tn // g, g, qb), axis=1)
+    s3 = scores.astype(jnp.float32).reshape(tn // g, g, qb)
+    s3 = s3 * scale_ref[:][:, :, None]   # scale (tile_n/g, g) per-row
+    v3 = valid_ref[:].astype(jnp.int32)[:, :, None]  # i8->i32: Mosaic minor-dim rule
+    s3 = jnp.where(v3 != 0, s3, NEG)
+    out_ref[:] = jnp.max(s3, axis=1)
 
 
 # any real int8 dot is bounded by 127*127*d (|dot| < 1.3e7 at d=768); the
@@ -130,9 +160,11 @@ def _subtile_max_kernel_i8_block(q_ref, corpus_ref, sub_scale_ref, valid_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (tile_n, q_block) int32
-    scores = jnp.where(valid_ref[:] != 0, scores, _MASK_I32)
     tn, qb = scores.shape
-    m = jnp.max(scores.reshape(tn // g, g, qb), axis=1).astype(jnp.float32)
+    s3 = scores.reshape(tn // g, g, qb)
+    v3 = valid_ref[:].astype(jnp.int32)[:, :, None]  # i8->i32: Mosaic minor-dim rule
+    s3 = jnp.where(v3 != 0, s3, _MASK_I32)
+    m = jnp.max(s3, axis=1).astype(jnp.float32)
     out_ref[:] = jnp.where(
         m <= _MASK_I32 * 0.5, NEG, m * sub_scale_ref[:]  # scale (tn/g, 1)
     )
@@ -227,8 +259,11 @@ def two_level_topk_i8(
         raise ValueError("alignment: n % tile_n, tile_n % g, b % q_block")
     q_i8, qscale = quantize_queries(queries)
 
-    valid_col = valid.astype(jnp.int8).reshape(n, 1)
     n_sub = n // g
+    # valid ships as (n_sub, g) blocks, not an (n, 1) column — the column
+    # lane-pads to 128 and costs 128x its bytes in HBM (1.28 GiB at 10M
+    # rows); the block form costs 128/g x (see _subtile_max_kernel)
+    valid_blk = valid.astype(jnp.int8).reshape(n_sub, g)
     if block_scales:
         # one scale per sub-tile (row 0 stands for the whole block)
         scale_col = row_scale.reshape(n_sub, g)[:, :1]
@@ -237,10 +272,10 @@ def two_level_topk_i8(
             (tile_n // g, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         )
     else:
-        scale_col = row_scale.reshape(n, 1)
+        scale_col = row_scale.reshape(n_sub, g)
         kernel = functools.partial(_subtile_max_kernel_i8, g=g)
         scale_spec = pl.BlockSpec(
-            (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (tile_n // g, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         )
     sub_max_t = pl.pallas_call(
         kernel,
@@ -249,7 +284,9 @@ def two_level_topk_i8(
             pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             scale_spec,
-            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n // g, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (tile_n // g, q_block), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -261,7 +298,7 @@ def two_level_topk_i8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_i8, corpus, scale_col, valid_col)
+    )(q_i8, corpus, scale_col, valid_blk)
 
     s, pos = select_rescore_i8(
         q_i8, qscale, corpus, row_scale, valid, sub_max_t, k, g
@@ -503,19 +540,38 @@ def two_level_topk(
         norm = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
         queries = queries / jnp.maximum(norm, 1e-12)
     queries = queries.astype(corpus.dtype)
-    valid_col = valid.astype(jnp.int8).reshape(n, 1)
-    sqnorm_col = sqnorm.reshape(n, 1)
     n_sub = n // g
-
-    kernel = functools.partial(_subtile_max_kernel, g=g, metric=metric)
+    # cosine/ip: per-row valid ships as (n_sub, g) blocks, NOT an (n, 1)
+    # column — the TPU tiled layout pads the minor dim to 128 lanes, so a
+    # column costs 128x its bytes in HBM (measured: 5.1 GiB for one f32
+    # column at 10M rows) while the block form costs 128/g x. l2 keeps the
+    # column layout: its fused 3-D blocked form fails Mosaic lowering on
+    # v5e (see _subtile_max_kernel), and l2 is not the at-scale path.
+    if metric == "l2":
+        kernel = functools.partial(_subtile_max_kernel, g=g, metric=metric)
+        col_spec = pl.BlockSpec(
+            (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs_tail = [col_spec, col_spec]
+        operands = (
+            valid.astype(jnp.int8).reshape(n, 1),
+            sqnorm.astype(jnp.float32).reshape(n, 1),
+        )
+    else:
+        kernel = functools.partial(_subtile_max_kernel_ip, g=g)
+        in_specs_tail = [
+            pl.BlockSpec(
+                (tile_n // g, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        operands = (valid.astype(jnp.int8).reshape(n_sub, g),)
     sub_max_t = pl.pallas_call(
         kernel,
         grid=(n // tile_n, b // q_block),
         in_specs=[
             pl.BlockSpec((q_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            *in_specs_tail,
         ],
         out_specs=pl.BlockSpec(
             (tile_n // g, q_block), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -527,7 +583,7 @@ def two_level_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus, valid_col, sqnorm_col)
+    )(queries, corpus, *operands)
 
     return select_rescore(queries, corpus, valid, sqnorm, sub_max_t, k, g, metric)
 
