@@ -71,6 +71,7 @@ class DeviceFlatIndex:
         axis_name: str = CORPUS_AXIS,
         rescore_i8: bool = True,
         refine: Optional[str] = "default",
+        kf_mult: int = 4,
     ):
         self.dim = int(dim)
         self.metric = metric
@@ -97,6 +98,14 @@ class DeviceFlatIndex:
             # sidecar instead of an error when the user didn't choose
             refine = "int4" if dim % 2 == 0 else "int8"
         self.refine = refine if self.quantized else None
+        # quantized-rescore over-fetch: the scan returns kf = kf_mult*k
+        # sub-tile candidates whose g rows are gathered + exactly rescored.
+        # The gather is the refine ladder's dominant cost (kf*g rows/query
+        # of random HBM row reads) — kf_mult trades it against recall
+        # (tools/refine_sweep.py measures the curve at 10M).
+        if kf_mult < 1:
+            raise ValueError("kf_mult must be >= 1")
+        self.kf_mult = int(kf_mult)
         if self.refine == "int4" and dim % 2:
             raise ValueError("int4 refine needs an even dim (2 codes/byte)")
         if self.quantized and metric == "l2":
@@ -700,9 +709,11 @@ class DeviceFlatIndex:
 
     def _kf_local(self, k_local: int, local_cap: int) -> int:
         """Candidate over-fetch for quantized rescore (shared by every
-        mesh path and the direct path — keep the formula in ONE place)."""
+        mesh path and the direct path — keep the formula in ONE place).
+        The floor scales with kf_mult so kf_mult=4 (default) reproduces
+        the historical max(4k, 32)."""
         return (
-            min(max(4 * k_local, 32), local_cap)
+            min(max(self.kf_mult * k_local, 8 * self.kf_mult), local_cap)
             if self.quantized and (self.rescore_i8 or self.refine)
             else k_local
         )
@@ -794,7 +805,8 @@ class DeviceFlatIndex:
         # the rescore body) and refine can change at snapshot-restore time —
         # key on them so a restore never reuses a stale executable
         return (path, q.shape, jnp.dtype(q.dtype).name, k, self.capacity,
-                self._force_stream, self.refine, self.rescore_i8)
+                self._force_stream, self.refine, self.rescore_i8,
+                self.kf_mult)
 
     @staticmethod
     def _merge_gathered(s_all, p_all, b, k):

@@ -241,6 +241,7 @@ class TPUVectorStore(VectorStore):
         hnsw_pq_m: int = 0,
         hnsw_pq_refine: bool = False,
         refine: Any = "default",
+        kf_mult: int = 4,
     ):
         if index_type == "auto":
             # Official auto-select policy (VERDICT r2 #4): FLAT. Measured
@@ -309,6 +310,10 @@ class TPUVectorStore(VectorStore):
         # 'default' keeps DeviceFlatIndex's default ('int4', +50% HBM,
         # recall 0.74→0.95 on near-tie corpora); None disables the sidecar
         self.refine = refine
+        # quantized-rescore over-fetch multiplier (search-time knob, see
+        # DeviceFlatIndex.kf_mult): 4 = recall-first, 2 trades ~0.001
+        # recall@10 for a smaller candidate gather
+        self.kf_mult = int(kf_mult)
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
             self._create_index(self._dim)
@@ -364,6 +369,7 @@ class TPUVectorStore(VectorStore):
             capacity=self._init_capacity,
             dtype=self._dtype or jnp.float32,
             mesh=self.mesh,
+            kf_mult=self.kf_mult,
             **kw,
         )
         self._dim = dim

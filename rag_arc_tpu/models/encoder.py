@@ -175,9 +175,20 @@ class CausalLM(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(
+        self, ids: jax.Array, mask: jax.Array, last_only: bool = False
+    ) -> jax.Array:
+        """Logits (B, L, V) — or (B, V) for the LAST position only when
+        ``last_only=True``. Cross-encoder scoring (rerank/cross_encoder.py)
+        reads one position's yes/no logits; projecting the whole sequence
+        through the vocab head would cost L× the head FLOPs and an
+        O(B·L·V) activation for nothing (4.3 GB at B=64, L=512, V=32k).
+        The head params are identical either way, so trained checkpoints
+        serve both."""
         cfg = dataclasses.replace(self.cfg, causal=True)
         x = Trunk(cfg, name="trunk")(ids, mask)
+        if last_only:
+            x = x[:, -1, :]
         return nn.Dense(
             cfg.vocab_size,
             dtype=jnp.float32,

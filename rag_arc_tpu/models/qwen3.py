@@ -172,6 +172,18 @@ class FlaxQwen3LM(nn.Module):
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
         )
 
+    def last_logits(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
+        """Logits (B, V) at the LAST position only. The yes/no reranker
+        (Reranker_Qwen3.py:41-49 semantics) reads a single position; full
+        (B, L, V) logits at Qwen3's 152k vocab would be a ~20 GB f32
+        activation for a 64-pair × 512-token batch — this path projects
+        one (B, H) slice instead (rows must be left-padded, as the
+        reranker's tokenizer guarantees)."""
+        x = self.hidden(ids, mask)[:, -1, :]
+        if self.cfg.tie_word_embeddings:
+            return self.embed_tokens.attend(x.astype(jnp.float32))
+        return self.lm_head(x)
+
     def __call__(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
         """Returns logits (B, L, V)."""
         x = self.hidden(ids, mask)

@@ -50,9 +50,19 @@ def _score_batch(
 ) -> jax.Array:
     """P(yes) per row: 2-way log-softmax over yes/no logits at the last
     position (rows are left-padded so the last position is the answer slot,
-    mirroring Reranker_Qwen3.py:41-49)."""
-    logits = model.apply(params, ids, mask)  # (B, L, V)
-    last = logits[:, -1, :]  # (B, V)
+    mirroring Reranker_Qwen3.py:41-49).
+
+    Scoring reads ONE position, so the vocab projection runs on the last
+    hidden state only wherever the model exposes that — the full (B, L, V)
+    logits tensor is ~20 GB f32 for a 64-pair × 512-token batch at Qwen3's
+    152k vocab (the difference between the whole-candidate-set single
+    dispatch working and OOMing)."""
+    if hasattr(model, "last_logits"):
+        last = model.apply(params, ids, mask, method=model.last_logits)
+    elif isinstance(model, CausalLM):
+        last = model.apply(params, ids, mask, True)
+    else:
+        last = model.apply(params, ids, mask)[:, -1, :]  # (B, V)
     pair = jnp.stack([last[:, no_id], last[:, yes_id]], axis=-1)  # (B, 2)
     logp = jax.nn.log_softmax(pair, axis=-1)
     return jnp.exp(logp[:, 1])
