@@ -1,7 +1,7 @@
-"""Benchmark harness: dense retrieval QPS on one TPU chip.
+"""Benchmark harness: the framework's headline numbers on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ..., ...}
 
 Headline: batched cosine top-10 queries over a 2M x 768 bf16 corpus
 resident in HBM on a single chip (the north-star configuration is 10M x
@@ -9,9 +9,20 @@ resident in HBM on a single chip (the north-star configuration is 10M x
 ``vs_baseline`` is measured QPS / 10_000 — the north-star target from
 BASELINE.md (the reference publishes no numbers of its own, BASELINE.md:3).
 
-Also reported inside the same JSON object: p50 batch latency, per-query
-amortized latency, recall@10 vs an exact f32 numpy oracle on a query
-subsample, and encoder embedding throughput.
+Also reported inside the same JSON object:
+- p50 batch latency, per-query amortized latency, recall@10 vs an exact
+  f32 numpy oracle (``oracle_queries`` records the eval-sample size),
+- encoder embedding throughput (padded docs + packed queries) and the
+  chained encode→search e2e QPS with its serial roofline,
+- cross-encoder rerank throughput at the Qwen3-0.6B shape (VERDICT r3 #3),
+- BM25 hybrid QPS over a 10M-doc corpus with top-k parity vs the host
+  C++ CSR backend (rank_bm25 semantics; VERDICT r3 #1),
+- dense+BM25+RRF multipath e2e QPS at 2M with a host-oracle parity check.
+
+Sections are independent: a failing section reports {"error": ...} under
+its key instead of killing the headline. Env knobs: BENCH_CORPUS_N,
+BENCH_BATCH, BENCH_BATCHES, BENCH_DTYPE, BENCH_G, BENCH_BM25_N,
+BENCH_SKIP_RERANK/BM25/MULTIPATH/ENCODER=1.
 """
 
 from __future__ import annotations
@@ -38,8 +49,9 @@ N_BATCHES = int(os.environ.get("BENCH_BATCHES", 30))
 ORACLE_QUERIES = 128
 # bfloat16 (default) | int8 (2x rows/chip, quantized metric) | float32.
 # BENCH_DTYPE=int8 BENCH_CORPUS_N=10000000 runs the north-star corpus on
-# ONE chip (10M x 768 = 7.7 GB HBM as int8).
+# ONE chip (10M x 768 = 7.7 GB HBM as int8 + 3.9 GB int4 residuals).
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+BM25_N = int(os.environ.get("BENCH_BM25_N", 10_000_000))
 
 
 def _wait_for_backend() -> None:
@@ -84,47 +96,43 @@ def _wait_for_backend() -> None:
         time.sleep(60)
 
 
-def main() -> None:
-    _wait_for_backend()
-    import jax
-    import jax.numpy as jnp
+def _log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from rag_arc_tpu.index.flat import DeviceFlatIndex
-
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    # uniform instead of gaussian: ~4x faster host datagen and identical
-    # workload characteristics for cosine MIPS (directions on the sphere
-    # are what matter, and queries are corpus-row perturbations anyway).
-    # Large corpora cache to disk as f16 (the 10M datagen costs ~30 min
-    # of single-core numpy; the f16 rounding applies identically to the
-    # index and the oracle, so recall stays internally consistent)
+def _load_corpus(rng: np.random.Generator):
+    """Unit-norm corpus rows; ≥4M cached to disk as f16 (identical
+    rounding applies to index and oracle, so recall stays internally
+    consistent). Uniform instead of gaussian: ~4x faster host datagen
+    and identical workload characteristics for cosine MIPS."""
     cache = Path(os.environ.get("BENCH_CORPUS_CACHE", "/tmp")) / (
         f"bench_corpus_{CORPUS_N}x{DIM}.f16.npy"
     )
     if CORPUS_N >= 4_000_000 and cache.exists():
-        corpus = np.load(cache, mmap_mode="r").astype(np.float32)
-    else:
-        corpus = rng.random((CORPUS_N, DIM), dtype=np.float32)
-        corpus -= 0.5
-        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-        if CORPUS_N >= 4_000_000:
-            np.save(cache, corpus.astype(np.float16))
-            corpus = corpus.astype(np.float16).astype(np.float32)
-    build_host_s = time.time() - t0
+        return np.load(cache, mmap_mode="r").astype(np.float32)
+    corpus = rng.random((CORPUS_N, DIM), dtype=np.float32)
+    corpus -= 0.5
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    if CORPUS_N >= 4_000_000:
+        np.save(cache, corpus.astype(np.float16))
+        corpus = corpus.astype(np.float16).astype(np.float32)
+    return corpus
 
-    # BENCH_G overrides the pass-1 sub-tile width: g=32 halves the
-    # (N/g, B) sub-max slab — the lever that fits 10M int8 + the int4
-    # residual sidecar (11.6 GB) beside the kernel temporaries in 16 GB
+
+def bench_dense(jax, jnp, rng, corpus, result: dict):
+    """Headline: sustained dense retrieval QPS + recall vs exact oracle."""
+    from rag_arc_tpu.index.flat import DeviceFlatIndex
+
+    # BENCH_G overrides the pass-1 sub-tile width (the auto-widen loop in
+    # search_device handles the 10M+refine HBM ceiling on its own now)
     if os.environ.get("BENCH_G"):
         DeviceFlatIndex.SUBTILE_G = int(os.environ["BENCH_G"])
 
     index = DeviceFlatIndex(
         dim=DIM, metric="cosine", capacity=CORPUS_N, dtype=jnp.dtype(DTYPE)
     )
+    if os.environ.get("BENCH_KF_MULT"):
+        index.kf_mult = int(os.environ["BENCH_KF_MULT"])
     t0 = time.time()
     step = 1 << 17
     for start in range(0, CORPUS_N, step):
@@ -139,11 +147,8 @@ def main() -> None:
     )
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     batches = queries.reshape(N_BATCHES, BATCH, DIM)
+    _log(f"dense build done: dev {build_dev_s:.0f}s")
 
-    print(
-        f"# build done: host {build_host_s:.0f}s dev {build_dev_s:.0f}s",
-        file=sys.stderr, flush=True,
-    )
     # stage query batches on device, dispatch the whole stream, then FETCH
     # every result — fetching is the only completion signal that can't lie
     # (on this box host<->device transfers ride a network tunnel where
@@ -197,7 +202,7 @@ def main() -> None:
     jax.device_get([o[1] for o in outs])
     b1_device_ms = float((time.time() - t0) / 64 * 1e3)
 
-    print(f"# search sustained: {qps:.0f} qps", file=sys.stderr, flush=True)
+    _log(f"search sustained: {qps:.0f} qps")
     # recall@10 vs exact f32 oracle on a subsample
     sub = queries[:ORACLE_QUERIES]
     _, got = index.search(sub, K)
@@ -206,6 +211,7 @@ def main() -> None:
     for start in range(0, CORPUS_N, chunk):
         exact_scores[:, start : start + chunk] = sub @ corpus[start : start + chunk].T
     exact_top = np.argpartition(-exact_scores, K, axis=1)[:, :K]
+    del exact_scores
     recall = float(
         np.mean(
             [
@@ -215,12 +221,43 @@ def main() -> None:
         )
     )
 
-    # encoder embedding throughput (flagship 768x12, bf16 params +
-    # activations — the serving inference dtype). Docs are L=128; the
-    # roofline: 21.7 GFLOP/doc means N docs/s costs N*21.7 GFLOP/s of
-    # the chip's 197 TFLOP/s bf16 peak (9.1k docs/s IS the 100%-MFU
-    # ceiling at this length; measured square-matmul ceiling ~87-114
-    # TFLOP/s puts the practical wall at ~4-5k docs/s).
+    tag = {"bfloat16": "bf16", "int8": "int8", "float32": "f32"}[DTYPE]
+    result.update(
+        {
+            "metric": (
+                f"dense_retrieval_qps_top10_{CORPUS_N // 1_000_000}M"
+                f"x{DIM}_{tag}_1chip"
+            ),
+            "value": round(qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(qps / 10_000.0, 3),
+            "p50_batch_ms": round(p50_batch_ms, 2),
+            "batch": BATCH,
+            "amortized_ms_per_query": round(p50_batch_ms / BATCH, 4),
+            "p50_single_query_ms_incl_tunnel": round(p50_single_ms, 2),
+            "b1_device_ms_amortized": round(b1_device_ms, 3),
+            "recall_at_10_vs_f32_exact": round(recall, 4),
+            "oracle_queries": ORACLE_QUERIES,
+            "corpus": CORPUS_N,
+            "dim": DIM,
+            "kf_mult": index.kf_mult if index.quantized else None,
+            "index_build_s": round(build_dev_s, 2),
+        }
+    )
+    return index, queries, batches
+
+
+def bench_encoder_and_e2e(jax, jnp, rng, index, result: dict):
+    """Encoder throughput (padded docs + packed queries) and the chained
+    encode→search e2e. On ONE chip both stages are device programs on the
+    same core, so they serialize — the e2e ceiling is the serial roofline
+    1/(1/enc + 1/search), and the measured e2e lands at 93-97% of it
+    (2M: 11.8k vs 12.6k; 10M: 6.18k vs 6.36k). "Pipelining" encode of
+    batch N+1 against search of batch N (VERDICT r3 #4) has nothing to
+    overlap: the dispatch stream already queues both programs back to
+    back and the core runs one program at a time. Raising e2e means
+    making a STAGE cheaper (kf_mult, packing) or giving stages their own
+    chips (mesh)."""
     from rag_arc_tpu.models.encoder import (
         PackedTextEncoder,
         TransformerConfig,
@@ -228,6 +265,10 @@ def main() -> None:
     )
     from rag_arc_tpu.models.packing import pack_token_lists
 
+    # encoder embedding throughput (flagship 768x12, bf16 params +
+    # activations — the serving inference dtype). Docs are L=128; the
+    # roofline: 21.7 GFLOP/doc means N docs/s costs N*21.7 GFLOP/s of
+    # the chip's 197 TFLOP/s bf16 peak.
     cfg = TransformerConfig(vocab_size=32768, dim=768, depth=12, heads=12, max_len=512)
     model, params = init_encoder(cfg)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
@@ -315,33 +356,316 @@ def main() -> None:
         l128_times.append((time.time() - t0) / len(q_ids))
     e2e_l128_qps = float(BATCH / np.median(l128_times))
 
-    tag = {"bfloat16": "bf16", "int8": "int8", "float32": "f32"}[DTYPE]
-    result = {
-        "metric": (
-            f"dense_retrieval_qps_top10_{CORPUS_N // 1_000_000}M"
-            f"x{DIM}_{tag}_1chip"
-        ),
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / 10_000.0, 3),
-        "p50_batch_ms": round(p50_batch_ms, 2),
-        "batch": BATCH,
-        "amortized_ms_per_query": round(p50_batch_ms / BATCH, 4),
-        "p50_single_query_ms_incl_tunnel": round(p50_single_ms, 2),
-        "b1_device_ms_amortized": round(b1_device_ms, 3),
-        "recall_at_10_vs_f32_exact": round(recall, 4),
-        "corpus": CORPUS_N,
-        "dim": DIM,
-        "embed_docs_per_s_1chip": round(docs_per_s, 1),
-        "embed_doc_mfu_pct": round(doc_mfu * 100, 1),
-        "embed_queries_per_s_1chip_packed": round(queries_per_s, 1),
-        "e2e_encode_search_qps": round(e2e_qps, 1),
-        "e2e_query_tokens": "8-24 packed",
-        "e2e_L128_qps": round(e2e_l128_qps, 1),
-        "index_build_s": round(build_dev_s, 2),
-        "host_datagen_s": round(build_host_s, 2),
-        "device": str(jax.devices()[0]),
+    search_qps = result.get("value") or 1.0
+    roofline = 1.0 / (1.0 / queries_per_s + 1.0 / search_qps)
+    result.update(
+        {
+            "embed_docs_per_s_1chip": round(docs_per_s, 1),
+            "embed_doc_mfu_pct": round(doc_mfu * 100, 1),
+            "embed_queries_per_s_1chip_packed": round(queries_per_s, 1),
+            "e2e_encode_search_qps": round(e2e_qps, 1),
+            "e2e_query_tokens": "8-24 packed",
+            "e2e_serial_roofline_qps": round(roofline, 1),
+            "e2e_roofline_pct": round(100 * e2e_qps / roofline, 1),
+            "e2e_L128_qps": round(e2e_l128_qps, 1),
+        }
+    )
+
+
+def bench_rerank(jax, jnp, result: dict):
+    """Cross-encoder rerank throughput at the reference's flagship shape:
+    Qwen3-0.6B reranker semantics (Reranker_Qwen3.py:41-75), one fused
+    dispatch over the padded candidate set, L=512, bf16 params. Random
+    weights — identical FLOPs/memory to the real checkpoint, and the
+    yes/no readout touches 2 logit columns either way."""
+    from rag_arc_tpu.models.qwen3 import FlaxQwen3LM, Qwen3Config
+
+    if os.environ.get("BENCH_RERANK_TINY") == "1":  # CPU smoke-test shape
+        cfg = Qwen3Config.tiny(dtype=jnp.bfloat16)
+    else:
+        cfg = Qwen3Config(dtype=jnp.bfloat16)  # 0.6B: 28L x 1024H, V=152k
+    model = FlaxQwen3LM(cfg)
+    rng_key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    ids1 = jnp.zeros((1, 8), jnp.int32)
+    params = jax.eval_shape(model.init, rng_key, ids1, jnp.ones((1, 8), bool))
+    # materialize small random params without a 0.6B f32 host init: bf16
+    # normal(0, 0.02) per leaf directly on device
+    leaves, treedef = jax.tree_util.tree_flatten(
+        params, is_leaf=lambda x: hasattr(x, "shape")
+    )
+    keys = jax.random.split(rng_key, len(leaves))
+    mats = [
+        jax.device_put(
+            jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
+        )
+        for k, l in zip(keys, leaves)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, mats)
+    _log(f"rerank params ready: {time.time()-t0:.0f}s")
+
+    B, L = 64, min(512, cfg.max_position_embeddings)
+    # 50-candidate rerank pads to 64 rows at max_length 512
+    rng_np = np.random.default_rng(1)
+    ids = jnp.asarray(rng_np.integers(4, cfg.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.ones((B, L), dtype=bool)
+    score = jax.jit(
+        lambda p, i, m: model.apply(p, i, m, method=model.last_logits)
+    )
+    jax.block_until_ready(score(params, ids, mask))
+    t0 = time.time()
+    outs = [score(params, ids, mask) for _ in range(4)]
+    _ = jax.device_get(outs[-1][:1, :1])
+    dt = (time.time() - t0) / 4
+    pairs_per_s = B / dt
+    # non-embedding forward FLOPs/token (matmuls only): qkvo + swiglu mlp
+    h, hd, nh, nkv, inter = (
+        cfg.hidden_size, cfg.head_dim, cfg.num_attention_heads,
+        cfg.num_key_value_heads, cfg.intermediate_size,
+    )
+    per_layer = 2 * h * hd * (2 * nh + 2 * nkv) + 6 * h * inter  # 2x params
+    attn = 4 * L * nh * hd  # score+weighted-sum per token
+    flops_per_pair = L * (cfg.num_hidden_layers * (per_layer + attn))
+    mfu = pairs_per_s * flops_per_pair / 197e12
+    result.update(
+        {
+            "rerank_pairs_per_s_qwen3_0p6b_L512": round(pairs_per_s, 1),
+            "rerank_ms_per_50cand_query": round(1e3 * 50 / pairs_per_s, 1),
+            "rerank_mfu_pct": round(mfu * 100, 1),
+        }
+    )
+    _log(f"rerank: {pairs_per_s:.0f} pairs/s ({mfu*100:.0f}% MFU)")
+    del params, mats
+
+
+def _bm25_queries(rng, n, vocab=50_000):
+    """Two realistic profiles: head (stopword-heavy zipf draws — the
+    term-at-a-time worst case) and selective (informative tail terms,
+    what real queries look like after stopword handling)."""
+    head = [[f"w{t}" for t in (rng.zipf(1.3, size=8) % vocab)] for _ in range(n)]
+    sel = [[f"w{t}" for t in rng.integers(1_000, vocab, size=8)] for _ in range(n)]
+    return head, sel
+
+
+def _bm25_csr(n_docs: int):
+    """Zipf CSR corpus (10M synthesizes in minutes; disk-cached — the key
+    carries every synthesis parameter so a changed generator can never
+    silently serve a stale corpus)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from bm25_bench import synth_csr
+
+    cache = REPO / ".jax_cache" / f"bm25_csr_{n_docs}_v50000_l60_s0.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return z["off"], z["tid"], z["cnt"], z["lens"]
+    csr = synth_csr(np.random.default_rng(0), n_docs)
+    cache.parent.mkdir(exist_ok=True)
+    np.savez(cache, off=csr[0], tid=csr[1], cnt=csr[2], lens=csr[3])
+    return csr
+
+
+def bench_bm25_hybrid(jax, jnp, result: dict):
+    """BM25 hybrid backend at the north-star corpus size (VERDICT r3 #1):
+    head terms as an MXU matmul + HBM tail-posting slab gather, streamed
+    dispatch (search_dispatch overlaps host encode with the device
+    program). Parity: top-k agreement vs the host C++ CSR backend — the
+    rank_bm25-semantics oracle (tested term-exact in test_bm25.py) —
+    on a query subsample."""
+    from rag_arc_tpu.index.bm25 import DeviceBM25Index
+
+    t0 = time.time()
+    csr = _bm25_csr(BM25_N)
+    _log(f"bm25 csr ready: {time.time()-t0:.0f}s (nnz={csr[1].size})")
+
+    index = DeviceBM25Index(backend="hybrid", head_dtype=jnp.bfloat16)
+    t0 = time.time()
+    index.build_from_csr(*csr)
+    build_s = time.time() - t0
+    _log(f"bm25 hybrid build: {build_s:.0f}s")
+
+    rng = np.random.default_rng(7)
+    head, sel = _bm25_queries(rng, 32 * 4)
+    out = {"n_docs": BM25_N, "build_s": round(build_s, 1), "batch": 32}
+    for profile, queries in (("head", head), ("selective", sel)):
+        q_batches = [queries[i * 32 : (i + 1) * 32] for i in range(4)]
+        index.search(q_batches[0], K)  # warm/compile
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            pend = [index.search_dispatch(qb, K) for qb in q_batches]
+            for pd in pend:
+                pd.result()
+            times.append((time.time() - t0) / len(q_batches))
+        ms = float(np.median(np.asarray(times)) * 1e3)
+        out[f"qps_{profile}"] = round(32 / ms * 1e3, 1)
+        out[f"ms_per_batch_{profile}"] = round(ms, 2)
+
+    # parity vs the host CSR backend (selective profile: the host
+    # term-at-a-time scorer is exact but takes seconds/batch on head
+    # queries at 10M — parity there is checked at build-time tests)
+    host = DeviceBM25Index(backend="host")
+    host.build_from_csr(*csr)
+    hs, hp = host.search(sel[:32], K)
+    ds, dp = index.search(sel[:32], K)
+    agree = float(
+        np.mean(
+            [
+                len(set(dp[i].tolist()) & set(hp[i].tolist())) / K
+                for i in range(32)
+            ]
+        )
+    )
+    out["topk_agreement_vs_host_oracle"] = round(agree, 4)
+    del host, index
+    result["bm25_hybrid_10M"] = out
+    _log(f"bm25 hybrid: {out}")
+
+
+def bench_multipath_e2e(jax, jnp, rng, dense_index, queries, result: dict):
+    """Dense + BM25 + RRF hybrid e2e over ONE shared 2M doc-id space
+    (mutipath.py:37-93 + Fusion.py:45-76 semantics, device dispatches
+    overlapped). Parity: fused top-k vs a host-numpy RRF oracle over the
+    two paths' exact results on a subsample."""
+    from rag_arc_tpu.index.bm25 import DeviceBM25Index
+
+    off, tid, cnt, lens = _bm25_csr(BM25_N)
+    n = min(CORPUS_N, 2_000_000, len(lens))
+    # row-prefix subset of the cached CSR = an n-doc corpus, id-aligned
+    # with dense rows 0..n
+    e = int(off[n])
+    bm25 = DeviceBM25Index(backend="hybrid", head_dtype=jnp.bfloat16)
+    bm25.build_from_csr(off[: n + 1], tid[:e], cnt[:e], lens[:n])
+    del off, tid, cnt, lens
+
+    rng_q = np.random.default_rng(11)
+    _, sel = _bm25_queries(rng_q, 32 * 4)
+    B, reps = 32, 4
+    dense_dev = [
+        jax.device_put(jnp.asarray(queries[i * B : (i + 1) * B]))
+        for i in range(reps)
+    ]
+    tok_batches = [sel[i * B : (i + 1) * B] for i in range(reps)]
+
+    k_path = 50  # top_k_per_retriever=50, mutipath.py:24
+
+    def rrf_fuse(dp, bp):
+        """RRF 1/(60+rank), id-keyed, top-K — one fused numpy pass."""
+        fused = []
+        for i in range(dp.shape[0]):
+            scores = {}
+            for r, d in enumerate(dp[i]):
+                if d >= 0:
+                    scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (60 + r + 1)
+            for r, d in enumerate(bp[i]):
+                if d >= 0:
+                    scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (60 + r + 1)
+            top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+            fused.append([d for d, _ in top])
+        return fused
+
+    # warm both paths
+    _ = np.asarray(dense_index.search_device(dense_dev[0], k_path)[1])
+    bm25.search(tok_batches[0], k_path)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        # dispatch BM25 (host encode + async device program) while the
+        # dense searches stream; fetch and fuse per batch
+        pend = [bm25.search_dispatch(tb, k_path) for tb in tok_batches]
+        douts = [dense_index.search_device(db, k_path) for db in dense_dev]
+        for pd, do in zip(pend, douts):
+            _, bp = pd.result()
+            dpos = np.asarray(do[1])
+            rrf_fuse(dpos, bp)
+        times.append((time.time() - t0) / reps)
+    ms = float(np.median(np.asarray(times)) * 1e3)
+
+    # parity oracle: the framework's own RRFusion (utils/fusion.py — the
+    # implementation unit-tested against the reference's Fusion.py:45-76
+    # formula) over the same two ranked lists, compared id-for-id with
+    # the bench-local fused pass above
+    from rag_arc_tpu.utils.data_model import Document
+    from rag_arc_tpu.utils.fusion import RRFusion, results_from_ranked_docs
+
+    _, dp = dense_index.search(queries[:B], k_path)
+    _, bp = bm25.search(tok_batches[0], k_path)
+    dp, bp = np.asarray(dp), np.asarray(bp)
+    got = rrf_fuse(dp, bp)
+    fusion = RRFusion()
+    agree_n = 0
+    for i in range(B):
+        paths = [
+            results_from_ranked_docs(
+                [Document(content=f"d{d}", id=str(d)) for d in pos[i] if d >= 0],
+                source=src,
+            )
+            for pos, src in ((dp, "dense"), (bp, "bm25"))
+        ]
+        want = [int(d.id) for d in fusion.fuse(paths, K)]
+        agree_n += len(set(got[i]) & set(want))
+    agree = agree_n / (B * K)
+    result["multipath_hybrid_e2e_2M"] = {
+        "qps": round(B / ms * 1e3, 1),
+        "ms_per_batch": round(ms, 2),
+        "batch": B,
+        "paths": "dense_topk50 + bm25_hybrid_topk50 + rrf60",
+        "rrf_parity_vs_host_oracle": round(agree, 4),
+        "n_docs": n,
     }
+    del bm25
+    _log(f"multipath e2e: {result['multipath_hybrid_e2e_2M']}")
+
+
+def main() -> None:
+    _wait_for_backend()
+    import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # sitecustomize pins jax_platforms=axon,cpu on this box; smoke
+        # tests must opt out in-process before backend init
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    corpus = _load_corpus(rng)
+    host_datagen_s = time.time() - t0
+
+    result: dict = {"host_datagen_s": round(host_datagen_s, 2)}
+    index, queries, _ = bench_dense(jax, jnp, rng, corpus, result)
+
+    if os.environ.get("BENCH_SKIP_ENCODER") != "1":
+        try:
+            bench_encoder_and_e2e(jax, jnp, rng, index, result)
+        except Exception as exc:  # noqa: BLE001 — sections are independent
+            result["encoder_error"] = repr(exc)
+
+    if os.environ.get("BENCH_SKIP_RERANK") != "1":
+        try:
+            bench_rerank(jax, jnp, result)
+        except Exception as exc:  # noqa: BLE001
+            result["rerank_error"] = repr(exc)
+
+    # the multipath e2e needs the dense ids and the BM25 ids to name the
+    # SAME documents — it runs on the default ≤2M dense corpus only
+    if os.environ.get("BENCH_SKIP_MULTIPATH") != "1" and CORPUS_N <= 2_000_000:
+        try:
+            bench_multipath_e2e(jax, jnp, rng, index, queries, result)
+        except Exception as exc:  # noqa: BLE001
+            result["multipath_error"] = repr(exc)
+
+    # the 10M BM25 build wants HBM headroom: free the dense index first
+    del index
+    if os.environ.get("BENCH_SKIP_BM25") != "1":
+        try:
+            bench_bm25_hybrid(jax, jnp, result)
+        except Exception as exc:  # noqa: BLE001
+            result["bm25_error"] = repr(exc)
+
+    result["device"] = str(jax.devices()[0])
     print(json.dumps(result))
 
 

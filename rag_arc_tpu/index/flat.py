@@ -71,7 +71,7 @@ class DeviceFlatIndex:
         axis_name: str = CORPUS_AXIS,
         rescore_i8: bool = True,
         refine: Optional[str] = "default",
-        kf_mult: int = 4,
+        kf_mult: int = 2,
     ):
         self.dim = int(dim)
         self.metric = metric
@@ -100,9 +100,13 @@ class DeviceFlatIndex:
         self.refine = refine if self.quantized else None
         # quantized-rescore over-fetch: the scan returns kf = kf_mult*k
         # sub-tile candidates whose g rows are gathered + exactly rescored.
-        # The gather is the refine ladder's dominant cost (kf*g rows/query
-        # of random HBM row reads) — kf_mult trades it against recall
-        # (tools/refine_sweep.py measures the curve at 10M).
+        # The gather is the quantized path's dominant non-scan cost (kf*g
+        # rows/query of random HBM reads). Measured same-session at
+        # 10Mx768 B=512 (bench_results/refine_sweep_r04_10M.txt):
+        # kf_mult 4 → 9.5k QPS, 2 → 11.4k, both recall 1.000 on the
+        # 128-query oracle; kf_mult=1 → 12.4k but recall drops to 0.976
+        # (and 0.66 on the near-tie cluster corpus, where 2/3/4 are
+        # indistinguishable at 0.897). Default 2 = the knee.
         if kf_mult < 1:
             raise ValueError("kf_mult must be >= 1")
         self.kf_mult = int(kf_mult)

@@ -241,7 +241,7 @@ class TPUVectorStore(VectorStore):
         hnsw_pq_m: int = 0,
         hnsw_pq_refine: bool = False,
         refine: Any = "default",
-        kf_mult: int = 4,
+        kf_mult: int = 2,
     ):
         if index_type == "auto":
             # Official auto-select policy (VERDICT r2 #4): FLAT. Measured
@@ -311,8 +311,9 @@ class TPUVectorStore(VectorStore):
         # recall 0.74→0.95 on near-tie corpora); None disables the sidecar
         self.refine = refine
         # quantized-rescore over-fetch multiplier (search-time knob, see
-        # DeviceFlatIndex.kf_mult): 4 = recall-first, 2 trades ~0.001
-        # recall@10 for a smaller candidate gather
+        # DeviceFlatIndex.kf_mult for the measured QPS/recall curve):
+        # default 2 is the knee — raising to 4 measured zero recall gain
+        # at 10M and on the near-tie corpus, for ~17% QPS
         self.kf_mult = int(kf_mult)
         self._dim = dim or getattr(embedding, "dim", None)
         if index is None and self._dim is not None:
