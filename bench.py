@@ -427,9 +427,13 @@ def bench_rerank(jax, jnp, result: dict):
     attn = 4 * L * nh * hd  # score+weighted-sum per token
     flops_per_pair = L * (cfg.num_hidden_layers * (per_layer + attn))
     mfu = pairs_per_s * flops_per_pair / 197e12
+    shape = (
+        "tiny" if os.environ.get("BENCH_RERANK_TINY") == "1"
+        else "qwen3_0p6b"
+    )
     result.update(
         {
-            "rerank_pairs_per_s_qwen3_0p6b_L512": round(pairs_per_s, 1),
+            f"rerank_pairs_per_s_{shape}_L{L}": round(pairs_per_s, 1),
             "rerank_ms_per_50cand_query": round(1e3 * 50 / pairs_per_s, 1),
             "rerank_mfu_pct": round(mfu * 100, 1),
         }
@@ -517,7 +521,7 @@ def bench_bm25_hybrid(jax, jnp, result: dict):
     )
     out["topk_agreement_vs_host_oracle"] = round(agree, 4)
     del host, index
-    result["bm25_hybrid_10M"] = out
+    result[f"bm25_hybrid_{max(BM25_N // 1_000_000, 1)}M"] = out
     _log(f"bm25 hybrid: {out}")
 
 
@@ -604,7 +608,8 @@ def bench_multipath_e2e(jax, jnp, rng, dense_index, queries, result: dict):
         want = [int(d.id) for d in fusion.fuse(paths, K)]
         agree_n += len(set(got[i]) & set(want))
     agree = agree_n / (B * K)
-    result["multipath_hybrid_e2e_2M"] = {
+    key = f"multipath_hybrid_e2e_{max(n // 1_000_000, 1)}M"
+    result[key] = {
         "qps": round(B / ms * 1e3, 1),
         "ms_per_batch": round(ms, 2),
         "batch": B,
@@ -613,7 +618,7 @@ def bench_multipath_e2e(jax, jnp, rng, dense_index, queries, result: dict):
         "n_docs": n,
     }
     del bm25
-    _log(f"multipath e2e: {result['multipath_hybrid_e2e_2M']}")
+    _log(f"multipath e2e: {result[key]}")
 
 
 def main() -> None:
