@@ -33,6 +33,8 @@ import json
 import mmap
 import os
 import shutil
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -50,13 +52,24 @@ def _id_hash(doc_id: str) -> int:
 
 
 class BlobDocstore:
-    def __init__(self, path: str | Path):
+    def __init__(self, path: str | Path, cache_docs: int = 65536):
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
         self._blob_path = self.path / "blob.jsonl"
         self._blob = open(self._blob_path, "ab")
         self._mmap: Optional[mmap.mmap] = None
         self._mmap_size = 0
+        # parsed-Document LRU for the serving hot path: resolving a
+        # request's top-k pays a json.loads + Document build per record
+        # (~35 µs each — the single biggest host cost per /batch request
+        # measured on the 1-CPU box). Keyed by (pos, blob offset): a
+        # rewrite appends a NEW offset so stale entries can never hit,
+        # and deletes tombstone _len before the cache is consulted.
+        # Sharing instances matches the RAM Docstore's contract (callers
+        # that stamp scores copy first — see rerank/cross_encoder.py).
+        self._doc_cache: "OrderedDict[Tuple[int, int], Document]" = OrderedDict()
+        self._doc_cache_cap = int(cache_docs)
+        self._doc_cache_lock = threading.Lock()
         # position -> record location; -1 length = empty/deleted slot
         self._off = np.zeros(1024, dtype=np.int64)
         self._len = np.full(1024, -1, dtype=np.int64)
@@ -197,7 +210,30 @@ class BlobDocstore:
         return out
 
     def get_by_position(self, pos: int) -> Optional[Document]:
-        rec = self._read_record(int(pos))
+        pos = int(pos)
+        if (
+            self._doc_cache_cap > 0
+            and 0 <= pos < len(self._len)
+            and self._len[pos] >= 0
+        ):
+            key = (pos, int(self._off[pos]))
+            with self._doc_cache_lock:
+                doc = self._doc_cache.get(key)
+                if doc is not None:
+                    self._doc_cache.move_to_end(key)
+                    return doc
+            rec = self._read_record(pos)
+            if rec is None:
+                return None
+            doc = Document(
+                content=rec["content"], metadata=rec["metadata"], id=rec["id"]
+            )
+            with self._doc_cache_lock:
+                self._doc_cache[key] = doc
+                while len(self._doc_cache) > self._doc_cache_cap:
+                    self._doc_cache.popitem(last=False)
+            return doc
+        rec = self._read_record(pos)
         if rec is None:
             return None
         return Document(content=rec["content"], metadata=rec["metadata"], id=rec["id"])
