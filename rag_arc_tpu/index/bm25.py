@@ -346,6 +346,14 @@ class DeviceBM25Index:
         # driver (~0.55 µs/element on v5e), so width ≈ entries matters
         # more than slab count
         self._max_tail_df = int(max(64, n // 1024))
+        # slab WIDTH BUCKETS: the kernel's scatter-add costs per slot,
+        # padding included, so a df=300 list must not pay a 9,766-wide
+        # slab (97% padding at 10M docs). Terms go to the smallest
+        # bucket that fits; long lists split into max-width slabs.
+        self._tail_widths = tuple(
+            sorted({w for w in (128, 1024) if w < self._max_tail_df}
+                   | {self._max_tail_df})
+        )
         # device copies carry a max_df zero-pad so the kernel's
         # dynamic_slice never clamp-shifts a start near the array end
         pad = self._max_tail_df
@@ -399,13 +407,20 @@ class DeviceBM25Index:
         b = len(tokenized_queries)
         h = self._w_head.shape[0]
         max_df = self._max_tail_df
-        rows: List[List[Tuple[int, int, float]]] = []
+        widths = self._tail_widths
+        # per-bucket slab rows: each query's tail terms land in the
+        # smallest width bucket that fits their df (long lists split into
+        # max-width segments) — the scatter-add pays per slab SLOT, so
+        # width ≈ df is the whole game
+        rows: List[Dict[int, List[Tuple[int, int, float]]]] = []
         head_rows: List[Dict[int, int]] = []
-        t_max = 1
+        t_max = {w: 0 for w in widths}
         if term_counts is None:
             term_counts = self._count_terms(tokenized_queries)
         for counts in term_counts:
-            row: List[Tuple[int, int, float]] = []
+            row: Dict[int, List[Tuple[int, int, float]]] = {
+                w: [] for w in widths
+            }
             hrow: Dict[int, int] = {}
             for tid, c in counts.items():
                 slot = self._head_slot[tid]
@@ -414,35 +429,44 @@ class DeviceBM25Index:
                 else:
                     start = int(self._tail_off[tid])
                     remaining = int(self._tail_off[tid + 1]) - start
-                    # long lists split into <= max_df segments so the
-                    # device gather width stays static and bounded
-                    while remaining > 0:
-                        seg = min(remaining, max_df)
-                        row.append((start, seg, float(c)))
-                        start += seg
-                        remaining -= seg
+                    while remaining > max_df:
+                        row[max_df].append((start, max_df, float(c)))
+                        start += max_df
+                        remaining -= max_df
+                    if remaining > 0:
+                        w = next(w for w in widths if w >= remaining)
+                        row[w].append((start, remaining, float(c)))
             rows.append(row)
             head_rows.append(hrow)
-            t_max = max(t_max, len(row))
+            for w in widths:
+                t_max[w] = max(t_max[w], len(row[w]))
 
-        t_pad = max(8, 1 << math.ceil(math.log2(t_max)))
+        # only buckets the batch actually uses enter the (static) kernel
+        # signature; slot counts pad to pow2 (min 4) to bound recompiles
+        used = tuple(w for w in widths if t_max[w] > 0) or (widths[0],)
+        ts = tuple(
+            max(4, 1 << math.ceil(math.log2(max(t_max[w], 1)))) for w in used
+        )
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
-        packed = np.zeros((b_pad, h + 3 * t_pad), dtype=np.int32)
+        packed = np.zeros((b_pad, h + 3 * sum(ts)), dtype=np.int32)
         for i, hrow in enumerate(head_rows):
             for slot, c in hrow.items():
                 packed[i, slot] = c
         for i, row in enumerate(rows):
-            for j, (s, ln, c) in enumerate(row):
-                packed[i, h + j] = s
-                packed[i, h + t_pad + j] = ln
-                packed[i, h + 2 * t_pad + j] = int(c)
+            o = h
+            for w, t_pad in zip(used, ts):
+                for j, (s, ln, c) in enumerate(row[w]):
+                    packed[i, o + j] = s
+                    packed[i, o + t_pad + j] = ln
+                    packed[i, o + 2 * t_pad + j] = int(c)
+                o += 3 * t_pad
 
         k_eff = min(k, self.n_docs)
         sk, ik = bm25_hybrid_topk_packed(
             self._w_head, self._hvalid,
             self._tail_docs_dev, self._tail_w_dev,
             jnp.asarray(packed),
-            k_eff, max_df, h, t_pad,
+            k_eff, h, used, ts,
         )
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:

@@ -188,11 +188,8 @@ def _hybrid_body(
     q_head: jax.Array,
     tail_docs: jax.Array,
     tail_w: jax.Array,
-    starts: jax.Array,
-    lens: jax.Array,
-    counts: jax.Array,
+    groups,  # sequence of (starts (B,T_w), lens, counts, width)
     k: int,
-    max_df: int,
 ) -> tuple[jax.Array, jax.Array]:
     b = q_head.shape[0]
     scores = jnp.dot(
@@ -203,26 +200,31 @@ def _hybrid_body(
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
 
     # contiguous slab reads, not elementwise gather: each (query, term)
-    # slot is ONE dynamic_slice of max_df entries (the postings arrays
-    # carry a max_df zero-pad so clamping never shifts a start) — B·T
-    # wide HBM reads instead of B·T·max_df scalar gathers
-    span = jnp.arange(max_df, dtype=jnp.int32)
-    in_list = span[None, None, :] < lens[:, :, None]        # (B, T, max_df)
+    # slot is ONE dynamic_slice of its group's width (the postings arrays
+    # carry a max-width zero-pad so clamping never shifts a start) — B·T
+    # wide HBM reads instead of B·T·width scalar gathers. Slabs come in
+    # WIDTH BUCKETS: the scatter-add below costs per SLOT whether or not
+    # the slot is padding, and one static width meant a df=300 term paid
+    # a 9,766-slot slab at 10M docs (97% padding) — per-bucket widths
+    # keep padded slots ≈ 2x the live postings.
+    for starts, lens, counts, width in groups:
+        span = jnp.arange(width, dtype=jnp.int32)
+        in_list = span[None, None, :] < lens[:, :, None]    # (B, T, width)
 
-    def grab(s):
-        return (
-            jax.lax.dynamic_slice(tail_docs, (s,), (max_df,)),
-            jax.lax.dynamic_slice(tail_w, (s,), (max_df,)),
-        )
+        def grab(s, _w=width):
+            return (
+                jax.lax.dynamic_slice(tail_docs, (s,), (_w,)),
+                jax.lax.dynamic_slice(tail_w, (s,), (_w,)),
+            )
 
-    docs_slab, w_slab = jax.vmap(grab)(starts.reshape(-1))
-    cand = docs_slab.reshape(b, -1)                         # (B, T·max_df)
-    w = w_slab.reshape(b, starts.shape[1], max_df) * counts[:, :, None]
-    w = jnp.where(in_list, w, 0.0).reshape(b, -1)
+        docs_slab, w_slab = jax.vmap(grab)(starts.reshape(-1))
+        cand = docs_slab.reshape(b, -1)                     # (B, T·width)
+        w = w_slab.reshape(b, starts.shape[1], width) * counts[:, :, None]
+        w = jnp.where(in_list, w, 0.0).reshape(b, -1)
 
-    # pad slots point at doc 0 with w=0: the add is a no-op there, and
-    # -inf invalid rows absorb any addition
-    scores = scores.at[jnp.arange(b)[:, None], cand].add(w)
+        # pad slots point at doc 0 with w=0: the add is a no-op there,
+        # and -inf invalid rows absorb any addition
+        scores = scores.at[jnp.arange(b)[:, None], cand].add(w)
     return select_topk(scores, k)
 
 
@@ -239,7 +241,9 @@ def bm25_hybrid_topk(
     k: int,
     max_df: int,            # static bound on any tail term's df
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact hybrid BM25 top-k (head-dense / tail-sparse).
+    """Exact hybrid BM25 top-k (head-dense / tail-sparse), single slab
+    width (the width-bucketed production entry is
+    ``bm25_hybrid_topk_packed``).
 
     Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
     postings live in HBM and are GATHERED ON DEVICE — the host ships only
@@ -253,35 +257,45 @@ def bm25_hybrid_topk(
     exact by construction; returned ids are unique per query.
     """
     return _hybrid_body(
-        w_head, valid, q_head, tail_docs, tail_w, starts, lens, counts,
-        k, max_df,
+        w_head, valid, q_head, tail_docs, tail_w,
+        ((starts, lens, counts, max_df),), k,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "max_df", "h", "t"))
+@partial(jax.jit, static_argnames=("k", "h", "widths", "ts"))
 def bm25_hybrid_topk_packed(
     w_head: jax.Array,
     valid: jax.Array,
     tail_docs: jax.Array,
     tail_w: jax.Array,
-    packed: jax.Array,      # (B, h + 3t) int32: [q_head | starts | lens | counts]
+    packed: jax.Array,      # (B, h + 3·Σts) int32, layout below
     k: int,
-    max_df: int,
     h: int,
-    t: int,
+    widths: tuple,          # static slab width per bucket (ascending)
+    ts: tuple,              # static slot count per bucket
 ) -> tuple[jax.Array, jax.Array]:
-    """``bm25_hybrid_topk`` with the per-query operands fused into ONE
-    int32 upload. Query-term multiplicities are small integers, so q_head
-    and counts ride the same int32 buffer as starts/lens and are cast back
-    on device. One host→device transfer per batch instead of four — the
-    difference is pure link latency (the device program is identical)."""
+    """``bm25_hybrid_topk`` with width-bucketed tail slabs and the
+    per-query operands fused into ONE int32 upload:
+
+      packed = [q_head | b0 starts | b0 lens | b0 counts | b1 starts | …]
+
+    Query-term multiplicities are small integers, so q_head and counts
+    ride the same int32 buffer as starts/lens and are cast back on
+    device. One host→device transfer per batch instead of four — the
+    difference is pure link latency. Each bucket scatters slabs of its
+    own width, so short posting lists stop paying max_df-wide slabs
+    (the scatter-add costs per SLOT, padding or not)."""
     q_head = packed[:, :h].astype(jnp.float32)
-    starts = packed[:, h : h + t]
-    lens = packed[:, h + t : h + 2 * t]
-    counts = packed[:, h + 2 * t : h + 3 * t].astype(jnp.float32)
+    groups = []
+    o = h
+    for width, t in zip(widths, ts):
+        starts = packed[:, o : o + t]
+        lens = packed[:, o + t : o + 2 * t]
+        counts = packed[:, o + 2 * t : o + 3 * t].astype(jnp.float32)
+        groups.append((starts, lens, counts, width))
+        o += 3 * t
     return _hybrid_body(
-        w_head, valid, q_head, tail_docs, tail_w, starts, lens, counts,
-        k, max_df,
+        w_head, valid, q_head, tail_docs, tail_w, groups, k,
     )
 
 

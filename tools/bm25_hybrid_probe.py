@@ -45,19 +45,36 @@ def main():
 
     rng = np.random.default_rng(0)
     n = int(os.environ.get("PROBE_N", 1_000_000))
-    texts = synth_corpus(rng, n)
-    index = DeviceBM25Index(backend="hybrid")
     t0 = time.time()
-    index.build_from_texts_native(texts)
+    if os.environ.get("PROBE_CSR") == "1":
+        # big corpora: reuse the bench CSR cache (no python strings)
+        from bm25_bench import synth_csr
+
+        cache = REPO / ".jax_cache" / f"bm25_csr_{n}_v50000_l60_s0.npz"
+        if cache.exists():
+            z = np.load(cache)
+            csr = (z["off"], z["tid"], z["cnt"], z["lens"])
+        else:
+            csr = synth_csr(rng, n)
+        index = DeviceBM25Index(
+            backend="hybrid",
+            head_dtype=jnp.bfloat16 if n >= 4_000_000 else jnp.float32,
+        )
+        index.build_from_csr(*csr)
+    else:
+        texts = synth_corpus(rng, n)
+        index = DeviceBM25Index(backend="hybrid")
+        index.build_from_texts_native(texts)
     print(f"build: {time.time()-t0:.1f}s  H={index._w_head.shape[0]} "
-          f"max_tail_df={index._max_tail_df} nnz={index._tail_docs.size}",
+          f"max_tail_df={index._max_tail_df} nnz={index._tail_docs_dev.size}",
           flush=True)
 
+    b = int(os.environ.get("PROBE_B", 32))
     queries = [
-        [f"w{t}" for t in (rng.zipf(1.3, size=8) % 50_000)] for _ in range(32)
+        [f"w{t}" for t in (rng.zipf(1.3, size=8) % 50_000)] for _ in range(b)
     ]
     # encode once (host side), reuse arrays
-    b, h = 32, index._w_head.shape[0]
+    h = index._w_head.shape[0]
     max_df = index._max_tail_df
     q_head = np.zeros((b, h), np.float32)
     rows = []
@@ -170,7 +187,19 @@ def main():
     pend = [index.search_dispatch(queries, 10) for _ in range(reps)]
     outs = [p.result() for p in pend]
     dt = (time.time() - t0) / reps
-    print(f"end-to-end streamed dispatch: {dt*1e3:.2f} ms/batch "
+    print(f"end-to-end streamed dispatch (head/zipf): {dt*1e3:.2f} ms/batch "
+          f"({b/dt:,.0f} qps)", flush=True)
+
+    sel = [
+        [f"w{t}" for t in rng.integers(1_000, 50_000, size=8)]
+        for _ in range(b)
+    ]
+    index.search(sel, 10)  # warm the selective bucket signature
+    t0 = time.time()
+    pend = [index.search_dispatch(sel, 10) for _ in range(reps)]
+    outs = [p.result() for p in pend]
+    dt = (time.time() - t0) / reps
+    print(f"end-to-end streamed dispatch (selective): {dt*1e3:.2f} ms/batch "
           f"({b/dt:,.0f} qps)", flush=True)
 
 
