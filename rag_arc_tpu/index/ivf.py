@@ -53,8 +53,19 @@ class DeviceIVFIndex:
         dtype=jnp.float32,
         mesh: Optional[Mesh] = None,
         axis_name: str = CORPUS_AXIS,
+        spill: int = 1,
     ):
         self.dim = dim
+        # spilled assignment (SOAR-style multi-assign, simplified to
+        # plain top-``spill`` centroids): each row is stored in its
+        # ``spill`` nearest lists, so a query whose perturbation flips
+        # the centroid ranking still probes a list holding the neighbor.
+        # Costs ×spill list memory; search dedupes positions on device.
+        # Measured (1M×768 uniform — the worst case, tools/ivf_bench.py):
+        # recall@10 at nprobe 32 roughly doubles for spill=2.
+        if not 1 <= int(spill) <= 4:
+            raise ValueError("spill must be 1..4")
+        self.spill = int(spill)
         self.mesh = mesh
         self.axis_name = axis_name
         if mesh is not None and "slice" in mesh.axis_names:
@@ -101,6 +112,9 @@ class DeviceIVFIndex:
         self._fill = np.zeros(nlist, dtype=np.int64)
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
+        # spill copies 2..spill: (n, spill-1) maps, same indexing
+        self._pos_xcluster = np.empty((0, self.spill - 1), dtype=np.int32)
+        self._pos_xslot = np.empty((0, self.spill - 1), dtype=np.int32)
         # host mirror of tombstoned positions: keeps n_deleted exact under
         # duplicate/repeated deletes (n_active drives MMR emptiness and the
         # compaction threshold, so overcounting has behavioral fallout)
@@ -146,14 +160,38 @@ class DeviceIVFIndex:
         train_iters: int = 10,
         seed: int = 0,
         mesh: Optional[Mesh] = None,
+        spill: int = 1,
     ) -> "DeviceIVFIndex":
         vectors = np.asarray(vectors, dtype=np.float32)
         index = cls(
             dim=vectors.shape[1], nlist=nlist, nprobe=nprobe, metric=metric,
-            dtype=dtype, mesh=mesh,
+            dtype=dtype, mesh=mesh, spill=spill,
         )
         index._train_and_fill(vectors, train_iters, seed)
         return index
+
+    def _assign_spill(self, vectors: np.ndarray, chunk: int = 1 << 15) -> np.ndarray:
+        """(n, spill) nearest-centroid assignments, score-descending
+        (column 0 = the primary copy). Chunked: the full score matrix at
+        1M×1024 is 4 GB of host RAM for nothing."""
+        c = self._centroids_np
+        out = np.empty((len(vectors), self.spill), dtype=np.int64)
+        for s0 in range(0, len(vectors), chunk):
+            v = vectors[s0 : s0 + chunk]
+            scores = v @ c.T
+            if self.metric == "l2":
+                scores = 2.0 * scores - (c * c).sum(1)[None, :]
+            if self.spill == 1:
+                out[s0 : s0 + chunk, 0] = np.argmax(scores, axis=1)
+            else:
+                top = np.argpartition(-scores, self.spill - 1, axis=1)[
+                    :, : self.spill
+                ]
+                by_score = np.take_along_axis(scores, top, axis=1).argsort(
+                    axis=1
+                )[:, ::-1]
+                out[s0 : s0 + chunk] = np.take_along_axis(top, by_score, axis=1)
+        return out
 
     def _prep(self, vectors: np.ndarray) -> np.ndarray:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -185,13 +223,24 @@ class DeviceIVFIndex:
         return order, sa, slots
 
     def _record_locs(self, order, clusters_sorted, slots_sorted, n: int) -> None:
-        """Append position->(cluster, slot) entries for n new rows."""
-        pc = np.empty(n, dtype=np.int32)
-        ps = np.empty(n, dtype=np.int32)
-        pc[order] = clusters_sorted.astype(np.int32)
-        ps[order] = slots_sorted.astype(np.int32)
-        self._pos_cluster = np.concatenate([self._pos_cluster, pc])
-        self._pos_slot = np.concatenate([self._pos_slot, ps])
+        """Append position->(cluster, slot) entries for n new rows.
+        With spill the packed entries are copy-major (first n entries =
+        primary copies, next n = second copies, …): column 0 feeds the
+        primary maps, the rest the extra maps."""
+        total = n * self.spill
+        pcf = np.empty(total, dtype=np.int32)
+        psf = np.empty(total, dtype=np.int32)
+        pcf[order] = clusters_sorted.astype(np.int32)
+        psf[order] = slots_sorted.astype(np.int32)
+        pc = pcf.reshape(self.spill, n).T  # (n, spill)
+        ps = psf.reshape(self.spill, n).T
+        self._pos_cluster = np.concatenate([self._pos_cluster, pc[:, 0]])
+        self._pos_slot = np.concatenate([self._pos_slot, ps[:, 0]])
+        if self.spill > 1:
+            self._pos_xcluster = np.concatenate(
+                [self._pos_xcluster, pc[:, 1:]]
+            )
+            self._pos_xslot = np.concatenate([self._pos_xslot, ps[:, 1:]])
 
     def _train_and_fill(self, vectors: np.ndarray, train_iters: int, seed: int) -> None:
         vectors = self._prep(vectors)
@@ -203,16 +252,24 @@ class DeviceIVFIndex:
         centroids, assign = kmeans(
             vectors, self.nlist, n_iters=train_iters, seed=seed
         )
-        counts = np.bincount(assign, minlength=self.nlist)
+        self._centroids_np = centroids  # true-nlist copy for add() assignment
+        if self.spill > 1:
+            assign_mat = self._assign_spill(vectors)  # (n, spill)
+        else:
+            assign_mat = assign.astype(np.int64)[:, None]
+        # copy-major flat layout: entry i + c·n is copy c of row i
+        flat_assign = assign_mat.T.reshape(-1)
+        rows_idx = np.tile(np.arange(n, dtype=np.int64), self.spill)
+        counts = np.bincount(flat_assign, minlength=self.nlist)
         self.lmax = round_up(max(int(counts.max()), 8) * 2, 8)  # headroom for adds
         lists = np.zeros((self.nlist_pad, self.lmax, self.dim), dtype=np.float32)
         sqnorm = np.zeros((self.nlist_pad, self.lmax), dtype=np.float32)
         valid = np.zeros((self.nlist_pad, self.lmax), dtype=bool)
         pos = np.full((self.nlist_pad, self.lmax), -1, dtype=np.int32)
         order, sa, slots = self._pack_by_cluster(
-            assign, np.zeros(self.nlist, dtype=np.int64), self.nlist
+            flat_assign, np.zeros(self.nlist, dtype=np.int64), self.nlist
         )
-        sorted_vecs = vectors[order]
+        sorted_vecs = vectors[rows_idx[order]]
         if self.quantized:
             codes, scales = self._quantize_residuals(sorted_vecs, centroids[sa])
             lists[sa, slots] = codes  # int8 values survive the _place cast
@@ -221,12 +278,13 @@ class DeviceIVFIndex:
             lists[sa, slots] = sorted_vecs
             sqnorm[sa, slots] = (sorted_vecs * sorted_vecs).sum(axis=1)
         valid[sa, slots] = True
-        pos[sa, slots] = order
+        pos[sa, slots] = rows_idx[order]
         self._fill = counts.astype(np.int64)
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
+        self._pos_xcluster = np.empty((0, self.spill - 1), dtype=np.int32)
+        self._pos_xslot = np.empty((0, self.spill - 1), dtype=np.int32)
         self._record_locs(order, sa, slots, n)
-        self._centroids_np = centroids  # true-nlist copy for add() assignment
         centroids_pad = np.zeros((self.nlist_pad, self.dim), dtype=np.float32)
         centroids_pad[: self.nlist] = centroids
         cluster_valid = np.zeros(self.nlist_pad, dtype=bool)
@@ -248,16 +306,17 @@ class DeviceIVFIndex:
         if n == 0:
             return np.empty((0,), dtype=np.int64)
         c = self._centroids_np
-        scores = vectors @ c.T
-        if self.metric == "l2":
-            scores = 2 * scores - (c * c).sum(1)[None, :]
-        assign = np.argmax(scores, axis=1)
-        counts = np.bincount(assign, minlength=self.nlist)
+        assign_mat = self._assign_spill(vectors)  # (n, spill)
+        flat_assign = assign_mat.T.reshape(-1)
+        rows_idx = np.tile(np.arange(n, dtype=np.int64), self.spill)
+        counts = np.bincount(flat_assign, minlength=self.nlist)
         while (self._fill + counts).max() > self.lmax:
             self._grow_lmax()
-        order, sa, slots = self._pack_by_cluster(assign, self._fill, self.nlist)
+        order, sa, slots = self._pack_by_cluster(
+            flat_assign, self._fill, self.nlist
+        )
         positions = np.arange(self.size, self.size + n, dtype=np.int64)
-        sorted_vecs = vectors[order]
+        sorted_vecs = vectors[rows_idx[order]]
         if self.quantized:
             rows, aux = self._quantize_residuals(sorted_vecs, c[sa])
         else:
@@ -272,7 +331,7 @@ class DeviceIVFIndex:
             jnp.asarray(aux),
             jnp.asarray(sa, dtype=jnp.int32),
             jnp.asarray(slots, dtype=jnp.int32),
-            jnp.asarray(positions[order], dtype=jnp.int32),
+            jnp.asarray(positions[rows_idx[order]], dtype=jnp.int32),
         )
         self._record_locs(order, sa, slots, n)
         self._fill += counts
@@ -301,8 +360,15 @@ class DeviceIVFIndex:
         mask = valid & (pos >= 0)
         cl, sl = np.nonzero(mask)
         old_pos = pos[cl, sl]
-        order = np.argsort(old_pos)
+        order = np.argsort(old_pos, kind="stable")
         old_sorted = old_pos[order]
+        if self.spill > 1:
+            # every live row appears once per spill copy — keep ONE
+            # (re-add below re-spills it)
+            keep = np.ones(len(old_sorted), dtype=bool)
+            keep[1:] = old_sorted[1:] != old_sorted[:-1]
+            order = order[keep]
+            old_sorted = old_sorted[keep]
         vectors = lists[cl[order], sl[order]]
         if self.quantized:
             # reconstruct rows: centroid + dequantized residual (re-add
@@ -318,6 +384,8 @@ class DeviceIVFIndex:
         self._fill = np.zeros(self.nlist, dtype=np.int64)
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
+        self._pos_xcluster = np.empty((0, self.spill - 1), dtype=np.int32)
+        self._pos_xslot = np.empty((0, self.spill - 1), dtype=np.int32)
         shape = (self.nlist_pad, self.lmax)
         centroids = np.asarray(jax.device_get(self.centroids))
         cluster_valid = np.asarray(jax.device_get(self.cluster_valid))
@@ -343,9 +411,20 @@ class DeviceIVFIndex:
         if positions.size == 0:
             return
         self._deleted_pos.update(int(p) for p in positions)
-        clusters = jnp.asarray(self._pos_cluster[positions])
-        slots = jnp.asarray(self._pos_slot[positions])
-        self.valid = self.valid.at[clusters, slots].set(False)
+        clusters = self._pos_cluster[positions]
+        slots = self._pos_slot[positions]
+        if self.spill > 1:
+            # every spill copy dies with the row, or deleted docs stay
+            # findable through their secondary lists
+            clusters = np.concatenate(
+                [clusters, self._pos_xcluster[positions].reshape(-1)]
+            )
+            slots = np.concatenate(
+                [slots, self._pos_xslot[positions].reshape(-1)]
+            )
+        self.valid = self.valid.at[jnp.asarray(clusters), jnp.asarray(slots)].set(
+            False
+        )
         self.n_deleted += int(positions.size)
 
     # -- search --------------------------------------------------------------
@@ -391,6 +470,7 @@ class DeviceIVFIndex:
                     k_eff,
                     nprobe,
                     self.metric,
+                    self.spill > 1,
                 )
             s, p = jax.device_get((s, p))
             s = np.asarray(s)
@@ -459,6 +539,14 @@ class DeviceIVFIndex:
         b = q.shape[0]
         s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
         p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
+        if self.spill > 1:
+            # spill copies can land on different shards, so duplicates
+            # survive the per-shard top-k — dedupe at the merge
+            kk = min(2 * k, s_flat.shape[1])
+            s, sel = jax.lax.top_k(s_flat, kk)
+            return _dedupe_candidates(
+                s, jnp.take_along_axis(p_flat, sel, axis=-1), k
+            )
         s, sel = jax.lax.top_k(s_flat, min(k, s_flat.shape[1]))
         return s, jnp.take_along_axis(p_flat, sel, axis=-1)
 
@@ -488,6 +576,7 @@ class DeviceIVFIndex:
             "metric": self.metric,
             "nlist": self.nlist,
             "nprobe": self.nprobe,
+            "spill": self.spill,
             "lmax": self.lmax,
             "size": self.size,
             "active": self.n_active,
@@ -530,14 +619,38 @@ def _pad_slots(lists, sqnorm, valid, pos, pad):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
-def _ivf_search(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric):
+def _dedupe_candidates(s, p, k):
+    """Top-k over score-desc candidates (B, K) with duplicate POSITIONS
+    masked (spilled assignment stores a row in several lists, so the same
+    position can reach the candidate set once per probed copy). An entry
+    is a duplicate when an earlier (higher-ranked) entry carries the same
+    non-negative position; K² compare at K ≤ 2k is trivial. Exact: a
+    top-2k window holds ≥ k unique positions because duplicates come at
+    most ``spill`` per position and spill ≤ 2k/k."""
+    kk = s.shape[1]
+    tri = jnp.tril(jnp.ones((kk, kk), dtype=bool), -1)  # [j, l] = l < j
+    dup = (p[:, :, None] == p[:, None, :]) & tri[None]
+    isdup = jnp.any(dup, axis=2) & (p >= 0)
+    s = jnp.where(isdup, NEG_INF, s)
+    s2, sel = jax.lax.top_k(s, min(k, kk))
+    return s2, jnp.take_along_axis(p, sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "metric", "dedupe"))
+def _ivf_search(
+    centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric,
+    dedupe=False,
+):
     return _ivf_search_body(
-        centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric
+        centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe,
+        metric, dedupe,
     )
 
 
-def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric):
+def _ivf_search_body(
+    centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric,
+    dedupe=False,
+):
     quantized = lists.dtype == jnp.int8
     if metric == "cosine":
         q = l2_normalize(q)
@@ -589,6 +702,11 @@ def _ivf_search_body(centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, 
     scores = jnp.where(sub_valid, scores, NEG_INF)
     b = q.shape[0]
     flat = scores.reshape(b, -1)
+    if dedupe:
+        kk = min(2 * k, flat.shape[1])
+        s, idx = jax.lax.top_k(flat, kk)
+        p = jnp.take_along_axis(sub_pos.reshape(b, -1), idx, axis=-1)
+        return _dedupe_candidates(s, p, k)
     s, idx = jax.lax.top_k(flat, k)
     p = jnp.take_along_axis(sub_pos.reshape(b, -1), idx, axis=-1)
     return s, p

@@ -130,6 +130,7 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
                 "lmax": index.lmax,
                 "n_deleted": index.n_deleted,
                 "quantized": bool(index.quantized),
+                "spill": index.spill,
             }
         )
     elif isinstance(index, HNSWIndex):
@@ -239,6 +240,7 @@ def load_store(
             metric=manifest["metric"],
             dtype=jnp.int8 if manifest.get("quantized") else jnp.float32,
             mesh=mesh,
+            spill=manifest.get("spill", 1),
         )
         centroids = np.load(path / "centroids.npy")
         lists = np.load(path / "lists.npy")
@@ -278,10 +280,35 @@ def load_store(
         pos_host = np.asarray(jax.device_get(index.pos))
         cl, sl = np.nonzero(pos_host >= 0)
         p = pos_host[cl, sl]
-        index._pos_cluster = np.full(manifest["size"], -1, dtype=np.int32)
-        index._pos_slot = np.full(manifest["size"], -1, dtype=np.int32)
-        index._pos_cluster[p] = cl.astype(np.int32)
-        index._pos_slot[p] = sl.astype(np.int32)
+        size = manifest["size"]
+        index._pos_cluster = np.full(size, -1, dtype=np.int32)
+        index._pos_slot = np.full(size, -1, dtype=np.int32)
+        if index.spill > 1:
+            # spilled rows appear once per copy: occurrence 0 feeds the
+            # primary maps, the rest the extra maps (mark_deleted must be
+            # able to clear EVERY copy)
+            index._pos_xcluster = np.full(
+                (size, index.spill - 1), -1, dtype=np.int32
+            )
+            index._pos_xslot = np.full(
+                (size, index.spill - 1), -1, dtype=np.int32
+            )
+            order = np.argsort(p, kind="stable")
+            ps, cls, sls = p[order], cl[order], sl[order]
+            occ = np.arange(len(ps)) - np.searchsorted(ps, ps, side="left")
+            prim = occ == 0
+            index._pos_cluster[ps[prim]] = cls[prim].astype(np.int32)
+            index._pos_slot[ps[prim]] = sls[prim].astype(np.int32)
+            extra = ~prim
+            index._pos_xcluster[ps[extra], occ[extra] - 1] = cls[extra].astype(
+                np.int32
+            )
+            index._pos_xslot[ps[extra], occ[extra] - 1] = sls[extra].astype(
+                np.int32
+            )
+        else:
+            index._pos_cluster[p] = cl.astype(np.int32)
+            index._pos_slot[p] = sl.astype(np.int32)
         store.index = index
     elif kind == "hnsw":
         store.index = HNSWIndex.load(

@@ -236,6 +236,7 @@ class TPUVectorStore(VectorStore):
         index_type: str = "flat",
         nlist: int = 100,
         nprobe: int = 8,
+        ivf_spill: int = 1,
         train_threshold: Optional[int] = None,
         docstore_path: Optional[str] = None,
         hnsw_pq_m: int = 0,
@@ -297,6 +298,10 @@ class TPUVectorStore(VectorStore):
         self.index_type = index_type
         self.nlist = nlist
         self.nprobe = nprobe
+        # IVF spilled assignment (DeviceIVFIndex.spill): store each row in
+        # its `spill` nearest lists — a recall lever for hard/low-margin
+        # corpora at ×spill list memory
+        self.ivf_spill = int(ivf_spill)
         # FAISS-parity auto-train point (VectorStore_Faiss.py:181-184):
         # rows accumulate in a flat index until the IVF can be trained
         self.train_threshold = train_threshold or max(100, nlist)
@@ -486,6 +491,7 @@ class TPUVectorStore(VectorStore):
             metric=self.metric,
             dtype=self._dtype or jnp.float32,
             mesh=self.mesh,
+            spill=self.ivf_spill,
         )
         self.index = ivf
 
