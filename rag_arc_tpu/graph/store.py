@@ -321,7 +321,20 @@ class ArrayGraphStore:
             return []
         keys = list(positions)
         vecs = index.take(np.asarray([positions[k] for k in keys]))
-        scores, hits = index.search(vecs, min(top_k + 1, len(keys)))
+        kq = min(top_k + 1, len(keys))
+        # sub-batch the all-nodes self-search: one 100k-query dispatch is
+        # a multi-GB select workspace and a minutes-long first compile
+        # through a remote compiler; 4096-query chunks stream through the
+        # same cached executable (measured: the chunked pass finishes
+        # where the single dispatch blew the bench's timeout)
+        chunk = 4096
+        parts_s, parts_h = [], []
+        for s0 in range(0, len(keys), chunk):
+            s, h = index.search(vecs[s0 : s0 + chunk], kq)
+            parts_s.append(s)
+            parts_h.append(h)
+        scores = np.concatenate(parts_s)
+        hits = np.concatenate(parts_h)
         by_pos = self._key_by_position(kind)
         pairs = []
         for i, key in enumerate(keys):

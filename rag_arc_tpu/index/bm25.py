@@ -126,6 +126,10 @@ class DeviceBM25Index:
         # in row blocks of ~this many f32 bytes instead of one full-size
         # host array (10 GB at 10M docs)
         self.HEAD_CHUNK_BYTES = 1 << 28
+        # max padded candidate-window (slab slots per query) the tail-only
+        # sort/segment-sum kernel accepts; wider batches fall back to the
+        # dense hybrid kernel (sorting very wide windows stops paying)
+        self.TAIL_ONLY_WINDOW = 1 << 16
         self.host_budget = int(host_budget)
         self._w_head = None       # (H, N_pad) device
         self._hvalid = None       # (N_pad,) device
@@ -448,12 +452,23 @@ class DeviceBM25Index:
             max(4, 1 << math.ceil(math.log2(max(t_max[w], 1)))) for w in used
         )
         b_pad = max(1, 1 << math.ceil(math.log2(b)))
-        packed = np.zeros((b_pad, h + 3 * sum(ts)), dtype=np.int32)
-        for i, hrow in enumerate(head_rows):
-            for slot, c in hrow.items():
-                packed[i, slot] = c
+        # HEAD-FREE batch on a bounded candidate window → the tail-only
+        # sort/segment-sum kernel skips the (B, N) score array entirely
+        # (~32 ms of materialize+top-k at 10M, the dense path's floor —
+        # bench_results/bm25_hybrid_probe_r04_10M.txt). Realistic
+        # selective traffic (post-stopword queries) is exactly this case.
+        cand_window = sum(w * t for w, t in zip(used, ts))
+        tail_only = (
+            not any(head_rows) and cand_window <= self.TAIL_ONLY_WINDOW
+        )
+        head_cols = 0 if tail_only else h
+        packed = np.zeros((b_pad, head_cols + 3 * sum(ts)), dtype=np.int32)
+        if not tail_only:
+            for i, hrow in enumerate(head_rows):
+                for slot, c in hrow.items():
+                    packed[i, slot] = c
         for i, row in enumerate(rows):
-            o = h
+            o = head_cols
             for w, t_pad in zip(used, ts):
                 for j, (s, ln, c) in enumerate(row[w]):
                     packed[i, o + j] = s
@@ -462,22 +477,55 @@ class DeviceBM25Index:
                 o += 3 * t_pad
 
         k_eff = min(k, self.n_docs)
-        sk, ik = bm25_hybrid_topk_packed(
-            self._w_head, self._hvalid,
-            self._tail_docs_dev, self._tail_w_dev,
-            jnp.asarray(packed),
-            k_eff, h, used, ts,
-        )
+        if tail_only:
+            from rag_arc_tpu.ops.bm25 import bm25_tail_only_topk
+
+            sk, ik = bm25_tail_only_topk(
+                self._tail_docs_dev, self._tail_w_dev,
+                jnp.asarray(packed),
+                k_eff, used, ts,
+            )
+        else:
+            sk, ik = bm25_hybrid_topk_packed(
+                self._w_head, self._hvalid,
+                self._tail_docs_dev, self._tail_w_dev,
+                jnp.asarray(packed),
+                k_eff, h, used, ts,
+            )
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
-            # the kernel's scatter-add totals are exact and its ids
-            # unique — no host-side dedupe/merge, just shape out to (b, k)
+            # the kernel's scatter-add/segment totals are exact and its
+            # ids unique — no host-side dedupe/merge, just shape to (b, k)
             s = np.asarray(jax.device_get(sk))[:b]
             p = np.asarray(jax.device_get(ik))[:b]
             out_s = np.full((b, k), -np.inf, dtype=np.float32)
             out_p = np.full((b, k), -1, dtype=np.int64)
             out_s[:, :k_eff] = s
             out_p[:, :k_eff] = p
+            if tail_only:
+                # rank_bm25 argsort semantics: unmatched docs score 0 and
+                # rank ABOVE nothing (the dense path materializes those
+                # zeros; here they're implicit). Tail term weights are
+                # strictly positive (df < n/256 ⇒ idf > 0), so every
+                # candidate the kernel returned outranks the zeros and
+                # the remaining slots fill with the smallest doc ids not
+                # already returned — exactly the dense path's tie order.
+                n_docs = self.n_docs
+                for i in range(b):
+                    got = set(
+                        int(x) for x in out_p[i][out_p[i] >= 0].tolist()
+                    )
+                    nxt = 0
+                    for j in range(k_eff):
+                        if out_p[i, j] >= 0:
+                            continue
+                        while nxt in got and nxt < n_docs:
+                            nxt += 1
+                        if nxt >= n_docs:
+                            break
+                        out_p[i, j] = nxt
+                        out_s[i, j] = 0.0
+                        nxt += 1
             return out_s, out_p
 
         return PendingSearch(fetch)

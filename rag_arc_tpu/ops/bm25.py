@@ -299,6 +299,80 @@ def bm25_hybrid_topk_packed(
     )
 
 
+@partial(jax.jit, static_argnames=("k", "widths", "ts"))
+def bm25_tail_only_topk(
+    tail_docs: jax.Array,
+    tail_w: jax.Array,
+    packed: jax.Array,      # (B, 3·Σts) int32 — the hybrid layout with h=0
+    k: int,
+    widths: tuple,
+    ts: tuple,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact BM25 top-k for HEAD-FREE batches without the (B, N) score
+    array. The hybrid kernel's dense materialization + coarse top-k is a
+    ~32 ms floor at 10M docs (bench_results/bm25_hybrid_probe_r04_10M.txt)
+    — pure overhead when no query touches a head term, which is what
+    realistic selective traffic (post-stopword queries) looks like.
+
+    Gather the tail slabs exactly as the hybrid kernel, then merge
+    per-doc contributions by SORTING candidates on doc id and running a
+    segmented inclusive scan (Hillis-Steele, log₂W steps; ids are sorted,
+    so id-equality at any shift distance IS the segment test). Run-end
+    totals are the exact per-doc sums — same weights, same idf, only the
+    f32 add order differs from the scatter path. Top-k via k argmax
+    passes over the (B, W) candidate window (W = padded slab slots,
+    thousands — never N)."""
+    b = packed.shape[0]
+    cands, wparts = [], []
+    o = 0
+    for width, t in zip(widths, ts):
+        starts = packed[:, o : o + t]
+        lens = packed[:, o + t : o + 2 * t]
+        counts = packed[:, o + 2 * t : o + 3 * t].astype(jnp.float32)
+        o += 3 * t
+        span = jnp.arange(width, dtype=jnp.int32)
+        in_list = span[None, None, :] < lens[:, :, None]
+
+        def grab(s, _w=width):
+            return (
+                jax.lax.dynamic_slice(tail_docs, (s,), (_w,)),
+                jax.lax.dynamic_slice(tail_w, (s,), (_w,)),
+            )
+
+        d, w = jax.vmap(grab)(starts.reshape(-1))
+        cand = d.reshape(b, t, width)
+        w = w.reshape(b, t, width) * counts[:, :, None]
+        # pad slots get id -1 (sorts first, masked at the end) — id 0
+        # with w=0 would fabricate a score-0.0 candidate for doc 0
+        cands.append(jnp.where(in_list, cand, -1).reshape(b, -1))
+        wparts.append(jnp.where(in_list, w, 0.0).reshape(b, -1))
+    ids = jnp.concatenate(cands, axis=1)
+    w = jnp.concatenate(wparts, axis=1)
+    ids, w = jax.lax.sort((ids, w), dimension=1, num_keys=1)
+
+    big = ids.shape[1]
+    acc = w
+    dist = 1
+    while dist < big:
+        same = (
+            ids
+            == jnp.pad(ids, ((0, 0), (dist, 0)), constant_values=-2)[:, :big]
+        )
+        shifted = jnp.pad(acc, ((0, 0), (dist, 0)))[:, :big]
+        acc = acc + jnp.where(same, shifted, 0.0)
+        dist *= 2
+    nxt = jnp.pad(ids[:, 1:], ((0, 0), (0, 1)), constant_values=-2)
+    score = jnp.where((ids != nxt) & (ids >= 0), acc, -jnp.inf)
+    s, idx = _iter_topk(score, min(k, big))
+    p = jnp.take_along_axis(ids, idx, axis=1)
+    p = jnp.where(jnp.isneginf(s), -1, p)
+    if s.shape[1] < k:
+        pad = k - s.shape[1]
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        p = jnp.pad(p, ((0, 0), (0, pad)), constant_values=-1)
+    return s, p
+
+
 def numpy_bm25_oracle(
     tokenized_docs: list[list[str]],
     tokenized_query: list[str],
