@@ -77,8 +77,10 @@ def main() -> None:
     base = rng.standard_normal((n - n_dup, args.dim), dtype=np.float32)
     base /= np.linalg.norm(base, axis=1, keepdims=True)
     # planted near-duplicates: perturb the first n_dup base rows so the
-    # pair cosine lands ≈0.97 (> the 0.95 merge threshold)
-    dup = base[:n_dup] + 0.25 * rng.standard_normal(
+    # pair cosine lands ≈0.97 (> the 0.95 merge threshold); the noise is
+    # scaled to TOTAL norm 0.25 (a raw standard_normal(dim) has norm
+    # ~sqrt(dim), which would bury the signal)
+    dup = base[:n_dup] + (0.25 / np.sqrt(args.dim)) * rng.standard_normal(
         (n_dup, args.dim), dtype=np.float32
     )
     dup /= np.linalg.norm(dup, axis=1, keepdims=True)

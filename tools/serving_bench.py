@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--requests-per-client", type=int, default=40)
     ap.add_argument("--queries-per-request", type=int, default=64)
     ap.add_argument("--batch-max", type=int, default=512)
+    ap.add_argument(
+        "--embedder", choices=("hash", "flax"), default="hash",
+        help="hash = host CPU fake (the 1-CPU box's floor); flax = the real "
+        "768x12 encoder ON CHIP, chained token->encoder->search with no "
+        "host round trip (vector_store._batch_search_raw encode_device path)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,7 +61,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     print(f"# device={jax.devices()[0]}", flush=True)
 
-    emb = HashEmbeddings(dim=args.d)
+    if args.embedder == "flax":
+        from rag_arc_tpu.models.encoder import TransformerConfig
+        from rag_arc_tpu.models.flax_embeddings import FlaxEncoderEmbeddings
+
+        emb = FlaxEncoderEmbeddings(
+            cfg=TransformerConfig(
+                vocab_size=32768, dim=args.d, depth=12, heads=12, max_len=512
+            )
+        )
+        emb.params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), emb.params
+        )
+    else:
+        emb = HashEmbeddings(dim=args.d)
     tmp = tempfile.mkdtemp(prefix="serve_bench_")
     store = TPUVectorStore(
         emb, dim=args.d, metric="cosine", capacity=args.n,
