@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--stream", type=int, default=16)
     ap.add_argument("--batches", type=str, default="1,8")
     ap.add_argument("--nprobes", type=str, default="8,16,32,64")
+    ap.add_argument("--spill", type=int, default=1,
+                    help="IVF spilled assignment (rows per list copy)")
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform-random corpus (the structureless worst case)")
     args = ap.parse_args()
 
     import jax
@@ -50,15 +54,20 @@ def main() -> None:
     # corpora have none and IVF recall collapses to ~nprobe/nlist there
     # (measured: 0.04-0.11 at nprobe 8-32 over 1M uniform rows), which is
     # exactly why flat is the default index.
-    n_centers = max(args.nlist, 256)
-    centers = rng.standard_normal((n_centers, args.d)).astype(np.float32)
-    assign = rng.integers(0, n_centers, args.n)
-    corpus = centers[assign] + 0.3 * (
-        rng.random((args.n, args.d), dtype=np.float32) - 0.5
-    )
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-    del assign
-    print(f"# device={jax.devices()[0]} clustered corpus ({n_centers} centers)", flush=True)
+    if args.uniform:
+        corpus = rng.random((args.n, args.d), dtype=np.float32) - 0.5
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        print(f"# device={jax.devices()[0]} uniform corpus", flush=True)
+    else:
+        n_centers = max(args.nlist, 256)
+        centers = rng.standard_normal((n_centers, args.d)).astype(np.float32)
+        assign = rng.integers(0, n_centers, args.n)
+        corpus = centers[assign] + 0.3 * (
+            rng.random((args.n, args.d), dtype=np.float32) - 0.5
+        )
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        del assign
+        print(f"# device={jax.devices()[0]} clustered corpus ({n_centers} centers)", flush=True)
 
     flat = DeviceFlatIndex(
         dim=args.d, metric="cosine", capacity=args.n, dtype=jnp.bfloat16
@@ -69,13 +78,14 @@ def main() -> None:
 
     t0 = time.time()
     ivf = DeviceIVFIndex.from_vectors(
-        corpus, nlist=args.nlist, metric="cosine", dtype=jnp.bfloat16
+        corpus, nlist=args.nlist, metric="cosine", dtype=jnp.bfloat16,
+        spill=args.spill,
     )
     build_s = time.time() - t0
     print(
         json.dumps(
             {"event": "ivf_built", "build_s": round(build_s, 1),
-             "lmax": ivf.lmax, "nlist": args.nlist}
+             "lmax": ivf.lmax, "nlist": args.nlist, "spill": args.spill}
         ),
         flush=True,
     )
