@@ -635,9 +635,17 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     rng = np.random.default_rng(0)
-    t0 = time.time()
+    t_start = time.time()
     corpus = _load_corpus(rng)
-    host_datagen_s = time.time() - t0
+    host_datagen_s = time.time() - t_start
+
+    # wall budget: optional sections SKIP (recorded) rather than risk an
+    # external timeout killing the run before the one JSON line prints —
+    # a truncated run would lose the headline too
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 3600))
+
+    def over_budget(reserve_s: float) -> bool:
+        return time.time() - t_start > budget - reserve_s
 
     result: dict = {"host_datagen_s": round(host_datagen_s, 2)}
     index, queries, _ = bench_dense(jax, jnp, rng, corpus, result)
@@ -649,26 +657,37 @@ def main() -> None:
             result["encoder_error"] = repr(exc)
 
     if os.environ.get("BENCH_SKIP_RERANK") != "1":
-        try:
-            bench_rerank(jax, jnp, result)
-        except Exception as exc:  # noqa: BLE001
-            result["rerank_error"] = repr(exc)
+        if over_budget(reserve_s=900):
+            result["rerank_skipped"] = "time budget"
+        else:
+            try:
+                bench_rerank(jax, jnp, result)
+            except Exception as exc:  # noqa: BLE001
+                result["rerank_error"] = repr(exc)
 
     # the multipath e2e needs the dense ids and the BM25 ids to name the
     # SAME documents — it runs on the default ≤2M dense corpus only
     if os.environ.get("BENCH_SKIP_MULTIPATH") != "1" and CORPUS_N <= 2_000_000:
-        try:
-            bench_multipath_e2e(jax, jnp, rng, index, queries, result)
-        except Exception as exc:  # noqa: BLE001
-            result["multipath_error"] = repr(exc)
+        if over_budget(reserve_s=800):
+            result["multipath_skipped"] = "time budget"
+        else:
+            try:
+                bench_multipath_e2e(jax, jnp, rng, index, queries, result)
+            except Exception as exc:  # noqa: BLE001
+                result["multipath_error"] = repr(exc)
 
     # the 10M BM25 build wants HBM headroom: free the dense index first
     del index
     if os.environ.get("BENCH_SKIP_BM25") != "1":
-        try:
-            bench_bm25_hybrid(jax, jnp, result)
-        except Exception as exc:  # noqa: BLE001
-            result["bm25_error"] = repr(exc)
+        # the 10M hybrid build alone is ~9 min — skip rather than get
+        # killed JSON-less when the budget can't fit it
+        if over_budget(reserve_s=750):
+            result["bm25_skipped"] = "time budget"
+        else:
+            try:
+                bench_bm25_hybrid(jax, jnp, result)
+            except Exception as exc:  # noqa: BLE001
+                result["bm25_error"] = repr(exc)
 
     result["device"] = str(jax.devices()[0])
     print(json.dumps(result))
