@@ -261,8 +261,16 @@ class DeviceIVFIndex:
         flat_assign = assign_mat.T.reshape(-1)
         rows_idx = np.tile(np.arange(n, dtype=np.int64), self.spill)
         counts = np.bincount(flat_assign, minlength=self.nlist)
-        self.lmax = round_up(max(int(counts.max()), 8) * 2, 8)  # headroom for adds
-        lists = np.zeros((self.nlist_pad, self.lmax, self.dim), dtype=np.float32)
+        # 1.25x add headroom: adds past it grow lmax on device, and the 2x
+        # this used to reserve made a spill=4 1M bulk build upload a 36 GB
+        # host array (OOM on a 16 GB chip) for rows that never existed.
+        self.lmax = round_up(max(int(counts.max()), 8) * 5 // 4, 8)
+        # allocate in the DEVICE dtype: jnp.asarray casts after upload, so a
+        # f32 staging array doubles (bf16) the transfer + peak HBM for the
+        # argument buffer
+        lists = np.zeros(
+            (self.nlist_pad, self.lmax, self.dim), dtype=np.dtype(self.dtype)
+        )
         sqnorm = np.zeros((self.nlist_pad, self.lmax), dtype=np.float32)
         valid = np.zeros((self.nlist_pad, self.lmax), dtype=bool)
         pos = np.full((self.nlist_pad, self.lmax), -1, dtype=np.int32)

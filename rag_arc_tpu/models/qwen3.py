@@ -34,6 +34,9 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = False
     dtype: Any = jnp.float32
+    # "auto" → Pallas flash attention on TPU at eligible shapes (L and
+    # head_dim multiples of 128), einsum elsewhere; "einsum"/"flash" force.
+    attn_impl: str = "auto"
 
     @classmethod
     def tiny(cls, **kw) -> "Qwen3Config":
@@ -78,11 +81,36 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     ).astype(x.dtype)
 
 
+def _flash_eligible(cfg: Qwen3Config, l: int) -> bool:
+    """Pallas flash attention eligibility. The kernel tiles (q_len, kv_len)
+    in 128-step blocks with head_dim as the lane axis, so both must be
+    multiples of 128; on CPU there is no Mosaic backend, so "auto" only
+    picks it when the default backend is a TPU."""
+    if cfg.attn_impl == "einsum":
+        return False
+    if cfg.attn_impl not in ("auto", "flash"):
+        raise ValueError(f"attn_impl must be auto|einsum|flash, got {cfg.attn_impl!r}")
+    if cfg.head_dim % 128 or l % 128 or l < 128:
+        return False
+    if cfg.attn_impl == "flash":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class Qwen3Attention(nn.Module):
     cfg: Qwen3Config
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: jax.Array, positions: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None,
+        positions: jax.Array,
+        mask: jax.Array,
+    ) -> jax.Array:
         cfg = self.cfg
         b, l, _ = x.shape
         hd = cfg.head_dim
@@ -102,11 +130,48 @@ class Qwen3Attention(nn.Module):
         group = nh // nkv  # grouped-query attention: repeat kv heads
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(hd)
-        probs = jax.nn.softmax(scores + bias, axis=-1).astype(cfg.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if _flash_eligible(cfg, l):
+            # Fused attention: never materializes the (B, H, L, L) scores/
+            # probs in HBM — at the reranker shape (B=64, L=512, 28 layers)
+            # that round-trip is ~GBs of traffic per layer. Padding is
+            # encoded as segment ids (pad=0, live=1): live queries attend
+            # live keys causally, exactly the einsum path's
+            # `causal & key_live` bias for every live row; PAD rows attend
+            # only pads (the einsum path lets them see live keys), but no
+            # consumer reads pad positions (embed/last_logits take the last
+            # live token of left-padded rows).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention)
+
+            # chip-measured blocks (tools/flashattn_probe.py sweep, B=64
+            # L=512 D=128): q512/k512/block_b=8 = 4.06 ms/layer-attention
+            # vs 10.66 ms at the library's 128-defaults — the grid drops
+            # from 4096 tiny programs to 128 fat ones. Blocks must divide
+            # their axis, so take the largest 128-multiple divisor ≤ 512.
+            def _div_block(n: int, cap: int) -> int:
+                for c in (cap, 384, 256, 128):
+                    if c <= cap and n % c == 0:
+                        return c
+                return min(n, 128)
+
+            bq = _div_block(l, 512)
+            bb = next(c for c in (8, 4, 2, 1) if b % c == 0)
+            seg = mask.astype(jnp.int32)
+            ctx = flash_attention(
+                q, k, v,
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=True,
+                sm_scale=float(1.0 / np.sqrt(hd)),
+                block_sizes=BlockSizes(
+                    block_q=bq, block_k_major=bq, block_k=bq, block_b=bb,
+                ),
+            ).astype(cfg.dtype)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / np.sqrt(hd)
+            probs = jax.nn.softmax(scores + bias, axis=-1).astype(cfg.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
         return dense(cfg.hidden_size, "o_proj")(ctx)
 
@@ -115,10 +180,16 @@ class Qwen3Layer(nn.Module):
     cfg: Qwen3Config
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: jax.Array, positions: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None,
+        positions: jax.Array,
+        mask: jax.Array,
+    ) -> jax.Array:
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_layernorm")(x)
-        x = x + Qwen3Attention(cfg, name="self_attn")(h, bias, positions)
+        x = x + Qwen3Attention(cfg, name="self_attn")(h, bias, positions, mask)
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attention_layernorm")(x)
         gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="gate_proj")(h)
         up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="up_proj")(h)
@@ -154,12 +225,15 @@ class FlaxQwen3LM(nn.Module):
         x = self.embed_tokens(ids)
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         positions = jnp.maximum(positions, 0)
-        neg = jnp.asarray(-1e9, jnp.float32)
-        causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, :, :]
-        key_live = mask[:, None, None, :]
-        bias = jnp.where(causal & key_live, 0.0, neg)
+        if _flash_eligible(self.cfg, l):
+            bias = None  # flash path masks via segment ids, skip (B,1,L,L)
+        else:
+            neg = jnp.asarray(-1e9, jnp.float32)
+            causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, :, :]
+            key_live = mask[:, None, None, :]
+            bias = jnp.where(causal & key_live, 0.0, neg)
         for layer in self.layers:
-            x = layer(x, bias, positions)
+            x = layer(x, bias, positions, mask)
         return self.norm(x)
 
     def embed(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
