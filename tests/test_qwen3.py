@@ -148,3 +148,42 @@ def test_qwen3_embeddings_end_to_end(models):
     np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
     store = TPUVectorStore.from_texts(["alpha beta", "gamma delta", "alpha beta x"], emb)
     assert store.similarity_search("alpha beta", k=1)[0].content == "alpha beta"
+
+
+def test_attn_impl_gate():
+    """Flash eligibility: validates impl names, rejects on CPU under auto,
+    and requires 128-multiple L / head_dim when forced."""
+    import dataclasses
+
+    import jax
+
+    from rag_arc_tpu.models.qwen3 import _flash_eligible
+
+    cfg = Qwen3Config(head_dim=128)
+    assert jax.default_backend() == "cpu"  # conftest pins CPU
+    assert not _flash_eligible(cfg, 512)  # auto on CPU -> einsum
+    assert not _flash_eligible(dataclasses.replace(cfg, attn_impl="einsum"), 512)
+    forced = dataclasses.replace(cfg, attn_impl="flash")
+    assert _flash_eligible(forced, 512)
+    assert _flash_eligible(forced, 384)
+    assert not _flash_eligible(forced, 200)  # L not a 128 multiple
+    assert not _flash_eligible(
+        dataclasses.replace(forced, head_dim=64), 512
+    )  # head_dim too small for the kernel's lane tile
+    with pytest.raises(ValueError):
+        _flash_eligible(dataclasses.replace(cfg, attn_impl="bogus"), 512)
+
+
+def test_attn_impl_einsum_forced_matches_auto_on_cpu(models):
+    """On CPU, auto and forced-einsum are the same path — same logits."""
+    import dataclasses
+
+    import jax
+
+    _, flax_model, params = models
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 100, (2, 16)))
+    mask = jnp.asarray([[0] * 4 + [1] * 12, [1] * 16], dtype=bool)
+    out_auto = flax_model.apply(params, ids, mask)
+    forced = FlaxQwen3LM(dataclasses.replace(flax_model.cfg, attn_impl="einsum"))
+    out_forced = forced.apply(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_forced))
