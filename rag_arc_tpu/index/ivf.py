@@ -19,6 +19,15 @@ Trade-off notes (measured on v5e, tools/ivf_bench.py):
   0.04-0.11 at nprobe 8-32 — structureless corpora are the worst case and
   belong on the flat index; clustered corpora (real embedding spaces)
   behave per the nprobe curve.
+- Spilled assignment (``spill=2..4``) stores each row in its ``spill``
+  nearest lists. On the uniform worst case it doubles recall at equal
+  nprobe (spill=4: 0.08/0.13/0.21/0.33 at nprobe 8/16/32/64,
+  bench_results/ivf_spill_r04_1M_uniform.txt) but recall tracks the
+  scanned fraction (nprobe·spill/nlist) almost exactly there — no
+  probing scheme beats scan-fraction without structure, so recall 0.8
+  would need ~80% scanned and flat is strictly better. Decision: spill
+  is a recall lever for low-margin CLUSTERED corpora;
+  ``index_type="auto"`` keeps choosing flat.
 """
 
 from __future__ import annotations
@@ -54,6 +63,7 @@ class DeviceIVFIndex:
         mesh: Optional[Mesh] = None,
         axis_name: str = CORPUS_AXIS,
         spill: int = 1,
+        spill_cap: float = 1.25,
     ):
         self.dim = dim
         # spilled assignment (SOAR-style multi-assign, simplified to
@@ -66,6 +76,15 @@ class DeviceIVFIndex:
         if not 1 <= int(spill) <= 4:
             raise ValueError("spill must be 1..4")
         self.spill = int(spill)
+        # bulk-build bound on any ONE list's length, as a multiple of the
+        # mean (spill·n/nlist). Spill assignments skew hard on structure-
+        # less corpora — every row's 2nd..kth centroid crowds the same
+        # "central" lists, and the padded (nlist, lmax, dim) layout pays
+        # the LONGEST list's length for all lists (measured: 1M×768
+        # uniform spill=4 hit lmax 7984 vs mean 1953 — a 25 GB slab that
+        # can't fit one chip). Primary copies are never dropped; spill
+        # copies past the cap are.
+        self.spill_cap = float(spill_cap)
         self.mesh = mesh
         self.axis_name = axis_name
         if mesh is not None and "slice" in mesh.axis_names:
@@ -161,11 +180,12 @@ class DeviceIVFIndex:
         seed: int = 0,
         mesh: Optional[Mesh] = None,
         spill: int = 1,
+        spill_cap: float = 1.25,
     ) -> "DeviceIVFIndex":
         vectors = np.asarray(vectors, dtype=np.float32)
         index = cls(
             dim=vectors.shape[1], nlist=nlist, nprobe=nprobe, metric=metric,
-            dtype=dtype, mesh=mesh, spill=spill,
+            dtype=dtype, mesh=mesh, spill=spill, spill_cap=spill_cap,
         )
         index._train_and_fill(vectors, train_iters, seed)
         return index
@@ -226,10 +246,12 @@ class DeviceIVFIndex:
         """Append position->(cluster, slot) entries for n new rows.
         With spill the packed entries are copy-major (first n entries =
         primary copies, next n = second copies, …): column 0 feeds the
-        primary maps, the rest the extra maps."""
+        primary maps, the rest the extra maps. Spill copies dropped by the
+        spill_cap never appear in ``order`` and stay -1 (the delete path
+        skips the sentinel)."""
         total = n * self.spill
-        pcf = np.empty(total, dtype=np.int32)
-        psf = np.empty(total, dtype=np.int32)
+        pcf = np.full(total, -1, dtype=np.int32)
+        psf = np.full(total, -1, dtype=np.int32)
         pcf[order] = clusters_sorted.astype(np.int32)
         psf[order] = slots_sorted.astype(np.int32)
         pc = pcf.reshape(self.spill, n).T  # (n, spill)
@@ -260,11 +282,30 @@ class DeviceIVFIndex:
         # copy-major flat layout: entry i + c·n is copy c of row i
         flat_assign = assign_mat.T.reshape(-1)
         rows_idx = np.tile(np.arange(n, dtype=np.int64), self.spill)
-        counts = np.bincount(flat_assign, minlength=self.nlist)
-        # 1.25x add headroom: adds past it grow lmax on device, and the 2x
+        order, sa, slots = self._pack_by_cluster(
+            flat_assign, np.zeros(self.nlist, dtype=np.int64), self.nlist
+        )
+        if self.spill > 1:
+            # cap per-list length at spill_cap × mean (see __init__ note).
+            # _pack_by_cluster's stable sort over the copy-major layout
+            # gives copy-0 (primary) entries the lowest slots in every
+            # list, so dropping slots ≥ cap can only shed SPILL copies —
+            # unless a list holds > cap primaries, which the copy guard
+            # keeps (every row must stay findable through its primary).
+            cap = max(
+                int(np.ceil(self.spill * n / self.nlist * self.spill_cap)), 8
+            )
+            keep = (slots < cap) | (order < n)  # flat entry < n == copy 0
+            if not keep.all():
+                order, sa, slots = order[keep], sa[keep], slots[keep]
+        # per-list fill = max kept slot + 1 (a primary kept above the cap
+        # must not collide with later adds), and lmax from kept slots with
+        # 1.25x add headroom — adds past it grow lmax on device. (The 2x
         # this used to reserve made a spill=4 1M bulk build upload a 36 GB
-        # host array (OOM on a 16 GB chip) for rows that never existed.
-        self.lmax = round_up(max(int(counts.max()), 8) * 5 // 4, 8)
+        # host array (OOM on a 16 GB chip) for rows that never existed.)
+        fill = np.zeros(self.nlist, dtype=np.int64)
+        np.maximum.at(fill, sa, slots + 1)
+        self.lmax = round_up(max(int(slots.max()) + 1, 8) * 5 // 4, 8)
         # allocate in the DEVICE dtype: jnp.asarray casts after upload, so a
         # f32 staging array doubles (bf16) the transfer + peak HBM for the
         # argument buffer
@@ -274,9 +315,6 @@ class DeviceIVFIndex:
         sqnorm = np.zeros((self.nlist_pad, self.lmax), dtype=np.float32)
         valid = np.zeros((self.nlist_pad, self.lmax), dtype=bool)
         pos = np.full((self.nlist_pad, self.lmax), -1, dtype=np.int32)
-        order, sa, slots = self._pack_by_cluster(
-            flat_assign, np.zeros(self.nlist, dtype=np.int64), self.nlist
-        )
         sorted_vecs = vectors[rows_idx[order]]
         if self.quantized:
             codes, scales = self._quantize_residuals(sorted_vecs, centroids[sa])
@@ -287,7 +325,7 @@ class DeviceIVFIndex:
             sqnorm[sa, slots] = (sorted_vecs * sorted_vecs).sum(axis=1)
         valid[sa, slots] = True
         pos[sa, slots] = rows_idx[order]
-        self._fill = counts.astype(np.int64)
+        self._fill = fill
         self._pos_cluster = np.empty(0, dtype=np.int32)
         self._pos_slot = np.empty(0, dtype=np.int32)
         self._pos_xcluster = np.empty((0, self.spill - 1), dtype=np.int32)
@@ -398,7 +436,7 @@ class DeviceIVFIndex:
         centroids = np.asarray(jax.device_get(self.centroids))
         cluster_valid = np.asarray(jax.device_get(self.cluster_valid))
         self._place(
-            np.zeros((*shape, self.dim), dtype=np.float32),
+            np.zeros((*shape, self.dim), dtype=np.dtype(self.dtype)),
             np.zeros(shape, dtype=np.float32),
             np.zeros(shape, dtype=bool),
             np.full(shape, -1, dtype=np.int32),
@@ -430,6 +468,8 @@ class DeviceIVFIndex:
             slots = np.concatenate(
                 [slots, self._pos_xslot[positions].reshape(-1)]
             )
+            live = clusters >= 0  # -1 = spill copy dropped by spill_cap
+            clusters, slots = clusters[live], slots[live]
         self.valid = self.valid.at[jnp.asarray(clusters), jnp.asarray(slots)].set(
             False
         )
@@ -680,7 +720,21 @@ def _ivf_search_body(
     c_scores = jnp.where(cluster_valid[None, :], c_scores, NEG_INF)
     _, probe = jax.lax.top_k(c_scores, nprobe)  # (B, nprobe)
 
-    sub_lists = lists[probe]  # (B, nprobe, Lmax, d)
+    # probe gather as vmapped dynamic_slice over the FLATTENED list buffer
+    # (the BM25 tail-slab pattern): `lists[probe]` lowers to an XLA gather
+    # that stages a full chunked COPY of the operand (measured: 7 live
+    # 1.12 GB kLoop temps = 7.9 GB at 1M×768 spill=4 — compile OOM on top
+    # of the 9.6 GB resident array). dynamic_slice reads the rows in
+    # place; the reshape is layout-free.
+    b0, lmax, d = lists.shape[0], lists.shape[1], lists.shape[2]
+    flat_rows = lists.reshape(b0 * lmax, d)
+
+    def _grab(c):
+        return jax.lax.dynamic_slice(flat_rows, (c * lmax, 0), (lmax, d))
+
+    sub_lists = jax.vmap(_grab)(probe.reshape(-1)).reshape(
+        probe.shape[0], probe.shape[1], lmax, d
+    )  # (B, nprobe, Lmax, d)
     sub_valid = valid[probe]
     sub_pos = pos[probe]
     if quantized:

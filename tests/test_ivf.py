@@ -574,3 +574,33 @@ class TestIVFSpill:
         remaining = [d.content for d in loaded.as_retriever(
             search_kwargs={"k": 5}).invoke(q)]
         assert target not in remaining
+
+    def test_spill_cap_bounds_lmax_and_delete_skips_dropped(self, rng):
+        """A tight spill_cap drops spill copies (never primaries): lmax is
+        bounded, every row stays findable, and deleting a row whose spill
+        copy was dropped must not corrupt other slots (the -1 sentinel)."""
+        data = rng.standard_normal((1024, 32)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        loose = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=16, spill=3, spill_cap=16.0
+        )
+        tight = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=16, spill=3, spill_cap=1.05
+        )
+        assert tight.lmax <= loose.lmax
+        assert (tight._pos_xcluster == -1).any()  # some copies were dropped
+        assert (tight._pos_cluster >= 0).all()  # no primary ever dropped
+        # full-probe search must still find every row (primary copies)
+        _, got = tight.search(data[:16], 1)
+        assert set(got[:, 0].tolist()) == set(range(16))
+        # delete a row with a dropped copy: no crash, no stray invalidation
+        victim = int(np.argmax((tight._pos_xcluster == -1).any(axis=1)))
+        active_before = tight.n_active
+        tight.mark_deleted(np.asarray([victim]))
+        assert tight.n_active == active_before - 1
+        _, got2 = tight.search(data[victim][None], 1)
+        assert got2[0, 0] != victim
+        # remaining rows all still present
+        others = [i for i in range(16) if i != victim]
+        _, got3 = tight.search(data[others], 1)
+        assert [int(g[0]) for g in got3] == others
