@@ -355,12 +355,28 @@ class DeviceIVFIndex:
         assign_mat = self._assign_spill(vectors)  # (n, spill)
         flat_assign = assign_mat.T.reshape(-1)
         rows_idx = np.tile(np.arange(n, dtype=np.int64), self.spill)
-        counts = np.bincount(flat_assign, minlength=self.nlist)
-        while (self._fill + counts).max() > self.lmax:
-            self._grow_lmax()
         order, sa, slots = self._pack_by_cluster(
             flat_assign, self._fill, self.nlist
         )
+        if self.spill > 1:
+            # same per-list cap as the bulk build — without it, compact()
+            # (which re-inserts everything through add) regrows lmax back
+            # to the uncapped skewed worst case the cap exists to prevent.
+            # Primaries (flat entry < n) are always kept.
+            cap = max(
+                int(
+                    np.ceil(
+                        self.spill * (self.size + n) / self.nlist
+                        * self.spill_cap
+                    )
+                ),
+                8,
+            )
+            keep = (slots < cap) | (order < n)
+            if not keep.all():
+                order, sa, slots = order[keep], sa[keep], slots[keep]
+        while int(slots.max()) + 1 > self.lmax:
+            self._grow_lmax()
         positions = np.arange(self.size, self.size + n, dtype=np.int64)
         sorted_vecs = vectors[rows_idx[order]]
         if self.quantized:
@@ -380,7 +396,7 @@ class DeviceIVFIndex:
             jnp.asarray(positions[rows_idx[order]], dtype=jnp.int32),
         )
         self._record_locs(order, sa, slots, n)
-        self._fill += counts
+        np.maximum.at(self._fill, sa, slots + 1)
         self.size += n
         return positions
 
@@ -518,7 +534,7 @@ class DeviceIVFIndex:
                     k_eff,
                     nprobe,
                     self.metric,
-                    self.spill > 1,
+                    self.spill if self.spill > 1 else 0,
                 )
             s, p = jax.device_get((s, p))
             s = np.asarray(s)
@@ -589,8 +605,11 @@ class DeviceIVFIndex:
         p_flat = jnp.transpose(p_all, (1, 0, 2)).reshape(b, -1)
         if self.spill > 1:
             # spill copies can land on different shards, so duplicates
-            # survive the per-shard top-k — dedupe at the merge
-            kk = min(2 * k, s_flat.shape[1])
+            # survive the per-shard top-k — dedupe at the merge. Window
+            # must be spill·k: each position appears ≤ spill times, so a
+            # 2k window holds ≥ k uniques only for spill ≤ 2 (at spill 3-4
+            # it returned FEWER than k rows on dense-duplicate top ranks).
+            kk = min(self.spill * k, s_flat.shape[1])
             s, sel = jax.lax.top_k(s_flat, kk)
             return _dedupe_candidates(
                 s, jnp.take_along_axis(p_flat, sel, axis=-1), k
@@ -672,9 +691,9 @@ def _dedupe_candidates(s, p, k):
     masked (spilled assignment stores a row in several lists, so the same
     position can reach the candidate set once per probed copy). An entry
     is a duplicate when an earlier (higher-ranked) entry carries the same
-    non-negative position; K² compare at K ≤ 2k is trivial. Exact: a
-    top-2k window holds ≥ k unique positions because duplicates come at
-    most ``spill`` per position and spill ≤ 2k/k."""
+    non-negative position; K² compare at K ≤ spill·k is trivial. Exact
+    when callers pass a spill·k window: duplicates come at most ``spill``
+    per position, so spill·k slots hold ≥ k unique positions."""
     kk = s.shape[1]
     tri = jnp.tril(jnp.ones((kk, kk), dtype=bool), -1)  # [j, l] = l < j
     dup = (p[:, :, None] == p[:, None, :]) & tri[None]
@@ -687,7 +706,7 @@ def _dedupe_candidates(s, p, k):
 @partial(jax.jit, static_argnames=("k", "nprobe", "metric", "dedupe"))
 def _ivf_search(
     centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric,
-    dedupe=False,
+    dedupe=0,  # spill factor; 0 = no duplicate positions possible
 ):
     return _ivf_search_body(
         centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe,
@@ -697,7 +716,7 @@ def _ivf_search(
 
 def _ivf_search_body(
     centroids, lists, sqnorm, valid, pos, cluster_valid, q, k, nprobe, metric,
-    dedupe=False,
+    dedupe=0,  # spill factor; 0 = no duplicate positions possible
 ):
     quantized = lists.dtype == jnp.int8
     if metric == "cosine":
@@ -765,7 +784,11 @@ def _ivf_search_body(
     b = q.shape[0]
     flat = scores.reshape(b, -1)
     if dedupe:
-        kk = min(2 * k, flat.shape[1])
+        # dedupe carries the SPILL FACTOR: each position appears at most
+        # `dedupe` times among the candidates, so a dedupe·k window is the
+        # smallest that guarantees ≥ k unique survivors (a fixed 2k window
+        # returned fewer than k rows at spill 3-4).
+        kk = min(int(dedupe) * k, flat.shape[1])
         s, idx = jax.lax.top_k(flat, kk)
         p = jnp.take_along_axis(sub_pos.reshape(b, -1), idx, axis=-1)
         return _dedupe_candidates(s, p, k)

@@ -131,6 +131,7 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
                 "n_deleted": index.n_deleted,
                 "quantized": bool(index.quantized),
                 "spill": index.spill,
+                "spill_cap": index.spill_cap,
             }
         )
     elif isinstance(index, HNSWIndex):
@@ -241,6 +242,7 @@ def load_store(
             dtype=jnp.int8 if manifest.get("quantized") else jnp.float32,
             mesh=mesh,
             spill=manifest.get("spill", 1),
+            spill_cap=manifest.get("spill_cap", 1.25),
         )
         centroids = np.load(path / "centroids.npy")
         lists = np.load(path / "lists.npy")

@@ -237,6 +237,7 @@ class TPUVectorStore(VectorStore):
         nlist: int = 100,
         nprobe: int = 8,
         ivf_spill: int = 1,
+        ivf_spill_cap: float = 1.25,
         train_threshold: Optional[int] = None,
         docstore_path: Optional[str] = None,
         hnsw_pq_m: int = 0,
@@ -302,6 +303,9 @@ class TPUVectorStore(VectorStore):
         # its `spill` nearest lists — a recall lever for hard/low-margin
         # corpora at ×spill list memory
         self.ivf_spill = int(ivf_spill)
+        # per-list length bound as a multiple of the mean (see
+        # DeviceIVFIndex.spill_cap — spill skew can 3x the padded slab)
+        self.ivf_spill_cap = float(ivf_spill_cap)
         # FAISS-parity auto-train point (VectorStore_Faiss.py:181-184):
         # rows accumulate in a flat index until the IVF can be trained
         self.train_threshold = train_threshold or max(100, nlist)
@@ -492,6 +496,7 @@ class TPUVectorStore(VectorStore):
             dtype=self._dtype or jnp.float32,
             mesh=self.mesh,
             spill=self.ivf_spill,
+            spill_cap=self.ivf_spill_cap,
         )
         self.index = ivf
 

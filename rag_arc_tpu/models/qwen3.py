@@ -95,7 +95,10 @@ def _flash_eligible(cfg: Qwen3Config, l: int) -> bool:
     if cfg.attn_impl == "flash":
         return True
     try:
-        return jax.default_backend() == "tpu"
+        # the axon tunnel backend reports "tpu" in current sessions but
+        # other repo paths (flat.py) defensively accept "axon" too —
+        # match that convention
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 
@@ -147,14 +150,9 @@ class Qwen3Attention(nn.Module):
             # L=512 D=128): q512/k512/block_b=8 = 4.06 ms/layer-attention
             # vs 10.66 ms at the library's 128-defaults — the grid drops
             # from 4096 tiny programs to 128 fat ones. Blocks must divide
-            # their axis, so take the largest 128-multiple divisor ≤ 512.
-            def _div_block(n: int, cap: int) -> int:
-                for c in (cap, 384, 256, 128):
-                    if c <= cap and n % c == 0:
-                        return c
-                return min(n, 128)
-
-            bq = _div_block(l, 512)
+            # their axis (the gate guarantees l % 128 == 0), so take the
+            # largest 128-multiple divisor ≤ 512.
+            bq = next(c for c in (512, 384, 256, 128) if l % c == 0)
             bb = next(c for c in (8, 4, 2, 1) if b % c == 0)
             seg = mask.astype(jnp.int32)
             ctx = flash_attention(

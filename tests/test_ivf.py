@@ -604,3 +604,37 @@ class TestIVFSpill:
         others = [i for i in range(16) if i != victim]
         _, got3 = tight.search(data[others], 1)
         assert [int(g[0]) for g in got3] == others
+
+    def test_compact_respects_spill_cap(self, rng):
+        """compact() re-inserts through add(); add must apply the same
+        per-list cap or a capped build regrows to the skewed worst case."""
+        data = rng.standard_normal((2048, 32)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        ivf = DeviceIVFIndex.from_vectors(
+            data, nlist=16, nprobe=16, spill=3, spill_cap=1.05
+        )
+        lmax_built = ivf.lmax
+        ivf.mark_deleted(np.arange(64))
+        mapping = ivf.compact()
+        assert len(mapping) == 2048 - 64
+        # doubling-growth headroom from add() is fine; the uncapped skew
+        # (~3x) is not
+        assert ivf.lmax <= 2 * lmax_built
+        # everything still findable through primaries at full probe
+        _, got = ivf.search(data[64:96], 1, nprobe=16)
+        assert all(int(g[0]) == mapping[i + 64] for i, g in enumerate(got))
+
+    def test_spill_returns_k_unique_rows(self, rng):
+        """Dedupe window must scale with spill: at spill 3-4 a fixed 2k
+        window held < k unique positions when top ranks were duplicate-
+        dense, and searches silently returned fewer than k rows."""
+        data = rng.standard_normal((600, 64)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        for spill in (3, 4):
+            ivf = DeviceIVFIndex.from_vectors(
+                data, nlist=8, nprobe=8, spill=spill
+            )
+            _, got = ivf.search(data[:16], 5, nprobe=8)
+            for row in got:
+                assert (row >= 0).all(), (spill, row)
+                assert len(set(row.tolist())) == 5, (spill, row)
