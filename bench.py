@@ -451,18 +451,21 @@ def _bm25_queries(rng, n, vocab=50_000):
     return head, sel
 
 
-def _bm25_csr(n_docs: int):
+def _bm25_csr(n_docs: int, vocab: int = 50_000, mean_len: int = 60, seed: int = 0):
     """Zipf CSR corpus (10M synthesizes in minutes; disk-cached — the key
-    carries every synthesis parameter so a changed generator can never
-    silently serve a stale corpus)."""
+    is DERIVED from the synthesis parameters so a changed generator can
+    never silently serve a stale corpus)."""
     sys.path.insert(0, str(REPO / "tools"))
     from bm25_bench import synth_csr
 
-    cache = REPO / ".jax_cache" / f"bm25_csr_{n_docs}_v50000_l60_s0.npz"
+    cache = (
+        REPO / ".jax_cache"
+        / f"bm25_csr_{n_docs}_v{vocab}_l{mean_len}_s{seed}.npz"
+    )
     if cache.exists():
         z = np.load(cache)
         return z["off"], z["tid"], z["cnt"], z["lens"]
-    csr = synth_csr(np.random.default_rng(0), n_docs)
+    csr = synth_csr(np.random.default_rng(seed), n_docs, vocab, mean_len)
     cache.parent.mkdir(exist_ok=True)
     np.savez(cache, off=csr[0], tid=csr[1], cnt=csr[2], lens=csr[3])
     return csr
@@ -532,10 +535,14 @@ def bench_multipath_e2e(jax, jnp, rng, dense_index, queries, result: dict):
     two paths' exact results on a subsample."""
     from rag_arc_tpu.index.bm25 import DeviceBM25Index
 
-    off, tid, cnt, lens = _bm25_csr(BM25_N)
-    n = min(CORPUS_N, 2_000_000, len(lens))
-    # row-prefix subset of the cached CSR = an n-doc corpus, id-aligned
-    # with dense rows 0..n
+    # synthesize at the size this section actually uses (it only needs
+    # id-alignment with dense rows 0..n, any corpus realization works):
+    # this section used to load the 10M CSR cache just to slice a ≤2M
+    # prefix, paying the multi-minute synthesis + multi-GB npz load even
+    # on small smoke runs and when the 10M BM25 section itself is skipped.
+    n_want = min(CORPUS_N, 2_000_000, BM25_N)
+    off, tid, cnt, lens = _bm25_csr(n_want)
+    n = min(n_want, len(lens))
     e = int(off[n])
     bm25 = DeviceBM25Index(backend="hybrid", head_dtype=jnp.bfloat16)
     bm25.build_from_csr(off[: n + 1], tid[:e], cnt[:e], lens[:n])

@@ -67,6 +67,11 @@ def save_store(store: TPUVectorStore, path: str | Path) -> Path:
         "nprobe": store.nprobe,
         "train_threshold": store.train_threshold,
         "index_kind": None if index is None else index.stats()["kind"],
+        # recall-affecting search knob (quantized-rescore over-fetch):
+        # restores must keep the builder's QPS/recall operating point
+        "kf_mult": getattr(store, "kf_mult", None),
+        "ivf_spill": getattr(store, "ivf_spill", 1),
+        "ivf_spill_cap": getattr(store, "ivf_spill_cap", 1.25),
         # which query embedder produced these rows — load-time serving
         # rebuilds an equivalent one (or refuses) instead of guessing
         "embedding": store.embedding.describe(),
@@ -198,6 +203,9 @@ def load_store(
         index_type=manifest["index_type"],
         nlist=manifest["nlist"],
         nprobe=manifest["nprobe"],
+        kf_mult=manifest.get("kf_mult") or 2,
+        ivf_spill=manifest.get("ivf_spill", 1),
+        ivf_spill_cap=manifest.get("ivf_spill_cap", 1.25),
         train_threshold=manifest["train_threshold"],
         # blob-backed snapshots reattach in place: the loaded store reads
         # (and, if mutated, appends) in the snapshot directory

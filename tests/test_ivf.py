@@ -561,6 +561,11 @@ class TestIVFSpill:
         save_store(store, tmp_path / "snap")
         loaded = load_store(tmp_path / "snap", emb)
         assert loaded.index.spill == 2
+        # store-level knobs survive the round trip (a retrain after load
+        # must keep the builder's spill/cap/over-fetch operating point)
+        assert loaded.ivf_spill == 2
+        assert loaded.ivf_spill_cap == store.ivf_spill_cap
+        assert loaded.kf_mult == store.kf_mult
         after = [d.content for d in loaded.as_retriever(
             search_kwargs={"k": 5}).invoke(q)]
         assert before == after

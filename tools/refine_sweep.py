@@ -72,9 +72,15 @@ def main() -> None:
     dev_batches = [jax.device_put(jnp.asarray(b)) for b in batches]
     jax.block_until_ready(dev_batches)
 
-    # exact f32 oracle (cached: ~2 TFLOP of single-core numpy)
+    # exact f32 oracle (cached: ~2 TFLOP of single-core numpy). The key
+    # must carry BATCH*N_BATCHES: the oracle queries are the first 128 of
+    # the noise draw, and the rng stream POSITION of that draw shifts with
+    # the total query count — a stale cache would silently score the
+    # sweep against the wrong oracle.
     sub = queries[:ORACLE_QUERIES]
-    okey = Path("/tmp") / f"refine_sweep_oracle_{CORPUS_N}x{DIM}.npy"
+    okey = Path("/tmp") / (
+        f"refine_sweep_oracle_{CORPUS_N}x{DIM}_q{BATCH * N_BATCHES}.npy"
+    )
     if okey.exists():
         exact_top = np.load(okey)
     else:
