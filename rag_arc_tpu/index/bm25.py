@@ -406,7 +406,7 @@ class DeviceBM25Index:
         travel as ONE packed int32 array — through a high-latency host link
         (the dev tunnel pays ~35 ms RTT) the transfer count, not the bytes,
         is what shows up in e2e latency."""
-        from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk_packed
+        from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk_flat
 
         b = len(tokenized_queries)
         h = self._w_head.shape[0]
@@ -461,22 +461,52 @@ class DeviceBM25Index:
         tail_only = (
             not any(head_rows) and cand_window <= self.TAIL_ONLY_WINDOW
         )
-        head_cols = 0 if tail_only else h
-        packed = np.zeros((b_pad, head_cols + 3 * sum(ts)), dtype=np.int32)
-        if not tail_only:
+        k_eff = min(k, self.n_docs)
+        if tail_only:
+            packed = np.zeros((b_pad, 3 * sum(ts)), dtype=np.int32)
+            for i, row in enumerate(rows):
+                o = 0
+                for w, t_pad in zip(used, ts):
+                    for j, (s, ln, c) in enumerate(row[w]):
+                        packed[i, o + j] = s
+                        packed[i, o + t_pad + j] = ln
+                        packed[i, o + 2 * t_pad + j] = int(c)
+                    o += 3 * t_pad
+        else:
+            # batch-FLAT slab layout: slabs pool across queries with a
+            # per-slab owner row id, so the padded slab count scales with
+            # Σ live slabs instead of b × per-query max (a 32-query zipf
+            # batch at 10M paid 16 max-width slabs × 32 rows ≈ 5.1M
+            # scatter slots for ~70 live slabs — the scatter pays per
+            # slot, live or padding)
+            flat: Dict[int, List[Tuple[int, int, int, int]]] = {
+                w: [] for w in used
+            }
+            for i, row in enumerate(rows):
+                for w in used:
+                    for s, ln, c in row[w]:
+                        flat[w].append((s, ln, int(c), i))
+            ss = tuple(
+                max(8, 1 << math.ceil(math.log2(max(len(flat[w]), 1))))
+                for w in used
+            )
+            packed_flat = np.zeros(
+                b_pad * h + 4 * sum(ss), dtype=np.int32
+            )
+            qh = np.zeros((b_pad, h), dtype=np.int32)
             for i, hrow in enumerate(head_rows):
                 for slot, c in hrow.items():
-                    packed[i, slot] = c
-        for i, row in enumerate(rows):
-            o = head_cols
-            for w, t_pad in zip(used, ts):
-                for j, (s, ln, c) in enumerate(row[w]):
-                    packed[i, o + j] = s
-                    packed[i, o + t_pad + j] = ln
-                    packed[i, o + 2 * t_pad + j] = int(c)
-                o += 3 * t_pad
+                    qh[i, slot] = c
+            packed_flat[: b_pad * h] = qh.reshape(-1)
+            o = b_pad * h
+            for w, s_pad in zip(used, ss):
+                for j, (s, ln, c, qi) in enumerate(flat[w]):
+                    packed_flat[o + j] = s
+                    packed_flat[o + s_pad + j] = ln
+                    packed_flat[o + 2 * s_pad + j] = c
+                    packed_flat[o + 3 * s_pad + j] = qi
+                o += 4 * s_pad
 
-        k_eff = min(k, self.n_docs)
         if tail_only:
             from rag_arc_tpu.ops.bm25 import bm25_tail_only_topk
 
@@ -486,11 +516,11 @@ class DeviceBM25Index:
                 k_eff, used, ts,
             )
         else:
-            sk, ik = bm25_hybrid_topk_packed(
+            sk, ik = bm25_hybrid_topk_flat(
                 self._w_head, self._hvalid,
                 self._tail_docs_dev, self._tail_w_dev,
-                jnp.asarray(packed),
-                k_eff, h, used, ts,
+                jnp.asarray(packed_flat),
+                k_eff, b_pad, h, used, ss,
             )
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:

@@ -299,6 +299,63 @@ def bm25_hybrid_topk_packed(
     )
 
 
+@partial(jax.jit, static_argnames=("k", "b", "h", "widths", "ss"))
+def bm25_hybrid_topk_flat(
+    w_head: jax.Array,      # (H, N) per-doc weights of the H head terms
+    valid: jax.Array,       # (N,) bool
+    tail_docs: jax.Array,   # (nnz,) int32 HBM-resident postings doc ids
+    tail_w: jax.Array,      # (nnz,) f32 HBM-resident postings weights
+    packed: jax.Array,      # 1-D int32, layout below
+    k: int,
+    b: int,                 # static batch size (pow2-padded)
+    h: int,
+    widths: tuple,          # static slab width per bucket (ascending)
+    ss: tuple,              # static SLAB counts per bucket, batch-shared
+) -> tuple[jax.Array, jax.Array]:
+    """``bm25_hybrid_topk_packed`` with the slabs FLATTENED across the
+    batch. The per-query layout made every query pay the batch's maximum
+    slab count per bucket — the scatter-add costs per SLOT whether live or
+    padding, and at 10M docs a 32-query zipf batch paid 16 max-width slabs
+    × 32 queries ≈ 5.1M slots when only ~70 slabs were live across the
+    whole batch. Here each slab carries its owner query's row index, the
+    scatter destination row comes from that id, and the slot count scales
+    with Σ live slabs (pow2-padded ONCE per bucket, not per query).
+
+      packed = [q_head (b·h) | per bucket: starts(s) lens(s) counts(s) qids(s)]
+
+    Padding slabs carry start=len=count=qid=0: their weights are zero, so
+    the add is a no-op on (query 0, doc 0). Exactness argument is the
+    packed kernel's: all of a doc's tail-term contributions accumulate
+    into the same (query, doc) cell before ONE top-k."""
+    q_head = packed[: b * h].reshape(b, h).astype(jnp.float32)
+    scores = jnp.dot(
+        q_head.astype(w_head.dtype),
+        w_head,
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    o = b * h
+    for width, s in zip(widths, ss):
+        starts = packed[o : o + s]
+        lens = packed[o + s : o + 2 * s]
+        counts = packed[o + 2 * s : o + 3 * s].astype(jnp.float32)
+        qids = packed[o + 3 * s : o + 4 * s]
+        o += 4 * s
+        span = jnp.arange(width, dtype=jnp.int32)
+        in_list = span[None, :] < lens[:, None]            # (s, width)
+
+        def grab(st, _w=width):
+            return (
+                jax.lax.dynamic_slice(tail_docs, (st,), (_w,)),
+                jax.lax.dynamic_slice(tail_w, (st,), (_w,)),
+            )
+
+        docs_slab, w_slab = jax.vmap(grab)(starts)         # (s, width)
+        w = jnp.where(in_list, w_slab * counts[:, None], 0.0)
+        scores = scores.at[qids[:, None], docs_slab].add(w)
+    return select_topk(scores, k)
+
+
 @partial(jax.jit, static_argnames=("k", "widths", "ts"))
 def bm25_tail_only_topk(
     tail_docs: jax.Array,
