@@ -402,10 +402,15 @@ class DeviceBM25Index:
         term_counts: Optional[Sequence[Dict[int, int]]] = None,
     ) -> "PendingSearch":
         """Host-encode + enqueue one hybrid batch; does NOT block on the
-        device. All four per-query operands (q_head, starts, lens, counts)
-        travel as ONE packed int32 array — through a high-latency host link
-        (the dev tunnel pays ~35 ms RTT) the transfer count, not the bytes,
-        is what shows up in e2e latency."""
+        device. Every operand travels as ONE packed int32 array — through
+        a high-latency host link (the dev tunnel pays ~35 ms RTT) the
+        transfer count, not the bytes, is what shows up in e2e latency.
+        Head-carrying batches use the batch-FLAT layout
+        [q_head (b·h) | per bucket: starts(s) lens(s) counts(s) qids(s)]
+        (slabs pooled across queries, see ``bm25_hybrid_topk_flat``);
+        tail-only batches keep per-query slab windows
+        [b0 starts | b0 lens | b0 counts | b1 …] for the sort/segment
+        kernel."""
         from rag_arc_tpu.ops.bm25 import bm25_hybrid_topk_flat
 
         b = len(tokenized_queries)

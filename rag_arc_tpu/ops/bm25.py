@@ -243,7 +243,7 @@ def bm25_hybrid_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact hybrid BM25 top-k (head-dense / tail-sparse), single slab
     width (the width-bucketed production entry is
-    ``bm25_hybrid_topk_packed``).
+    ``bm25_hybrid_topk_flat``).
 
     Head (high-df) terms score ALL docs with one MXU matmul; tail terms'
     postings live in HBM and are GATHERED ON DEVICE — the host ships only
@@ -262,43 +262,6 @@ def bm25_hybrid_topk(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "h", "widths", "ts"))
-def bm25_hybrid_topk_packed(
-    w_head: jax.Array,
-    valid: jax.Array,
-    tail_docs: jax.Array,
-    tail_w: jax.Array,
-    packed: jax.Array,      # (B, h + 3·Σts) int32, layout below
-    k: int,
-    h: int,
-    widths: tuple,          # static slab width per bucket (ascending)
-    ts: tuple,              # static slot count per bucket
-) -> tuple[jax.Array, jax.Array]:
-    """``bm25_hybrid_topk`` with width-bucketed tail slabs and the
-    per-query operands fused into ONE int32 upload:
-
-      packed = [q_head | b0 starts | b0 lens | b0 counts | b1 starts | …]
-
-    Query-term multiplicities are small integers, so q_head and counts
-    ride the same int32 buffer as starts/lens and are cast back on
-    device. One host→device transfer per batch instead of four — the
-    difference is pure link latency. Each bucket scatters slabs of its
-    own width, so short posting lists stop paying max_df-wide slabs
-    (the scatter-add costs per SLOT, padding or not)."""
-    q_head = packed[:, :h].astype(jnp.float32)
-    groups = []
-    o = h
-    for width, t in zip(widths, ts):
-        starts = packed[:, o : o + t]
-        lens = packed[:, o + t : o + 2 * t]
-        counts = packed[:, o + 2 * t : o + 3 * t].astype(jnp.float32)
-        groups.append((starts, lens, counts, width))
-        o += 3 * t
-    return _hybrid_body(
-        w_head, valid, q_head, tail_docs, tail_w, groups, k,
-    )
-
-
 @partial(jax.jit, static_argnames=("k", "b", "h", "widths", "ss"))
 def bm25_hybrid_topk_flat(
     w_head: jax.Array,      # (H, N) per-doc weights of the H head terms
@@ -312,7 +275,7 @@ def bm25_hybrid_topk_flat(
     widths: tuple,          # static slab width per bucket (ascending)
     ss: tuple,              # static SLAB counts per bucket, batch-shared
 ) -> tuple[jax.Array, jax.Array]:
-    """``bm25_hybrid_topk_packed`` with the slabs FLATTENED across the
+    """``bm25_hybrid_topk`` with width-bucketed slabs FLATTENED across the
     batch. The per-query layout made every query pay the batch's maximum
     slab count per bucket — the scatter-add costs per SLOT whether live or
     padding, and at 10M docs a 32-query zipf batch paid 16 max-width slabs
