@@ -570,14 +570,23 @@ class DeviceIVFIndex:
         # flat index: executable reload cost 20x the kernel on a 1-device
         # chip mesh)
         key = (q.shape, jnp.dtype(q.dtype).name, k, nprobe,
-               self.lists.shape, self.nlist_pad)
+               self.lists.shape, self.nlist_pad, self.spill)
         run = self._sharded_jit.get(key)
         if run is None:
+            # spill copies of one row can all land in the SAME shard's
+            # probed clusters; without per-shard dedupe they occupy several
+            # of the k_local slots and evict unique candidates before the
+            # merge-level dedupe ever sees them (reproduced: exhaustive
+            # probe at spill 2-3 returned wrong top-10 for 2-3/64 queries
+            # vs the flat oracle on an 8-device mesh). Mirror the
+            # single-device path: dedupe inside the shard.
+            spill = self.spill
 
             def local_fn(centroids, lists, sqnorm, valid, pos, cluster_valid, q):
                 return _ivf_search_body(
                     centroids, lists, sqnorm, valid, pos, cluster_valid, q,
                     k_local, nprobe_local, metric,
+                    dedupe=spill if spill > 1 else 0,
                 )
 
             run = jax.jit(

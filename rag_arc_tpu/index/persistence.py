@@ -203,7 +203,10 @@ def load_store(
         index_type=manifest["index_type"],
         nlist=manifest["nlist"],
         nprobe=manifest["nprobe"],
-        kf_mult=manifest.get("kf_mult") or 2,
+        # legacy snapshots (no kf_mult key) were built and validated under
+        # the historical effective kf_mult=4 — restores keep the builder's
+        # operating point; only newly-saved stores get the r4 knee (=2)
+        kf_mult=manifest.get("kf_mult") or 4,
         ivf_spill=manifest.get("ivf_spill", 1),
         ivf_spill_cap=manifest.get("ivf_spill_cap", 1.25),
         train_threshold=manifest["train_threshold"],

@@ -544,6 +544,54 @@ class TestHybridBackend:
         index.search([["the", "of", "and"]] * 8, 3)  # head terms -> device
         assert calls["hybrid"] == 1
 
+    def test_tail_only_kernel_parity_with_live_matches(self, monkeypatch):
+        """ADVICE r4 (low): the tail-only sort/scan kernel had suite
+        coverage only via the all-pad zero-match batch. Head-free batches
+        of genuine tail terms (multi-term sums, repeated terms, k beyond
+        the match count → host zero-fill) must match the numpy oracle in
+        exact id order, and the tail-only kernel must actually fire."""
+        import rag_arc_tpu.ops.bm25 as ops_bm25
+        from rag_arc_tpu.ops.bm25 import numpy_bm25_oracle
+
+        rng = np.random.default_rng(11)
+        # 300 hot terms fill the 256 head slots; the queried rare* terms
+        # (df 2-6) stay tail by construction
+        docs = []
+        for i in range(500):
+            toks = [f"h{j}" for j in rng.choice(300, size=12, replace=False)]
+            toks.append(f"rare{i % 120}")
+            if i % 7 == 0:
+                toks.append(f"rare{(i + 1) % 120}")
+            docs.append(toks)
+        index = DeviceBM25Index(backend="hybrid")
+        index.build(docs)
+        assert index.stats()["head_terms"] == 256
+
+        fired = {"n": 0}
+        orig = ops_bm25.bm25_tail_only_topk
+
+        def spy(*a, **kw):
+            fired["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(ops_bm25, "bm25_tail_only_topk", spy)
+        queries = [
+            ["rare3"],                       # single tail term
+            ["rare5", "rare40"],             # multi-term sum
+            ["rare7", "rare7", "rare7"],     # repeated term (tf weight x3)
+            ["rare10", "zzz_unindexed"],     # live + unknown token
+        ]
+        k = 20  # > per-term df, so the zero-fill path runs on every row
+        scores, positions = index._hybrid_search(queries, k)
+        assert fired["n"] == 1, "tail-only kernel did not fire"
+        for qi, q in enumerate(queries):
+            want = numpy_bm25_oracle(docs, q)
+            order = np.argsort(-want, kind="stable")[:k]
+            np.testing.assert_allclose(
+                scores[qi], want[order], rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_array_equal(positions[qi], order)
+
     def test_hybrid_matches_host_end_to_end(self, corpus):
         hyb = DeviceBM25Index(backend="hybrid")
         hyb.build(corpus)

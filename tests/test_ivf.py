@@ -239,6 +239,30 @@ class TestIVFSharded:
         _, got = ivf.search(data[5:6], 1)
         assert got[0, 0] == new[0]
 
+    @pytest.mark.parametrize("spill", [2, 3])
+    def test_sharded_exhaustive_exact_with_spill(self, rng, spill):
+        """ADVICE r4 (medium): spill copies landing in ONE shard's probed
+        clusters used to occupy several k_local slots and evict unique
+        candidates before the merge-level dedupe — exhaustive probe
+        returned wrong top-10 for 2-3/64 queries. With per-shard dedupe
+        the sharded path must match the exact flat oracle at
+        nprobe == nlist, like the single-device path."""
+        from rag_arc_tpu.parallel.mesh import default_mesh
+
+        data, _ = clustered_corpus(rng, n_clusters=32, per=24)
+        flat = DeviceFlatIndex(dim=32, capacity=1024)
+        flat.add(data)
+        q = rng.standard_normal((64, 32)).astype(np.float32)
+        _, exact = flat.search(q, 10)
+        ivf = DeviceIVFIndex.from_vectors(
+            data, nlist=32, nprobe=32, spill=spill, seed=0,
+            mesh=default_mesh(),
+        )
+        assert ivf.n_shards == 8
+        _, got = ivf.search(q, 10, nprobe=32)
+        for i in range(64):
+            assert set(exact[i].tolist()) == set(got[i].tolist()), i
+
     def test_nlist_padding_with_odd_counts(self, rng):
         from rag_arc_tpu.parallel.mesh import default_mesh
 

@@ -218,6 +218,24 @@ class TestPersistence:
         assert loaded.index.capacity <= 4096, loaded.index.capacity
         assert len(loaded) == 3000
 
+    def test_legacy_snapshot_defaults_kf_mult_4(self, tmp_path):
+        """ADVICE r4: snapshots written before the kf_mult manifest key
+        were built and validated under the historical effective kf_mult=4.
+        Restores must keep that operating point; only newly-saved stores
+        get the r4 default (=2)."""
+        import json
+
+        emb = HashEmbeddings(dim=16)
+        store = TPUVectorStore.from_texts(CORPUS, emb)
+        save_store(store, tmp_path / "snap")
+        mpath = tmp_path / "snap" / "manifest.json"
+        manifest = json.loads(mpath.read_text())
+        assert manifest["kf_mult"] == store.kf_mult  # new snapshots record it
+        del manifest["kf_mult"]  # simulate a pre-r4 snapshot
+        mpath.write_text(json.dumps(manifest))
+        loaded = load_store(tmp_path / "snap", emb)
+        assert loaded.kf_mult == 4
+
     def test_storage_dtype_survives_snapshot(self, tmp_path):
         """A bf16 store must reload as bf16 (f32 would double HBM)."""
         import jax.numpy as jnp
