@@ -14,6 +14,7 @@ not a Python re-index.
 from __future__ import annotations
 
 import math
+import threading
 from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -101,7 +102,7 @@ class DeviceBM25Index:
         backend: str = "auto",
         head_terms: int = 256,
         head_dtype=jnp.float32,
-        host_budget: int = 1 << 18,
+        host_budget: Optional[int] = None,
     ):
         if backend not in ("auto", "device", "host", "hybrid"):
             raise ValueError(
@@ -130,7 +131,21 @@ class DeviceBM25Index:
         # sort/segment-sum kernel accepts; wider batches fall back to the
         # dense hybrid kernel (sorting very wide windows stops paying)
         self.TAIL_ONLY_WINDOW = 1 << 16
-        self.host_budget = int(host_budget)
+        # per-QUERY router boundary (Σ df of the query's indexed terms):
+        # ≤ budget → host CSR scorer, > budget → device hybrid kernel.
+        # None = auto-scale with the corpus: the host scorer costs
+        # ~10 ns/posting on this box (measured: 2.4M postings = 24 ms)
+        # while the device's marginal per-query cost scales with N (the
+        # (B, N) score array + head-matrix read) — ~0.34 ms at 1M,
+        # ~3 ms at 10M per query inside a B=32 batch. Equal-cost Σ df is
+        # therefore ≈ N/32; n_docs//16 biases toward the host because
+        # the device program also carries a per-dispatch fixed cost.
+        # A fixed budget can't serve both 1M and 10M: the old 1<<18
+        # sent 350k-posting selective queries to the device at 10M
+        # (405 QPS where the host does 2,824) and 150k-posting queries
+        # to the host at 1M (2.6 ms each where the device batch does
+        # 0.34 ms marginal).
+        self.host_budget = None if host_budget is None else int(host_budget)
         self._w_head = None       # (H, N_pad) device
         self._hvalid = None       # (N_pad,) device
         self._head_slot = None    # (V,) int32: term id -> head slot or -1
@@ -152,6 +167,18 @@ class DeviceBM25Index:
         self._use_host = backend in ("host", "hybrid") or (
             backend == "auto" and mesh is None
         )
+        # device-query coalescer: the hybrid kernel's cost is N-bound
+        # (head-matrix read + (B, N) score ops), nearly independent of B
+        # (measured 1M: B=1 and B=32 both ~11-14 ms) — so a mixed stream
+        # whose per-batch device subsets are small pays the full kernel
+        # per batch. Device-bound queries therefore QUEUE at dispatch and
+        # flush as ONE merged kernel at first fetch (or in chunks of
+        # DEV_COALESCE_MAX). A lone query's fetch flushes immediately, so
+        # single-request latency is unchanged.
+        self._dev_queue: List[dict] = []
+        self._dev_qlock = threading.Lock()    # guards the list ONLY
+        self._dev_flush_mutex = threading.Lock()  # serializes flushes
+        self.DEV_COALESCE_MAX = 64
         self.n_docs = 0
         self.vocab: Dict[str, int] = {}
         self.avgdl = 0.0
@@ -395,6 +422,83 @@ class DeviceBM25Index:
         work; the dispatch signal between host CSR and the device."""
         return int(sum(self._df[tid] for c in counts for tid in c))
 
+    def _enqueue_device(
+        self, tokenized_queries: Sequence[Sequence[str]], k: int
+    ) -> "PendingSearch":
+        """Queue device-bound queries for a coalesced kernel launch.
+
+        The returned handle's ``result()`` flushes the queue (everything
+        enqueued so far merges into one kernel, chunked at
+        ``DEV_COALESCE_MAX`` queries) and slices out this entry's rows.
+        Scores are identical to a solo dispatch — the kernel scores each
+        query independently; merging only changes the batch padding."""
+        entry: dict = {
+            "tokens": [list(t) for t in tokenized_queries],
+            "k": int(k),
+            "pending": None,
+            "lo": 0,
+        }
+        with self._dev_qlock:
+            self._dev_queue.append(entry)
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            while entry["pending"] is None:
+                # the mutex both serializes flushes and makes a fetch
+                # BLOCK while another thread's flush (holding our entry)
+                # is mid-dispatch, instead of spinning
+                with self._dev_flush_mutex:
+                    if entry["pending"] is None:
+                        self._flush_device()
+            s, p = entry["pending"].result()
+            lo, b = entry["lo"], len(entry["tokens"])
+            s, p = s[lo : lo + b], p[lo : lo + b]
+            if s.shape[1] > entry["k"]:
+                # the merged batch ran at the queue's max k; every row's
+                # prefix is its own exact top-k (incl. the zero-fill tie
+                # order, which assigns ascending doc ids in rank order)
+                s, p = s[:, : entry["k"]], p[:, : entry["k"]]
+            return s, p
+
+        return PendingSearch(fetch)
+
+    def _flush_device(self) -> None:
+        """Dispatch every queued device-bound entry (caller holds
+        ``_dev_flush_mutex``). ``_dev_qlock`` guards only the list swap —
+        holding it across ``_rw.read()`` would invert lock order with
+        ``search_dispatch`` (read → qlock) and deadlock under a waiting
+        writer (the RW lock is writer-preferring)."""
+        with self._dev_qlock:
+            queue, self._dev_queue = self._dev_queue, []
+        if not queue:
+            return
+
+        def dispatch(chunk: List[dict]) -> None:
+            toks = [t for e in chunk for t in e["tokens"]]
+            k_max = max(e["k"] for e in chunk)
+            # term counts recompute at flush time so a rebuild that
+            # landed between enqueue and flush can't feed stale term
+            # ids into the new postings layout
+            with self._rw.read():
+                pending = self._hybrid_dispatch(
+                    toks, k_max, self._count_terms(toks)
+                )
+            lo = 0
+            for e in chunk:
+                e["lo"] = lo
+                e["pending"] = pending
+                lo += len(e["tokens"])
+
+        chunk: List[dict] = []
+        n = 0
+        for e in queue:
+            if chunk and n + len(e["tokens"]) > self.DEV_COALESCE_MAX:
+                dispatch(chunk)
+                chunk, n = [], 0
+            chunk.append(e)
+            n += len(e["tokens"])
+        if chunk:
+            dispatch(chunk)
+
     def _hybrid_dispatch(
         self,
         tokenized_queries: Sequence[Sequence[str]],
@@ -531,8 +635,13 @@ class DeviceBM25Index:
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
             # the kernel's scatter-add/segment totals are exact and its
             # ids unique — no host-side dedupe/merge, just shape to (b, k)
-            s = np.asarray(jax.device_get(sk))[:b]
-            p = np.asarray(jax.device_get(ik))[:b]
+            # ONE device_get for both arrays: separate gets are two
+            # SEQUENTIAL tunnel round trips (~28 ms each on the dev box) —
+            # they serialized the dispatch stream at ~50 ms/batch while
+            # the device program itself runs ~11 ms
+            sk_h, ik_h = jax.device_get((sk, ik))
+            s = np.asarray(sk_h)[:b]
+            p = np.asarray(ik_h)[:b]
             out_s = np.full((b, k), -np.inf, dtype=np.float32)
             out_p = np.full((b, k), -1, dtype=np.int64)
             out_s[:, :k_eff] = s
@@ -906,17 +1015,55 @@ class DeviceBM25Index:
                 return PendingSearch(lambda: out)
             if self._host_handle is not None:
                 term_counts = self._count_terms(tokenized_queries)
-                if (
-                    self._w_head is not None
-                    and self._estimated_entries(term_counts) > self.host_budget
-                ):
-                    # df dispatcher: this batch's postings volume would
-                    # drown the host CSR scorer (head-term profile) — the
-                    # device pays one MXU matmul instead of Σ df
-                    # accumulations
-                    return self._hybrid_dispatch(tokenized_queries, k, term_counts)
-                host_out = self._host_search(tokenized_queries, k, term_counts)
-                return PendingSearch(lambda: host_out)
+                if self._w_head is None:
+                    host_out = self._host_search(
+                        tokenized_queries, k, term_counts
+                    )
+                    return PendingSearch(lambda: host_out)
+                # PER-QUERY df router (ref core/retrieval/bm25.py:306-313
+                # has one code path with no query-shape cliffs; here each
+                # query gets the path that is fastest for its shape):
+                # a query whose postings volume (Σ df) exceeds host_budget
+                # would drown the host CSR scorer in accumulations — the
+                # device pays one MXU matmul for head terms instead.
+                # Selective queries stay on the host scorer (measured at
+                # 10M: host CSR 2.8k QPS selective vs 0.4k device; device
+                # 314 QPS head-heavy vs 4.7 host). Mixed batches split:
+                # the device subset dispatches FIRST (async) so host CSR
+                # scoring overlaps the device program.
+                budget = (
+                    self.host_budget if self.host_budget is not None
+                    else max(1 << 15, self.n_docs // 16)
+                )
+                dev_idx = [
+                    i for i, tc in enumerate(term_counts)
+                    if self._estimated_entries([tc]) > budget
+                ]
+                if not dev_idx:
+                    host_out = self._host_search(
+                        tokenized_queries, k, term_counts
+                    )
+                    return PendingSearch(lambda: host_out)
+                if len(dev_idx) == b:
+                    return self._enqueue_device(tokenized_queries, k)
+                host_idx = [i for i in range(b) if i not in set(dev_idx)]
+                pending_dev = self._enqueue_device(
+                    [tokenized_queries[i] for i in dev_idx], k
+                )
+                host_out = self._host_search(
+                    [tokenized_queries[i] for i in host_idx], k,
+                    [term_counts[i] for i in host_idx],
+                )
+
+                def fetch_mixed() -> Tuple[np.ndarray, np.ndarray]:
+                    ds, dp = pending_dev.result()
+                    s = np.full((b, k), -np.inf, dtype=np.float32)
+                    p = np.full((b, k), -1, dtype=np.int64)
+                    s[dev_idx], p[dev_idx] = ds, dp
+                    s[host_idx], p[host_idx] = host_out
+                    return s, p
+
+                return PendingSearch(fetch_mixed)
             qt, qc = self.encode_queries(tokenized_queries)
             b_pad = max(1, 1 << math.ceil(math.log2(b)))
             if b_pad > b:
@@ -937,8 +1084,9 @@ class DeviceBM25Index:
                 )
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
-            s = np.asarray(jax.device_get(scores))[:b]
-            p = np.asarray(jax.device_get(positions))[:b].astype(np.int64)
+            s_h, p_h = jax.device_get((scores, positions))  # ONE round trip
+            s = np.asarray(s_h)[:b]
+            p = np.asarray(p_h)[:b].astype(np.int64)
             p = np.where(np.isneginf(s), -1, p)
             if k_eff < k:
                 pad = k - k_eff

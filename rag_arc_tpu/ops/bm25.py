@@ -196,6 +196,13 @@ def _hybrid_body(
         q_head.astype(w_head.dtype),
         w_head,
         preferred_element_type=jnp.float32,
+        # TPU f32 matmuls run bf16 passes at DEFAULT precision — an f32
+        # head must ask for HIGHEST or its scores round exactly like a
+        # bf16 head and the host-oracle parity breaks on near-ties
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if w_head.dtype == jnp.float32 else None
+        ),
     )
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
 
@@ -295,6 +302,12 @@ def bm25_hybrid_topk_flat(
         q_head.astype(w_head.dtype),
         w_head,
         preferred_element_type=jnp.float32,
+        # see _hybrid_body: f32 heads need HIGHEST (TPU default runs
+        # bf16 passes) for exact host-oracle parity
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if w_head.dtype == jnp.float32 else None
+        ),
     )
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     o = b * h

@@ -178,23 +178,6 @@ class MultiPathRetriever(BaseRetriever):
             fused.append(self.fusion_method.fuse(per_query_paths, top_k))
         return fused
 
-    # -- ingestion ----------------------------------------------------------
-
-    def add_documents(self, documents: Sequence[Document], **kwargs: Any) -> List[str]:
-        """Fan documents out to every path that supports ingestion (a
-        hybrid dense+BM25 setup indexes the same corpus in both)."""
-        ids: List[str] = []
-        supported = 0
-        for retriever in self.retrievers:
-            add = getattr(retriever, "add_documents", None)
-            if add is None:
-                continue
-            supported += 1
-            ids = add(documents, **kwargs)
-        if not supported:
-            raise TypeError("no retrieval path supports add_documents")
-        return ids
-
     # -- introspection -----------------------------------------------------
 
     def get_info(self) -> dict:

@@ -62,6 +62,32 @@ class RRFusion(FusionMethod):
             fused.append(doc)
         return fused
 
+    def fuse_ranked(
+        self, doc_lists: Sequence[Sequence[Document]], top_k: int
+    ) -> List[Document]:
+        """``fuse`` over raw ranked Document lists (one per path), skipping
+        the per-hit ``RetrievalResult`` wrapping — the multipath hot path
+        allocates 2·B·k of those per batch just to read back ``rank``,
+        which is the enumerate index. Identical math and tie behavior:
+        rank is 1-based, dedup keys on content, first path listing a
+        content keeps its Document."""
+        scores: Dict[str, float] = {}
+        first_seen: Dict[str, Document] = {}
+        for docs in doc_lists:
+            for rank, doc in enumerate(docs, start=1):
+                key = doc.content
+                scores[key] = scores.get(key, 0.0) + 1.0 / (self.k + rank)
+                if key not in first_seen:
+                    first_seen[key] = doc
+        ranked = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)[:top_k]
+        fused: List[Document] = []
+        for key, score in ranked:
+            doc = first_seen[key]
+            doc = Document(content=doc.content, metadata=dict(doc.metadata), id=doc.id)
+            doc.metadata["fusion_score"] = score
+            fused.append(doc)
+        return fused
+
 
 class WeightedScoreFusion(FusionMethod):
     """Min-max-normalize each path's scores to [0,1], then weighted sum.

@@ -544,6 +544,92 @@ class TestHybridBackend:
         index.search([["the", "of", "and"]] * 8, 3)  # head terms -> device
         assert calls["hybrid"] == 1
 
+    def test_router_splits_mixed_batch_per_query(self, corpus, monkeypatch):
+        """VERDICT r4 #1: routing is per QUERY, not per batch — a mixed
+        batch sends selective queries to the host CSR scorer and
+        head-heavy queries to the device, and the merged result keeps the
+        original batch order, exact vs an all-host run."""
+        index = DeviceBM25Index(backend="hybrid", host_budget=500)
+        index.build(corpus)
+        host = DeviceBM25Index(backend="host")
+        host.build(corpus)
+        calls = {"host": [], "dev": []}
+        orig_host = index._host_search
+        orig_dev = index._hybrid_dispatch
+        monkeypatch.setattr(
+            index, "_host_search",
+            lambda q, k, *a: calls["host"].append(len(q)) or orig_host(q, k, *a),
+        )
+        monkeypatch.setattr(
+            index, "_hybrid_dispatch",
+            lambda q, k, *a: calls["dev"].append(len(q)) or orig_dev(q, k, *a),
+        )
+        batch = [
+            ["rare11"],                    # selective -> host
+            ["the", "of", "and"],          # head-heavy -> device
+            ["zzz_unindexed"],             # zero postings -> host
+            ["the", "in", "rare42"],       # head-heavy -> device
+        ]
+        s, p = index.search(batch, 8)
+        assert calls == {"host": [2], "dev": [2]}
+        s2, p2 = host.search(batch, 8)
+        np.testing.assert_allclose(s, s2, rtol=1e-4, atol=1e-5)
+
+    def test_device_queries_coalesce_across_dispatches(
+        self, corpus, monkeypatch
+    ):
+        """The hybrid kernel's cost is N-bound, ~independent of B — a
+        stream of dispatches whose device subsets are small must merge
+        into ONE kernel launch at first fetch, with per-entry rows and
+        per-entry k sliced back out exactly."""
+        index = DeviceBM25Index(backend="hybrid", host_budget=0)
+        index.build(corpus)
+        calls = []
+        orig = index._hybrid_dispatch
+        monkeypatch.setattr(
+            index, "_hybrid_dispatch",
+            lambda q, k, *a: calls.append((len(q), k)) or orig(q, k, *a),
+        )
+        batches = [
+            [["the", "of"], ["rare11"]],
+            [["and", "rare42"]],
+            [["the", "w7", "w100"]],
+        ]
+        ks = [5, 3, 8]
+        pend = [index.search_dispatch(b, k) for b, k in zip(batches, ks)]
+        outs = [p.result() for p in pend]
+        # ONE merged kernel at k_max, not three
+        assert calls == [(4, 8)]
+        for (s, p), b, k in zip(outs, batches, ks):
+            assert s.shape == (len(b), k) and p.shape == (len(b), k)
+            solo_s, solo_p = index._hybrid_search(b, k)
+            np.testing.assert_allclose(s, solo_s, rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(p, solo_p)
+
+    def test_router_boundary_is_strictly_greater(self, monkeypatch):
+        """Σ df == host_budget stays on the host; one more posting tips
+        the query to the device."""
+        docs = [["common", f"u{i}"] for i in range(40)]  # df(common)=40
+        index = DeviceBM25Index(backend="hybrid", host_budget=40)
+        index.build(docs)
+        calls = {"host": 0, "dev": 0}
+        orig_host = index._host_search
+        orig_dev = index._hybrid_dispatch
+        monkeypatch.setattr(
+            index, "_host_search",
+            lambda q, k, *a: calls.__setitem__("host", calls["host"] + 1)
+            or orig_host(q, k, *a),
+        )
+        monkeypatch.setattr(
+            index, "_hybrid_dispatch",
+            lambda q, k, *a: calls.__setitem__("dev", calls["dev"] + 1)
+            or orig_dev(q, k, *a),
+        )
+        index.search([["common"]], 3)            # Σ df = 40 == budget
+        assert calls == {"host": 1, "dev": 0}
+        index.search([["common", "u3"]], 3)      # Σ df = 41 > budget
+        assert calls == {"host": 1, "dev": 1}
+
     def test_tail_only_kernel_parity_with_live_matches(self, monkeypatch):
         """ADVICE r4 (low): the tail-only sort/scan kernel had suite
         coverage only via the all-pad zero-match batch. Head-free batches
