@@ -27,7 +27,7 @@ from __future__ import annotations
 import logging
 import math
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -449,6 +449,15 @@ class DeviceFlatIndex:
 
         Slots with no valid match carry score -inf and position -1.
         """
+        return self.search_dispatch(queries, k)()
+
+    def search_dispatch(
+        self, queries: np.ndarray, k: int
+    ) -> "Callable[[], Tuple[np.ndarray, np.ndarray]]":
+        """Enqueue a search; the returned callable blocks on the single
+        result readback. Streaming callers dispatch every batch first and
+        fetch in order, so the ~35 ms tunnel round trip amortizes over
+        the stream instead of gating each batch."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if queries.shape[1] != self.dim:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
@@ -462,29 +471,36 @@ class DeviceFlatIndex:
         q = np.zeros((b_pad, self.dim), dtype=np.float32)
         q[:b] = queries
 
-        scores, positions = self.search_device(jnp.asarray(q), k_eff)
-        # ONE fetch for both outputs: device_get of the pair is a single
-        # host round trip (35 ms RTT through this box's tunnel each)
-        scores, positions = jax.device_get((scores, positions))
-        scores = np.asarray(scores)[:b]
-        positions = np.asarray(positions)[:b].astype(np.int64)
-        # normalize the two device sentinels to the documented contract
-        # (-inf / -1): the direct path emits -inf scores, the Pallas paths
-        # emit the finite NEG=-3e38 sentinel with position -1 — callers
-        # must see ONE convention regardless of which kernel ran
-        positions = np.where(
-            np.isneginf(scores) | (scores <= -1.0e38), -1, positions
-        )
-        scores = np.where(positions < 0, -np.inf, scores)
-        if k_eff < k:  # index smaller than k: pad result
-            pad = k - k_eff
-            scores = np.concatenate(
-                [scores, np.full((b, pad), -np.inf, dtype=scores.dtype)], axis=1
+        s_dev, p_dev = self.search_device(jnp.asarray(q), k_eff)
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            # ONE fetch for both outputs: device_get of the pair is a
+            # single host round trip (35 ms RTT through this box's tunnel)
+            scores, positions = jax.device_get((s_dev, p_dev))
+            scores = np.asarray(scores)[:b]
+            positions = np.asarray(positions)[:b].astype(np.int64)
+            # normalize the two device sentinels to the documented
+            # contract (-inf / -1): the direct path emits -inf scores,
+            # the Pallas paths emit the finite NEG=-3e38 sentinel with
+            # position -1 — callers must see ONE convention regardless
+            # of which kernel ran
+            positions = np.where(
+                np.isneginf(scores) | (scores <= -1.0e38), -1, positions
             )
-            positions = np.concatenate(
-                [positions, np.full((b, pad), -1, dtype=positions.dtype)], axis=1
-            )
-        return scores, positions
+            scores = np.where(positions < 0, -np.inf, scores)
+            if k_eff < k:  # index smaller than k: pad result
+                pad = k - k_eff
+                scores = np.concatenate(
+                    [scores, np.full((b, pad), -np.inf, dtype=scores.dtype)],
+                    axis=1,
+                )
+                positions = np.concatenate(
+                    [positions, np.full((b, pad), -1, dtype=positions.dtype)],
+                    axis=1,
+                )
+            return scores, positions
+
+        return fetch
 
     # direct-path peak memory budget for the (B, N) score matrix; beyond
     # this the chunked/fused paths kick in

@@ -573,15 +573,48 @@ class TPUVectorStore(VectorStore):
             scores, positions = self._batch_search_raw(list(queries), k)
             return [self._resolve(s, p) for s, p in zip(scores, positions)]
 
+    def dispatch_batch_search(
+        self, queries: Sequence[str], k: int = 4
+    ) -> Callable[[], List[List[Tuple[Document, float]]]]:
+        """Async variant of :meth:`batch_similarity_search_with_score`:
+        embeds + enqueues the device search and returns a ``fetch``
+        callable that blocks on the single result readback. A caller
+        streaming batches dispatches them all, then fetches in order —
+        the ~35 ms tunnel round trip amortizes over the stream instead
+        of serializing it (the composed pipeline measured 50.7 ms per
+        32-query batch when each batch paid its own round trip)."""
+        if self.index is None or self.index.n_active == 0 or not queries:
+            empty = [[] for _ in queries]
+            return lambda: empty
+        with self._rw.read():
+            fetch_raw = self._dispatch_search_raw(list(queries), k)
+
+        def fetch() -> List[List[Tuple[Document, float]]]:
+            scores, positions = fetch_raw()
+            return [self._resolve(s, p) for s, p in zip(scores, positions)]
+
+        return fetch
+
     def _batch_search_raw(
         self, queries: List[str], k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._dispatch_search_raw(queries, k)()
+
+    def _dispatch_search_raw(
+        self, queries: List[str], k: int
+    ) -> Callable[[], Tuple[np.ndarray, np.ndarray]]:
         encode_device = getattr(self.embedding, "encode_device", None)
         search_device = getattr(self.index, "search_device", None)
         tokenizer = getattr(self.embedding, "tokenizer", None)
         if encode_device is None or search_device is None or tokenizer is None:
             vecs = self.embedding.encode(queries)
-            return self.index.search(vecs, k)
+            dispatch = getattr(self.index, "search_dispatch", None)
+            if dispatch is not None:
+                # host embedder + device index: enqueue the device
+                # program now, defer the single readback
+                return dispatch(np.asarray(vecs), k)
+            out = self.index.search(vecs, k)
+            return lambda: out
         import jax
         import jax.numpy as jnp
         import math
@@ -610,12 +643,24 @@ class TPUVectorStore(VectorStore):
         with stage("store.dispatch"):
             q_dev = encode_device(jnp.asarray(ids), jnp.asarray(mask))
             s_dev, p_dev = search_device(q_dev, k_eff)
-        # the ONLY readback on the chained path: one device_get of the
-        # final (scores, positions) pair
-        with stage("store.fetch"):
-            s_host, p_host = jax.device_get((s_dev, p_dev))
-        scores = np.asarray(s_host)[:b]
-        positions = np.asarray(p_host)[:b].astype(np.int64)
+
+        def fetch_chained() -> Tuple[np.ndarray, np.ndarray]:
+            # the ONLY readback on the chained path: one device_get of
+            # the final (scores, positions) pair
+            with stage("store.fetch"):
+                s_host, p_host = jax.device_get((s_dev, p_dev))
+            return self._normalize_raw(
+                np.asarray(s_host), np.asarray(p_host), b, k, k_eff
+            )
+
+        return fetch_chained
+
+    @staticmethod
+    def _normalize_raw(
+        scores: np.ndarray, positions: np.ndarray, b: int, k: int, k_eff: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        scores = scores[:b]
+        positions = positions[:b].astype(np.int64)
         # normalize both device sentinels (-inf from the direct path,
         # finite NEG=-3e38 from the Pallas paths) to the -inf/-1 contract
         positions = np.where(

@@ -150,24 +150,53 @@ class CrossEncoderReranker(RerankerBase):
             instruction=self.instruction, query=query, document=document
         )
 
+    # HBM byte budget for one chunk's einsum-attention probs tensor
+    # (B, heads, L, L) f32 — a 128-query serving batch x 50 candidates is
+    # 6400 pairs, and one unchunked dispatch at L=256 tried to allocate
+    # a 25.8 GB tensor (compile-time OOM). Chunks dispatch back-to-back
+    # and fetch as one device_get, so throughput stays stream-bound.
+    ATTN_BYTES_BUDGET = 2 << 30
+
     def _score_prompts(self, prompts: Sequence[str]) -> np.ndarray:
-        """Encode → pow2-pad the batch → one dispatch → trim. The single
-        scoring path for both rerank entry points."""
+        """Encode → chunk at the attention byte budget → pow2-pad each
+        chunk → pipelined dispatches → ONE fetch. The single scoring path
+        for both rerank entry points."""
         ids, mask = self._encode_bucketed(prompts)
-        n = len(prompts)
-        b_pad = 1 << math.ceil(math.log2(max(n, 1)))
-        if b_pad > n:
-            ids = np.pad(ids, ((0, b_pad - n), (0, 0)))
-            mask = np.pad(mask, ((0, b_pad - n), (0, 0)))
-        scores = _score_batch(
-            self.model,
-            self.params,
-            jnp.asarray(ids),
-            jnp.asarray(mask),
-            self.yes_id,
-            self.no_id,
+        n, length = len(prompts), ids.shape[1]
+        heads = (
+            getattr(self.cfg, "heads", None)
+            or getattr(self.cfg, "num_attention_heads", None)
+            or 16
         )
-        return np.asarray(jax.device_get(scores))[:n]
+        max_chunk = max(
+            64, self.ATTN_BYTES_BUDGET // (heads * length * length * 4)
+        )
+        max_chunk = 1 << int(math.floor(math.log2(max_chunk)))
+        pending = []
+        for lo in range(0, n, max_chunk):
+            cid, cmask = ids[lo : lo + max_chunk], mask[lo : lo + max_chunk]
+            c = cid.shape[0]
+            b_pad = 1 << math.ceil(math.log2(max(c, 1)))
+            if b_pad > c:
+                cid = np.pad(cid, ((0, b_pad - c), (0, 0)))
+                cmask = np.pad(cmask, ((0, b_pad - c), (0, 0)))
+            pending.append(
+                (
+                    _score_batch(
+                        self.model,
+                        self.params,
+                        jnp.asarray(cid),
+                        jnp.asarray(cmask),
+                        self.yes_id,
+                        self.no_id,
+                    ),
+                    c,
+                )
+            )
+        fetched = jax.device_get([s for s, _ in pending])
+        return np.concatenate(
+            [np.asarray(s)[:c] for s, (_, c) in zip(fetched, pending)]
+        )[:n]
 
     def compute_scores(
         self, query: str, documents: Sequence[Document]

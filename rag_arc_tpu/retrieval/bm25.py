@@ -203,6 +203,26 @@ class BM25Retriever(BaseRetriever):
             out.append(hits)
         return out
 
+    def dispatch_batch(
+        self, queries: Sequence[str], **kwargs: Any
+    ) -> Callable[[], List[List[Document]]]:
+        """Async batched retrieval: tokenize + enqueue now (the index's
+        per-query router sends selective queries to the host CSR scorer
+        and head-heavy ones to the device coalescer), resolve Documents
+        at fetch."""
+        k = int(kwargs.get("k", self.k))
+        tokenized = [self._tokenize(q) for q in queries]
+        pending = self.index.search_dispatch(tokenized, k)
+
+        def fetch() -> List[List[Document]]:
+            scores, positions = pending.result()
+            return [
+                [self.docs[int(p)] for s, p in zip(srow, prow) if p >= 0]
+                for srow, prow in zip(scores, positions)
+            ]
+
+        return fetch
+
     def get_top_k_with_scores(
         self, query: str, k: Optional[int] = None
     ) -> List[Tuple[Document, float]]:

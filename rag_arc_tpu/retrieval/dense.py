@@ -11,7 +11,7 @@ device dispatch via ``TPUVectorStore.batch_similarity_search_with_score``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 from rag_arc_tpu.index.vector_store import VectorStore
 from rag_arc_tpu.retrieval.base import BaseRetriever
@@ -83,6 +83,27 @@ class VectorStoreRetriever(BaseRetriever):
         # explicit k=k below raises 'multiple values for keyword argument'
         rest = {kk: vv for kk, vv in kwargs.items() if kk != "k"}
         return [self._get_relevant_documents(q, k=k, **rest) for q in queries]
+
+    def dispatch_batch(
+        self, queries: Sequence[str], **kwargs: Any
+    ) -> Optional[Callable[[], List[List[Document]]]]:
+        """Async batched retrieval: enqueue the device search now, return
+        a fetch callable resolving to ranked Documents per query — or
+        ``None`` when this configuration has no async path (mmr /
+        score-threshold re-rank on host per query). Streaming callers
+        (``RagPipeline.query_batches``, ``MultiPathRetriever``) dispatch
+        every batch/path first so device programs overlap host work."""
+        merged = self._merged_kwargs(kwargs)
+        k = int(merged.pop("k"))
+        dispatch_fn = getattr(self.vectorstore, "dispatch_batch_search", None)
+        if self.search_type != "similarity" or dispatch_fn is None:
+            return None
+        fetch_scored = dispatch_fn(queries, k=k)
+
+        def fetch() -> List[List[Document]]:
+            return [[d for d, _ in hits][:k] for hits in fetch_scored()]
+
+        return fetch
 
     # -- pass-throughs (dense.py add/delete/get_by_ids parity) ------------
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import logging
 import threading
-from typing import Any, List, Optional, Sequence
+from typing import Any, Callable, List, Optional, Sequence
 
 from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
@@ -147,6 +147,83 @@ class MultiPathRetriever(BaseRetriever):
 
     def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
         return self._get_relevant_documents_batch([query], **kwargs)[0]
+
+    def dispatch_batch(
+        self, queries: Sequence[str], **kwargs: Any
+    ) -> Optional["Callable[[], List[List[Document]]]"]:
+        """Async fan-out: every async-capable path dispatches NOW (device
+        programs overlap each other and any host-side path work); fetch
+        resolves all paths and fuses. Fusion uses ``RRFusion.fuse_ranked``
+        when available — identical math to ``fuse`` without allocating
+        2·B·k ``RetrievalResult`` wrappers per batch. Falls back to
+        ``None`` (caller uses the sync path) only when NO path supports
+        dispatch; a sync path inside a mixed fan-out computes at fetch
+        time, after every async dispatch is already in flight."""
+        top_k = int(kwargs.get("k", self.top_k))
+        per_path_k = int(
+            kwargs.get("top_k_per_retriever", self.top_k_per_retriever)
+        )
+        _FAILED = object()  # dispatch-time failure → empty at fetch
+        fetches: List[Any] = []
+        any_async = False
+        for r in self.retrievers:
+            dispatch = getattr(r, "dispatch_batch", None)
+            try:
+                f = (
+                    dispatch(queries, k=per_path_k)
+                    if dispatch is not None else None
+                )
+            except Exception as exc:  # noqa: BLE001 — path isolation
+                logger.warning(
+                    "retrieval path %r failed at dispatch (%s); continuing "
+                    "without it", r.name, exc,
+                )
+                f = _FAILED
+            if f is not None and f is not _FAILED:
+                any_async = True
+            fetches.append(f)
+        if not any_async:
+            return None
+        fuse_ranked = getattr(self.fusion_method, "fuse_ranked", None)
+
+        def fetch() -> List[List[Document]]:
+            all_paths: List[List[List[Document]]] = []
+            for r, f in zip(self.retrievers, fetches):
+                try:
+                    if f is _FAILED:
+                        all_paths.append([[] for _ in queries])
+                    elif f is not None:
+                        all_paths.append(f())
+                    else:
+                        all_paths.append(
+                            r.invoke_batch(queries, k=per_path_k)
+                        )
+                except Exception as exc:  # noqa: BLE001 — path isolation
+                    logger.warning(
+                        "retrieval path %r failed (%s); continuing "
+                        "without it", r.name, exc,
+                    )
+                    all_paths.append([[] for _ in queries])
+            fused: List[List[Document]] = []
+            for qi in range(len(queries)):
+                per_query = [path[qi] for path in all_paths]
+                if fuse_ranked is not None:
+                    fused.append(fuse_ranked(per_query, top_k))
+                else:
+                    fused.append(
+                        self.fusion_method.fuse(
+                            [
+                                results_from_ranked_docs(
+                                    docs, source=r.name
+                                )
+                                for r, docs in zip(self.retrievers, per_query)
+                            ],
+                            top_k,
+                        )
+                    )
+            return fused
+
+        return fetch
 
     def _get_relevant_documents_batch(
         self, queries: Sequence[str], **kwargs: Any

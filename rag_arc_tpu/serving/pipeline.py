@@ -110,6 +110,46 @@ class RagPipeline:
         """Direct batched entry (bypasses the micro-batcher)."""
         return self._answer_batch(queries, k=k)
 
+    def query_batches(
+        self, batches: Sequence[Sequence[str]], k: Optional[int] = None
+    ) -> List[List[List[Document]]]:
+        """Streamed batched entry: dispatch every batch's retrieval
+        BEFORE fetching any result, so device programs pipeline and the
+        host↔device round trip amortizes over the stream instead of
+        gating each batch (measured: the composed retrieve+RRF paid
+        ~35 ms of tunnel RTT per 32-query batch when driven one batch at
+        a time). Falls back to sequential ``query_batch`` when the
+        retriever has no async path or a rewriter is configured."""
+        k = self.top_k if k is None else int(k)
+        dispatch = getattr(self.retriever, "dispatch_batch", None)
+        if self.rewriter is not None or dispatch is None:
+            return [self._answer_batch(b, k=k) for b in batches]
+        recall = self.recall_k if self.reranker else k
+        t0 = time.time()
+        with stage("pipeline.retrieve"):
+            fetches = [dispatch(b, k=recall) for b in batches]
+            if any(f is None for f in fetches):
+                return [self._answer_batch(b, k=k) for b in batches]
+            candidates = [f() for f in fetches]
+        out: List[List[List[Document]]] = []
+        for queries, cands in zip(batches, candidates):
+            if self.reranker is not None:
+                with stage("pipeline.rerank"):
+                    batch_rerank = getattr(self.reranker, "rerank_batch", None)
+                    if batch_rerank is not None:
+                        cands = batch_rerank(queries, cands, k=k)
+                    else:
+                        cands = [
+                            self.reranker.rerank(q, docs, k=k)
+                            for q, docs in zip(queries, cands)
+                        ]
+            out.append([docs[:k] for docs in cands])
+        elapsed = (time.time() - t0) * 1e3
+        with self._metrics_lock:
+            self.metrics["queries"] += sum(len(b) for b in batches)
+            self.metrics["total_ms"] += elapsed
+        return out
+
     def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32)) -> None:
         """Trigger compiles for the common batch buckets at startup so the
         first real queries don't pay compile latency."""

@@ -140,3 +140,55 @@ def test_outgrown_pool_stays_usable(hybrid):
     # the concurrent request that still holds old_pool can submit work
     assert list(old_pool.map(lambda x: x + 1, [1, 2])) == [2, 3]
     assert hybrid.invoke("cat")
+
+
+def test_dispatch_batch_matches_sync(hybrid):
+    """The async fan-out (dispatch all paths, fetch+fuse later) must
+    return exactly what the sync path returns — same ids, same order,
+    same fusion scores."""
+    queries = ["cat on the mat", "qubits", "chocolate cake"]
+    fetch = hybrid.dispatch_batch(queries, k=3)
+    assert fetch is not None
+    got = fetch()
+    want = hybrid.invoke_batch(queries, k=3)
+    assert [[d.id for d in row] for row in got] == [
+        [d.id for d in row] for row in want
+    ]
+    for g_row, w_row in zip(got, want):
+        for g, w in zip(g_row, w_row):
+            assert g.metadata["fusion_score"] == pytest.approx(
+                w.metadata["fusion_score"]
+            )
+
+
+def test_dispatch_batch_isolates_failing_path(hybrid):
+    """A path that raises at dispatch or fetch contributes an empty list,
+    exactly like the sync fan-out."""
+
+    class FailsAtDispatch(BaseRetriever):
+        def _get_relevant_documents(self, query, **kwargs):
+            return []
+
+        def dispatch_batch(self, queries, **kwargs):
+            raise RuntimeError("dispatch down")
+
+    class FailsAtFetch(BaseRetriever):
+        def _get_relevant_documents(self, query, **kwargs):
+            return []
+
+        def dispatch_batch(self, queries, **kwargs):
+            def fetch():
+                raise RuntimeError("fetch down")
+
+            return fetch
+
+    hybrid.add_retriever(FailsAtDispatch(name="d-down"))
+    hybrid.add_retriever(FailsAtFetch(name="f-down"))
+    queries = ["cat on the mat"]
+    got = hybrid.dispatch_batch(queries, k=3)()
+    assert got[0][0].content == CORPUS[0]
+
+
+def test_dispatch_batch_none_when_no_async_path():
+    mp = MultiPathRetriever([FailingRetriever(name="sync-only")], top_k=2)
+    assert mp.dispatch_batch(["q"], k=2) is None

@@ -683,3 +683,43 @@ class TestGraphConfigs:
         results = extractor([Document(content="a short text")])
         stats = store.store_hyperrag_graph(results)
         assert stats["chunks"] == 1
+
+
+class TestQueryBatches:
+    def test_streamed_matches_sequential(self):
+        """query_batches (dispatch-all-then-fetch) must return exactly
+        what per-batch query_batch returns."""
+        from rag_arc_tpu.retrieval.bm25 import BM25Retriever
+        from rag_arc_tpu.retrieval.multipath import MultiPathRetriever
+
+        texts = [f"topic {i % 7} document number {i}" for i in range(60)]
+        dense = TPUVectorStore.from_texts(
+            texts, HashEmbeddings(dim=32)
+        ).as_retriever(search_kwargs={"k": 5})
+        sparse = BM25Retriever.from_texts(texts, k=5)
+        multi = MultiPathRetriever([dense, sparse], top_k=3)
+        pipe = RagPipeline(retriever=multi, top_k=3, recall_k=5)
+        batches = [
+            ["topic 1 document", "document number 42"],
+            ["topic 3", "number 7 topic"],
+        ]
+        streamed = pipe.query_batches(batches)
+        for batch, got in zip(batches, streamed):
+            want = pipe.query_batch(batch)
+            assert [[d.id for d in row] for row in got] == [
+                [d.id for d in row] for row in want
+            ]
+
+    def test_streamed_falls_back_without_async_path(self):
+        from rag_arc_tpu.retrieval.base import BaseRetriever
+
+        class SyncOnly(BaseRetriever):
+            def _get_relevant_documents(self, query, **kwargs):
+                from rag_arc_tpu.utils.data_model import Document
+
+                return [Document(content=f"hit for {query}", id="x")]
+
+        pipe = RagPipeline(retriever=SyncOnly(), top_k=1)
+        out = pipe.query_batches([["a"], ["b"]])
+        assert out[0][0][0].content == "hit for a"
+        assert out[1][0][0].content == "hit for b"

@@ -113,10 +113,38 @@ def main() -> None:
             flush=True,
         )
 
-    bench(
-        RagPipeline(retriever=multi, top_k=args.k, recall_k=args.recall_k),
-        "retrieve+rrf (no rerank)",
-    )
+    def bench_streamed(pipeline, tag, n_batches=4):
+        batches = [
+            queries[(i % 4) * args.b : (i % 4 + 1) * args.b]
+            for i in range(n_batches)
+        ]
+        pipeline.query_batches(batches[:1])  # warm/compile
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            outs = pipeline.query_batches(batches)
+            assert len(outs) == n_batches and len(outs[0]) == args.b
+            times.append((time.time() - t0) / n_batches)
+        ms = float(np.median(times) * 1e3)
+        print(
+            json.dumps(
+                {
+                    "pipeline": tag,
+                    "n_docs": n,
+                    "batch": args.b,
+                    "stream": n_batches,
+                    "recall_k": args.recall_k,
+                    "ms_per_batch": round(ms, 1),
+                    "qps": round(args.b / ms * 1e3, 1),
+                    "ms_per_query_amortized": round(ms / args.b, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    plain = RagPipeline(retriever=multi, top_k=args.k, recall_k=args.recall_k)
+    bench(plain, "retrieve+rrf (no rerank)")
+    bench_streamed(plain, "retrieve+rrf STREAMED (no rerank)")
 
     flag = CrossEncoderReranker(
         cfg=TransformerConfig(
