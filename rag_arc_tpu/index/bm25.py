@@ -55,16 +55,30 @@ class PendingSearch:
     current batch's device program — through a high-latency link that
     turns serial RTT-bound latency into device-bound throughput."""
 
-    __slots__ = ("_fetch", "_out")
+    __slots__ = ("_fetch", "_out", "_prime")
 
-    def __init__(self, fetch: Callable[[], Tuple[np.ndarray, np.ndarray]]):
+    def __init__(
+        self,
+        fetch: Callable[[], Tuple[np.ndarray, np.ndarray]],
+        prime: Optional[Callable[[], None]] = None,
+    ):
         self._fetch = fetch
+        self._prime = prime
         self._out: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._out is None:
             self._out = self._fetch()
         return self._out
+
+    def prime(self) -> None:
+        """Force any lazy device launch NOW (without blocking on results)
+        — the coalescer merges queued queries into one kernel at first
+        demand; a streaming driver primes every handle before its first
+        ``result()`` so all launches land in the active TransferPool and
+        the whole stream reads back in one round trip."""
+        if self._out is None and self._prime is not None:
+            self._prime()
 
 
 class DeviceBM25Index:
@@ -441,7 +455,7 @@ class DeviceBM25Index:
         with self._dev_qlock:
             self._dev_queue.append(entry)
 
-        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+        def launch() -> None:
             while entry["pending"] is None:
                 # the mutex both serializes flushes and makes a fetch
                 # BLOCK while another thread's flush (holding our entry)
@@ -449,6 +463,9 @@ class DeviceBM25Index:
                 with self._dev_flush_mutex:
                     if entry["pending"] is None:
                         self._flush_device()
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            launch()
             s, p = entry["pending"].result()
             lo, b = entry["lo"], len(entry["tokens"])
             s, p = s[lo : lo + b], p[lo : lo + b]
@@ -459,7 +476,7 @@ class DeviceBM25Index:
                 s, p = s[:, : entry["k"]], p[:, : entry["k"]]
             return s, p
 
-        return PendingSearch(fetch)
+        return PendingSearch(fetch, prime=launch)
 
     def _flush_device(self) -> None:
         """Dispatch every queued device-bound entry (caller holds
@@ -632,14 +649,23 @@ class DeviceBM25Index:
                 k_eff, b_pad, h, used, ss,
             )
 
+        from rag_arc_tpu.utils.transfers import current_pool
+
+        pool = current_pool()
+        handle = pool.register((sk, ik)) if pool is not None else None
+
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
             # the kernel's scatter-add/segment totals are exact and its
             # ids unique — no host-side dedupe/merge, just shape to (b, k)
             # ONE device_get for both arrays: separate gets are two
             # SEQUENTIAL tunnel round trips (~28 ms each on the dev box) —
             # they serialized the dispatch stream at ~50 ms/batch while
-            # the device program itself runs ~11 ms
-            sk_h, ik_h = jax.device_get((sk, ik))
+            # the device program itself runs ~11 ms. Under an active
+            # TransferPool the pair rides the stream's single pooled get.
+            if handle is not None:
+                sk_h, ik_h = pool.result(handle)
+            else:
+                sk_h, ik_h = jax.device_get((sk, ik))
             s = np.asarray(sk_h)[:b]
             p = np.asarray(ik_h)[:b]
             out_s = np.full((b, k), -np.inf, dtype=np.float32)
@@ -1063,7 +1089,7 @@ class DeviceBM25Index:
                     s[host_idx], p[host_idx] = host_out
                     return s, p
 
-                return PendingSearch(fetch_mixed)
+                return PendingSearch(fetch_mixed, prime=pending_dev.prime)
             qt, qc = self.encode_queries(tokenized_queries)
             b_pad = max(1, 1 << math.ceil(math.log2(b)))
             if b_pad > b:
@@ -1083,8 +1109,19 @@ class DeviceBM25Index:
                     jnp.asarray(qt), jnp.asarray(qc), k_eff,
                 )
 
+        from rag_arc_tpu.utils.transfers import current_pool
+
+        pool = current_pool()
+        handle = (
+            pool.register((scores, positions)) if pool is not None else None
+        )
+
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
-            s_h, p_h = jax.device_get((scores, positions))  # ONE round trip
+            if handle is not None:
+                s_h, p_h = pool.result(handle)
+            else:
+                # ONE round trip for the pair
+                s_h, p_h = jax.device_get((scores, positions))
             s = np.asarray(s_h)[:b]
             p = np.asarray(p_h)[:b].astype(np.int64)
             p = np.where(np.isneginf(s), -1, p)

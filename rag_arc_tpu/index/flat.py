@@ -472,11 +472,21 @@ class DeviceFlatIndex:
         q[:b] = queries
 
         s_dev, p_dev = self.search_device(jnp.asarray(q), k_eff)
+        # under an active TransferPool (streamed callers) the readback
+        # rides ONE pooled device_get for the whole stream instead of a
+        # ~35 ms tunnel round trip per batch
+        from rag_arc_tpu.utils.transfers import current_pool
+
+        pool = current_pool()
+        handle = pool.register((s_dev, p_dev)) if pool is not None else None
 
         def fetch() -> Tuple[np.ndarray, np.ndarray]:
             # ONE fetch for both outputs: device_get of the pair is a
             # single host round trip (35 ms RTT through this box's tunnel)
-            scores, positions = jax.device_get((s_dev, p_dev))
+            if handle is not None:
+                scores, positions = pool.result(handle)
+            else:
+                scores, positions = jax.device_get((s_dev, p_dev))
             scores = np.asarray(scores)[:b]
             positions = np.asarray(positions)[:b].astype(np.int64)
             # normalize the two device sentinels to the documented

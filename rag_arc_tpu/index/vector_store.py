@@ -595,6 +595,42 @@ class TPUVectorStore(VectorStore):
 
         return fetch
 
+    def dispatch_search_raw(
+        self, queries: Sequence[str], k: int = 4
+    ) -> Callable[[], Tuple[np.ndarray, np.ndarray]]:
+        """Raw-positions async search: enqueue now, fetch returns
+        ``(scores (B, k), positions (B, k))`` with -inf/-1 padding and NO
+        Document materialization — the shared-id-space fusion path
+        (``MultiPathRetriever(shared_id_space=True)``) fuses on positions
+        and resolves only the final fused top-k."""
+        if self.index is None or self.index.n_active == 0 or not queries:
+            b = len(queries)
+            out = (
+                np.full((b, k), -np.inf, dtype=np.float32),
+                np.full((b, k), -1, dtype=np.int64),
+            )
+            return lambda: out
+        with self._rw.read():
+            return self._dispatch_search_raw(list(queries), k)
+
+    def resolve_positions(
+        self, rows: np.ndarray
+    ) -> List[List[Optional[Document]]]:
+        """Slot-aligned Document lookup for raw position rows: one entry
+        per slot, ``None`` for -1 / missing positions (callers keep their
+        score alignment and skip the Nones)."""
+        return [
+            [
+                self.docstore.get_by_position(int(p)) if p >= 0 else None
+                for p in row
+            ]
+            for row in rows
+        ]
+
+    @property
+    def position_space_size(self) -> int:
+        return len(self.docstore)
+
     def _batch_search_raw(
         self, queries: List[str], k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -644,11 +680,20 @@ class TPUVectorStore(VectorStore):
             q_dev = encode_device(jnp.asarray(ids), jnp.asarray(mask))
             s_dev, p_dev = search_device(q_dev, k_eff)
 
+        from rag_arc_tpu.utils.transfers import current_pool
+
+        pool = current_pool()
+        handle = pool.register((s_dev, p_dev)) if pool is not None else None
+
         def fetch_chained() -> Tuple[np.ndarray, np.ndarray]:
             # the ONLY readback on the chained path: one device_get of
-            # the final (scores, positions) pair
+            # the final (scores, positions) pair — pooled across the
+            # stream when a TransferPool is active
             with stage("store.fetch"):
-                s_host, p_host = jax.device_get((s_dev, p_dev))
+                if handle is not None:
+                    s_host, p_host = pool.result(handle)
+                else:
+                    s_host, p_host = jax.device_get((s_dev, p_dev))
             return self._normalize_raw(
                 np.asarray(s_host), np.asarray(p_host), b, k, k_eff
             )

@@ -18,6 +18,7 @@ import warnings
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
 from jax.sharding import Mesh
 
 from rag_arc_tpu.index.bm25 import DeviceBM25Index
@@ -221,7 +222,37 @@ class BM25Retriever(BaseRetriever):
                 for srow, prow in zip(scores, positions)
             ]
 
+        # lazy-launch hook: streaming drivers force the coalesced device
+        # kernel launch (into their TransferPool) before the first fetch
+        fetch.prime = pending.prime  # type: ignore[attr-defined]
         return fetch
+
+    # -- shared-id-space surface (position-space fusion fast path) --------
+
+    def dispatch_positions(
+        self, queries: Sequence[str], k: int
+    ) -> Callable[[], Tuple[np.ndarray, np.ndarray]]:
+        """Async raw-positions search: fetch → (scores, positions) where
+        positions index ``self.docs`` (= corpus insertion order)."""
+        tokenized = [self._tokenize(q) for q in queries]
+        pending = self.index.search_dispatch(tokenized, k)
+
+        def fetch() -> Tuple[np.ndarray, np.ndarray]:
+            return pending.result()
+
+        fetch.prime = pending.prime  # type: ignore[attr-defined]
+        return fetch
+
+    def resolve_positions(self, rows: Any) -> List[List[Optional[Document]]]:
+        n = len(self.docs)
+        return [
+            [self.docs[int(p)] if 0 <= p < n else None for p in row]
+            for row in rows
+        ]
+
+    @property
+    def position_space_size(self) -> int:
+        return len(self.docs)
 
     def get_top_k_with_scores(
         self, query: str, k: Optional[int] = None

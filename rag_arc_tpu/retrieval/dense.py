@@ -105,6 +105,25 @@ class VectorStoreRetriever(BaseRetriever):
 
         return fetch
 
+    # -- shared-id-space surface (position-space fusion fast path) --------
+
+    def dispatch_positions(
+        self, queries: Sequence[str], k: int
+    ) -> Optional[Callable[[], Any]]:
+        """Async raw-positions search: fetch → (scores, positions) in the
+        store's docstore position space. ``None`` when unavailable."""
+        if self.search_type != "similarity":
+            return None
+        fn = getattr(self.vectorstore, "dispatch_search_raw", None)
+        return None if fn is None else fn(queries, k=k)
+
+    def resolve_positions(self, rows: Any) -> List[List[Optional[Document]]]:
+        return self.vectorstore.resolve_positions(rows)
+
+    @property
+    def position_space_size(self) -> Optional[int]:
+        return getattr(self.vectorstore, "position_space_size", None)
+
     # -- pass-throughs (dense.py add/delete/get_by_ids parity) ------------
 
     def add_documents(self, documents: Sequence[Document], **kwargs: Any) -> List[str]:

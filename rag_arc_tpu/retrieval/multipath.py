@@ -20,9 +20,16 @@ import logging
 import threading
 from typing import Any, Callable, List, Optional, Sequence
 
+import numpy as np
+
 from rag_arc_tpu.retrieval.base import BaseRetriever
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
-from rag_arc_tpu.utils.fusion import FusionMethod, RRFusion, results_from_ranked_docs
+from rag_arc_tpu.utils.fusion import (
+    FusionMethod,
+    RRFusion,
+    results_from_ranked_docs,
+    rrf_fuse_positions_np,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -35,6 +42,7 @@ class MultiPathRetriever(BaseRetriever):
         top_k: int = 10,
         top_k_per_retriever: int = 50,
         name: Optional[str] = None,
+        shared_id_space: bool = False,
     ):
         super().__init__(name=name)
         if not retrievers:
@@ -43,6 +51,19 @@ class MultiPathRetriever(BaseRetriever):
         self.fusion_method = fusion_method or RRFusion()
         self.top_k = top_k
         self.top_k_per_retriever = top_k_per_retriever
+        # shared_id_space=True asserts every path indexes the SAME corpus
+        # in the SAME order (position i means the same document in all
+        # paths, and positions are the document identity — duplicate
+        # contents at different positions stay distinct). Fusion then
+        # runs on integer positions (utils.fusion.rrf_fuse_positions_np,
+        # bit-exact RRFusion parity) and only the fused top-k documents
+        # materialize — the content-keyed path materializes every path's
+        # every candidate (P·k_path docs/query) just to fuse and discard
+        # most of them. Validated lazily (sizes + sampled id agreement);
+        # on mismatch the retriever warns once and falls back to
+        # content-keyed fusion.
+        self.shared_id_space = shared_id_space
+        self._shared_ok: Optional[bool] = None
         self._pool = None
         self._pool_lock = threading.Lock()
 
@@ -148,6 +169,140 @@ class MultiPathRetriever(BaseRetriever):
     def _get_relevant_documents(self, query: str, **kwargs: Any) -> List[Document]:
         return self._get_relevant_documents_batch([query], **kwargs)[0]
 
+    # -- shared-id-space fast path -----------------------------------------
+
+    def _shared_usable(self) -> bool:
+        if not self.shared_id_space:
+            return False
+        if self._shared_ok is None:
+            self._shared_ok = self._validate_shared()
+        return self._shared_ok
+
+    def _validate_shared(self) -> bool:
+        """One-time check that the shared-id-space assertion plausibly
+        holds: RRFusion fusion, every path speaks positions, equal space
+        sizes, and a sampled position resolves to the SAME document id in
+        every path. On failure: warn once, fall back to content fusion."""
+        if not isinstance(self.fusion_method, RRFusion):
+            logger.warning(
+                "shared_id_space fusion requires RRFusion (got %s); "
+                "falling back to content-keyed fusion",
+                self.fusion_method.name(),
+            )
+            return False
+        sizes = []
+        for r in self.retrievers:
+            if (
+                getattr(r, "dispatch_positions", None) is None
+                or getattr(r, "resolve_positions", None) is None
+            ):
+                logger.warning(
+                    "shared_id_space: path %r has no position surface; "
+                    "falling back to content-keyed fusion", r.name,
+                )
+                return False
+            sizes.append(getattr(r, "position_space_size", None))
+        if any(s is None for s in sizes) or len(set(sizes)) != 1 or not sizes[0]:
+            logger.warning(
+                "shared_id_space: position spaces disagree (%s); "
+                "falling back to content-keyed fusion", sizes,
+            )
+            return False
+        n = sizes[0]
+        sample = [sorted({0, n // 2, n - 1})]
+        ids_per_path = []
+        for r in self.retrievers:
+            docs = r.resolve_positions(np.asarray(sample))[0]
+            if any(d is None for d in docs):
+                logger.warning(
+                    "shared_id_space: path %r cannot resolve sampled "
+                    "positions; falling back to content-keyed fusion", r.name,
+                )
+                return False
+            # compare CONTENT: independently-built paths over the same
+            # corpus carry distinct auto-generated Document ids
+            ids_per_path.append(tuple(d.content for d in docs))
+        if len(set(ids_per_path)) != 1:
+            logger.warning(
+                "shared_id_space: sampled positions resolve to different "
+                "documents across paths; falling back to "
+                "content-keyed fusion",
+            )
+            return False
+        return True
+
+    def _dispatch_shared(
+        self, queries: Sequence[str], per_path_k: int, top_k: int
+    ) -> Optional["Callable[[], List[List[Document]]]"]:
+        """Position-space fan-out: each path returns raw ``(B, k)``
+        position arrays, fusion is one vectorized numpy RRF pass
+        (bit-exact RRFusion parity), and ONLY the fused top-k documents
+        materialize. This is what keeps the composed pipeline within a
+        small factor of the raw kernels (content-keyed fusion spent
+        ~30 ms/128-query batch building P·k_path Documents + dict RRF)."""
+        _FAILED = object()
+        fetches: List[Any] = []
+        for r in self.retrievers:
+            try:
+                f = r.dispatch_positions(queries, k=per_path_k)
+            except Exception as exc:  # noqa: BLE001 — path isolation
+                logger.warning(
+                    "retrieval path %r failed at dispatch (%s); continuing "
+                    "without it", r.name, exc,
+                )
+                f = _FAILED
+            if f is None:
+                return None  # path lost its async surface mid-flight
+            fetches.append(f)
+        resolver = self.retrievers[0]
+        rrf_k = self.fusion_method.k
+        b = len(queries)
+
+        def fetch() -> List[List[Document]]:
+            mats: List[np.ndarray] = []
+            for r, f in zip(self.retrievers, fetches):
+                if f is _FAILED:
+                    mats.append(np.full((b, per_path_k), -1, dtype=np.int64))
+                    continue
+                try:
+                    _, p = f()
+                    mats.append(np.asarray(p))
+                except Exception as exc:  # noqa: BLE001 — path isolation
+                    logger.warning(
+                        "retrieval path %r failed (%s); continuing "
+                        "without it", r.name, exc,
+                    )
+                    mats.append(np.full((b, per_path_k), -1, dtype=np.int64))
+            fs, fp = rrf_fuse_positions_np(mats, top_k, rrf_k=rrf_k)
+            doc_rows = resolver.resolve_positions(fp)
+            out: List[List[Document]] = []
+            for srow, docs in zip(fs, doc_rows):
+                row: List[Document] = []
+                for score, doc in zip(srow, docs):
+                    if doc is None:
+                        continue
+                    d = Document(
+                        content=doc.content,
+                        metadata=dict(doc.metadata),
+                        id=doc.id,
+                    )
+                    d.metadata["fusion_score"] = float(score)
+                    row.append(d)
+                out.append(row)
+            return out
+
+        def prime() -> None:
+            for f in fetches:
+                p = getattr(f, "prime", None)
+                if p is not None and f is not _FAILED:
+                    try:
+                        p()
+                    except Exception:  # noqa: BLE001 — fetch() reports it
+                        pass
+
+        fetch.prime = prime  # type: ignore[attr-defined]
+        return fetch
+
     def dispatch_batch(
         self, queries: Sequence[str], **kwargs: Any
     ) -> Optional["Callable[[], List[List[Document]]]"]:
@@ -163,6 +318,10 @@ class MultiPathRetriever(BaseRetriever):
         per_path_k = int(
             kwargs.get("top_k_per_retriever", self.top_k_per_retriever)
         )
+        if self._shared_usable():
+            fast = self._dispatch_shared(queries, per_path_k, top_k)
+            if fast is not None:
+                return fast
         _FAILED = object()  # dispatch-time failure → empty at fetch
         fetches: List[Any] = []
         any_async = False
@@ -185,6 +344,17 @@ class MultiPathRetriever(BaseRetriever):
         if not any_async:
             return None
         fuse_ranked = getattr(self.fusion_method, "fuse_ranked", None)
+
+        def prime() -> None:
+            # propagate lazy-launch to every async path (the BM25
+            # device-query coalescer launches its merged kernel here)
+            for f in fetches:
+                p = getattr(f, "prime", None)
+                if p is not None and f is not _FAILED:
+                    try:
+                        p()
+                    except Exception:  # noqa: BLE001 — fetch() reports it
+                        pass
 
         def fetch() -> List[List[Document]]:
             all_paths: List[List[List[Document]]] = []
@@ -223,6 +393,7 @@ class MultiPathRetriever(BaseRetriever):
                     )
             return fused
 
+        fetch.prime = prime  # type: ignore[attr-defined]
         return fetch
 
     def _get_relevant_documents_batch(
@@ -230,6 +401,10 @@ class MultiPathRetriever(BaseRetriever):
     ) -> List[List[Document]]:
         top_k = int(kwargs.get("k", self.top_k))
         per_path_k = int(kwargs.get("top_k_per_retriever", self.top_k_per_retriever))
+        if self._shared_usable():
+            fast = self._dispatch_shared(queries, per_path_k, top_k)
+            if fast is not None:
+                return fast()
         if len(self.retrievers) <= 1:
             all_paths = [
                 self._path_results(r, queries, per_path_k)

@@ -126,10 +126,19 @@ class RagPipeline:
             return [self._answer_batch(b, k=k) for b in batches]
         recall = self.recall_k if self.reranker else k
         t0 = time.time()
-        with stage("pipeline.retrieve"):
+        from rag_arc_tpu.utils.transfers import transfer_pool
+
+        with stage("pipeline.retrieve"), transfer_pool():
             fetches = [dispatch(b, k=recall) for b in batches]
             if any(f is None for f in fetches):
                 return [self._answer_batch(b, k=k) for b in batches]
+            # force every lazy device launch (BM25 coalescer) into the
+            # pool BEFORE the first fetch: the whole stream's readbacks
+            # then collapse to ONE device_get round trip
+            for f in fetches:
+                p = getattr(f, "prime", None)
+                if p is not None:
+                    p()
             candidates = [f() for f in fetches]
         out: List[List[List[Document]]] = []
         for queries, cands in zip(batches, candidates):

@@ -11,7 +11,9 @@ batched on-device fusion used inside the multi-path query kernel lives in
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
 
 from rag_arc_tpu.utils.data_model import Document, RetrievalResult
 
@@ -133,6 +135,81 @@ class WeightedScoreFusion(FusionMethod):
             doc.metadata["fusion_score"] = score
             fused.append(doc)
         return fused
+
+
+def rrf_fuse_positions_np(
+    paths_pos: Sequence[np.ndarray], top_k: int, rrf_k: int = 60
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched RRF over integer position arrays — the shared-id-space hot
+    path (``MultiPathRetriever(shared_id_space=True)``).
+
+    ``paths_pos`` is one ``(B, k_path)`` int array per path (ranked, -1 =
+    empty slot). Returns ``(scores (B, top_k), positions (B, top_k))``
+    with -inf / -1 padding. Identical math AND tie order to
+    :meth:`RRFusion.fuse` when every path's positions map to distinct
+    documents: score = Σ 1/(rrf_k + rank), rank 1-based per path; ties
+    break by FIRST OCCURRENCE across the concatenated path order —
+    exactly the insertion order of ``RRFusion``'s score dict (Python's
+    stable sort keeps dict order for equal scores).
+
+    Fully vectorized (one stable argsort groups duplicate ids per row;
+    a cumsum-difference computes per-group totals) — no per-candidate
+    Python objects, which is what makes the composed pipeline's fuse
+    stage ~free instead of ~11 ms per 128-query batch.
+    """
+    if not paths_pos:
+        raise ValueError("need at least one path")
+    b = paths_pos[0].shape[0]
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in paths_pos], axis=1
+    )  # (B, M) in path-major, rank-minor order = first-seen order
+    m = flat.shape[1]
+    contrib = np.concatenate(
+        [
+            1.0 / (rrf_k + np.arange(1, p.shape[1] + 1, dtype=np.float64))
+            for p in paths_pos
+        ]
+    )  # (M,)
+    contrib = np.broadcast_to(contrib, (b, m)).copy()
+    contrib[flat < 0] = 0.0
+
+    # group duplicate ids per row: stable argsort keeps original (=first
+    # occurrence) order within each id group
+    order = np.argsort(flat, axis=1, kind="stable")
+    sorted_ids = np.take_along_axis(flat, order, axis=1)
+    sorted_contrib = np.take_along_axis(contrib, order, axis=1)
+    is_first = np.ones((b, m), dtype=bool)
+    is_first[:, 1:] = sorted_ids[:, 1:] != sorted_ids[:, :-1]
+    # per-group totals, summed LEFT-TO-RIGHT in original (= path) order —
+    # bit-identical to RRFusion's dict accumulation, so exact ties stay
+    # exact (a cumsum-difference here broke tie order by ~1 ulp). A group
+    # has at most len(paths) members (an id appears once per ranked
+    # path), so this is a P-step vectorized loop, not O(m).
+    group_total = sorted_contrib.copy()
+    cols = np.arange(m)[None, :]
+    for s in range(1, len(paths_pos)):
+        j = np.clip(cols + s, 0, m - 1)
+        same = (cols + s < m) & (
+            np.take_along_axis(sorted_ids, j, axis=1) == sorted_ids
+        )
+        group_total += np.where(
+            same, np.take_along_axis(sorted_contrib, j, axis=1), 0.0
+        )
+
+    # scatter each group's total to its FIRST occurrence's original slot;
+    # non-first / invalid entries write to a dummy column m instead of
+    # risking a clobber (fancy assignment is last-write-wins)
+    out_scores = np.full((b, m + 1), -np.inf)
+    rows = np.arange(b)[:, None]
+    valid_first = is_first & (sorted_ids >= 0)
+    out_scores[rows, np.where(valid_first, order, m)] = group_total
+    out_scores = out_scores[:, :m]
+
+    sel = np.argsort(-out_scores, axis=1, kind="stable")[:, :top_k]
+    fused_scores = np.take_along_axis(out_scores, sel, axis=1)
+    fused_pos = np.take_along_axis(flat, sel, axis=1)
+    fused_pos[np.isneginf(fused_scores)] = -1
+    return fused_scores, fused_pos
 
 
 def results_from_ranked_docs(

@@ -192,3 +192,114 @@ def test_dispatch_batch_isolates_failing_path(hybrid):
 def test_dispatch_batch_none_when_no_async_path():
     mp = MultiPathRetriever([FailingRetriever(name="sync-only")], top_k=2)
     assert mp.dispatch_batch(["q"], k=2) is None
+
+
+# -- shared-id-space position fusion -------------------------------------
+
+
+def _shared_pair(texts, k=5):
+    dense = TPUVectorStore.from_texts(texts, HashEmbeddings(dim=64)).as_retriever(
+        search_kwargs={"k": k}
+    )
+    sparse = BM25Retriever.from_texts(texts, k=k)
+    return dense, sparse
+
+
+class TestSharedIdSpace:
+    def test_matches_content_fusion(self):
+        """Position fusion must return the same documents, order, and
+        fusion scores as the content-keyed RRFusion path when every
+        content is unique (identity coincides)."""
+        texts = [f"topic {i % 5} word{i} document number {i}" for i in range(40)]
+        dense, sparse = _shared_pair(texts)
+        fast = MultiPathRetriever(
+            [dense, sparse], top_k=4, top_k_per_retriever=5,
+            shared_id_space=True,
+        )
+        slow = MultiPathRetriever(
+            [dense, sparse], top_k=4, top_k_per_retriever=5,
+        )
+        queries = ["topic 1 document", "word7 number", "document number 39"]
+        got = fast.invoke_batch(queries)
+        want = slow.invoke_batch(queries)
+        # compare CONTENT: the fast path resolves every fused position via
+        # path 0's resolver (the canonical document for that position);
+        # the content path keeps whichever path surfaced it first — same
+        # text, possibly a different auto-generated Document id
+        assert [[d.content for d in row] for row in got] == [
+            [d.content for d in row] for row in want
+        ]
+        for g_row, w_row in zip(got, want):
+            for g, w in zip(g_row, w_row):
+                assert g.metadata["fusion_score"] == w.metadata["fusion_score"]
+        assert fast._shared_ok is True
+
+    def test_dispatch_batch_matches_sync(self):
+        texts = [f"subject {i % 3} item{i}" for i in range(30)]
+        dense, sparse = _shared_pair(texts)
+        mp = MultiPathRetriever(
+            [dense, sparse], top_k=3, top_k_per_retriever=5,
+            shared_id_space=True,
+        )
+        queries = ["subject 1 item4", "item22"]
+        fetch = mp.dispatch_batch(queries, k=3)
+        assert fetch is not None
+        got = fetch()
+        want = mp.invoke_batch(queries, k=3)
+        assert [[d.id for d in r] for r in got] == [
+            [d.id for d in r] for r in want
+        ]
+
+    def test_misaligned_corpora_fall_back(self, caplog):
+        """Different doc sets in the two paths: validation must refuse the
+        position path and the content path must still answer."""
+        import logging
+
+        texts_a = [f"alpha document {i}" for i in range(10)]
+        texts_b = [f"beta document {i}" for i in range(10)]
+        dense = TPUVectorStore.from_texts(
+            texts_a, HashEmbeddings(dim=64)
+        ).as_retriever(search_kwargs={"k": 3})
+        sparse = BM25Retriever.from_texts(texts_b, k=3)
+        mp = MultiPathRetriever(
+            [dense, sparse], top_k=3, shared_id_space=True,
+        )
+        with caplog.at_level(logging.WARNING):
+            out = mp.invoke_batch(["alpha document 3"])
+        assert mp._shared_ok is False
+        assert out[0]  # content-keyed fallback still answers
+        assert any("shared_id_space" in r.message for r in caplog.records)
+
+    def test_size_mismatch_falls_back(self):
+        texts = [f"gamma document {i}" for i in range(12)]
+        dense = TPUVectorStore.from_texts(
+            texts, HashEmbeddings(dim=64)
+        ).as_retriever(search_kwargs={"k": 3})
+        sparse = BM25Retriever.from_texts(texts[:8], k=3)
+        mp = MultiPathRetriever([dense, sparse], top_k=3, shared_id_space=True)
+        assert mp.invoke("gamma document 5")
+        assert mp._shared_ok is False
+
+    def test_failing_path_contributes_nothing(self):
+        texts = [f"delta item {i}" for i in range(10)]
+        dense, sparse = _shared_pair(texts, k=4)
+
+        class BrokenPositions(BaseRetriever):
+            position_space_size = len(texts)
+
+            def _get_relevant_documents(self, query, **kwargs):
+                return []
+
+            def dispatch_positions(self, queries, k):
+                raise RuntimeError("positions down")
+
+            def resolve_positions(self, rows):
+                return [[None for _ in row] for row in rows]
+
+        # broken path last so the sampled-id check passes via real paths
+        mp = MultiPathRetriever(
+            [dense, sparse], top_k=3, shared_id_space=True,
+        )
+        mp.retrievers.append(BrokenPositions(name="broken"))
+        out = mp.invoke_batch(["delta item 2"])
+        assert out[0][0].content == texts[2]

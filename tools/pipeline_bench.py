@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--recall-k", type=int, default=50)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--no-rerank", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +81,11 @@ def main() -> None:
     store.docstore.add(docs, pos.tolist())
     dense_ret = store.as_retriever(search_kwargs={"k": args.recall_k})
     bm25_ret = BM25Retriever.from_documents(docs, k=args.recall_k)
-    multi = MultiPathRetriever([dense_ret, bm25_ret], top_k=args.recall_k)
+    # both paths index the SAME docs list in insertion order → position
+    # fusion (bit-exact RRF parity, only fused top-k docs materialize)
+    multi = MultiPathRetriever(
+        [dense_ret, bm25_ret], top_k=args.recall_k, shared_id_space=True
+    )
     print(f"# corpus built: {time.time()-t0:.0f}s", flush=True)
 
     queries = [
@@ -145,6 +150,8 @@ def main() -> None:
     plain = RagPipeline(retriever=multi, top_k=args.k, recall_k=args.recall_k)
     bench(plain, "retrieve+rrf (no rerank)")
     bench_streamed(plain, "retrieve+rrf STREAMED (no rerank)")
+    if args.no_rerank:
+        return
 
     flag = CrossEncoderReranker(
         cfg=TransformerConfig(
