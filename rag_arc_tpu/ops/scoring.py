@@ -19,10 +19,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 METRICS = ("cosine", "ip", "l2")
 
-NEG_INF = jnp.float32(-jnp.inf)
+# HOST-side constant on purpose: a module-level jnp scalar is a device
+# array, and every fresh jit trace that captures it inlines it as an MLIR
+# constant — lowering then fetches ._value, a device round trip that
+# blocks the whole compile when the axon tunnel stalls (observed: 10-min
+# hang in lower_jaxpr_to_fun at a first (B, k) trace). numpy constants
+# lower without touching the device.
+NEG_INF = np.float32(-np.inf)
 
 # On TPU, float32 jnp.dot with DEFAULT precision runs as bf16 passes on the
 # MXU. Flat search advertises *exact* results (parity with FAISS IndexFlat*),

@@ -36,6 +36,26 @@ def _doc_json(doc: Document) -> Dict[str, Any]:
     return {"id": doc.id, "content": doc.content, "metadata": doc.metadata}
 
 
+def _doc_ids_json(doc: Document) -> Dict[str, Any]:
+    """ids+scores response mode: no content/metadata serialization. At
+    ~60-token documents the full-content JSON dominates the host budget
+    of a loaded 1-CPU serving box (profiled: ~2/3 of the no-op-stack gap);
+    clients that hydrate documents from their own store only need the id
+    and the ranking signal."""
+    md = doc.metadata
+    score = md.get("rerank_score", md.get("fusion_score"))
+    return {"id": doc.id, "score": score}
+
+
+def _doc_serializer(payload: Dict[str, Any]):
+    mode = payload.get("response", "full")
+    if mode == "ids":
+        return _doc_ids_json
+    if mode == "full":
+        return _doc_json
+    raise ValueError(f"response must be 'full' or 'ids', got {mode!r}")
+
+
 class RagRequestHandler(BaseHTTPRequestHandler):
     pipeline: RagPipeline  # class attribute installed by make_server
     protocol_version = "HTTP/1.1"  # keep-alive: no per-request socket churn
@@ -74,8 +94,13 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 if not isinstance(query, str) or not query.strip():
                     self._send(400, {"error": "query must be a non-empty string"})
                     return
+                try:
+                    ser = _doc_serializer(payload)
+                except ValueError as exc:
+                    self._send(400, {"error": str(exc)})
+                    return
                 docs = self.pipeline.query(query, k=payload.get("k"))
-                self._send(200, {"documents": [_doc_json(d) for d in docs]})
+                self._send(200, {"documents": [ser(d) for d in docs]})
             elif self.path == "/batch":
                 queries = payload.get("queries", [])
                 # a bare string would pass the element check char-by-char
@@ -87,10 +112,15 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                         400, {"error": "queries must be a list of non-empty strings"}
                     )
                     return
+                try:
+                    ser = _doc_serializer(payload)
+                except ValueError as exc:
+                    self._send(400, {"error": str(exc)})
+                    return
                 results = self.pipeline.query_batch(queries, k=payload.get("k"))
                 self._send(
                     200,
-                    {"results": [[_doc_json(d) for d in docs] for docs in results]},
+                    {"results": [[ser(d) for d in docs] for docs in results]},
                 )
             elif self.path == "/add":
                 retriever = self.pipeline.retriever

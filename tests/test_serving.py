@@ -418,6 +418,37 @@ class TestHTTPApp:
         with urllib.request.urlopen(f"{server}/stats", timeout=10) as resp:
             assert json.loads(resp.read())["queries"] >= 3
 
+    def test_ids_response_mode(self, server):
+        """response='ids' returns id+score only (no content/metadata) and
+        the ids match the full response, query and batch both."""
+        self._post(f"{server}/add", {"texts": CORPUS})
+        full = self._post(f"{server}/query", {"query": "chocolate cake", "k": 2})
+        slim = self._post(
+            f"{server}/query",
+            {"query": "chocolate cake", "k": 2, "response": "ids"},
+        )
+        assert [d["id"] for d in slim["documents"]] == [
+            d["id"] for d in full["documents"]
+        ]
+        assert set(slim["documents"][0]) == {"id", "score"}
+        # plain dense retrieval attaches no fusion/rerank score metadata;
+        # score is null here and populated for multipath/rerank pipelines
+        # (covered by the shared-id-space pipeline tests)
+        b_full = self._post(f"{server}/batch", {"queries": ["cat mat"], "k": 2})
+        b_slim = self._post(
+            f"{server}/batch",
+            {"queries": ["cat mat"], "k": 2, "response": "ids"},
+        )
+        assert [d["id"] for d in b_slim["results"][0]] == [
+            d["id"] for d in b_full["results"][0]
+        ]
+        # unknown mode is a 400, not a 500
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(
+                f"{server}/query", {"query": "x", "response": "bogus"}
+            )
+        assert ei.value.code == 400
+
     def test_delete_endpoint(self, server):
         out = self._post(f"{server}/add", {"texts": ["ephemeral zebra doc"]})
         assert self._post(f"{server}/delete", {"ids": out["ids"]})["deleted"]

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--queries-per-request", type=int, default=64)
     ap.add_argument("--batch-max", type=int, default=512)
     ap.add_argument(
+        "--response", choices=("full", "ids"), default="full",
+        help="ids = ids+scores responses (skip doc-content JSON — the "
+        "profiled ~2/3 of host response-building budget)",
+    )
+    ap.add_argument(
         "--embedder", choices=("hash", "flax"), default="hash",
         help="hash = host CPU fake (the 1-CPU box's floor); flax = the real "
         "768x12 encoder ON CHIP, chained token->encoder->search with no "
@@ -109,7 +114,9 @@ def main() -> None:
     def post(queries):
         req = urllib.request.Request(
             url,
-            data=json.dumps({"queries": queries, "k": args.k}).encode(),
+            data=json.dumps(
+                {"queries": queries, "k": args.k, "response": args.response}
+            ).encode(),
             headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=120) as resp:
@@ -176,6 +183,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "serving_http_qps",
+                "response": args.response,
+                "embedder": args.embedder,
                 "qps": round(total_queries / wall, 1),
                 "total_queries": total_queries,
                 "wall_s": round(wall, 1),
