@@ -192,25 +192,28 @@ class DeviceIVFIndex:
 
     def _assign_spill(self, vectors: np.ndarray, chunk: int = 1 << 15) -> np.ndarray:
         """(n, spill) nearest-centroid assignments, score-descending
-        (column 0 = the primary copy). Chunked: the full score matrix at
-        1M×1024 is 4 GB of host RAM for nothing."""
-        c = self._centroids_np
-        out = np.empty((len(vectors), self.spill), dtype=np.int64)
+        (column 0 = the primary copy). On DEVICE, chunked and pipelined:
+        the host numpy version was the 1M-build bottleneck (a 1M×768 @
+        768×nlist matmul ≈ 1.6 TFLOP on one slow core — VERDICT r4 #7);
+        on the MXU it's milliseconds, and dispatching every chunk before
+        the first fetch amortizes the tunnel round trip. Exact: f32
+        scores at HIGHEST precision; the primary copy (column 0) keeps
+        np.argmax's lowest-index tie order. Spill-copy order on exact
+        score ties may differ from the old host path — copies of one row
+        are interchangeable (search dedupes by row id)."""
+        c = jnp.asarray(self._centroids_np)
+        c_sq = jnp.asarray((self._centroids_np * self._centroids_np).sum(1))
+        pend = []
         for s0 in range(0, len(vectors), chunk):
-            v = vectors[s0 : s0 + chunk]
-            scores = v @ c.T
-            if self.metric == "l2":
-                scores = 2.0 * scores - (c * c).sum(1)[None, :]
-            if self.spill == 1:
-                out[s0 : s0 + chunk, 0] = np.argmax(scores, axis=1)
-            else:
-                top = np.argpartition(-scores, self.spill - 1, axis=1)[
-                    :, : self.spill
-                ]
-                by_score = np.take_along_axis(scores, top, axis=1).argsort(
-                    axis=1
-                )[:, ::-1]
-                out[s0 : s0 + chunk] = np.take_along_axis(top, by_score, axis=1)
+            pend.append(
+                _assign_spill_chunk(
+                    jnp.asarray(vectors[s0 : s0 + chunk]), c, c_sq,
+                    self.spill, self.metric == "l2",
+                )
+            )
+        out = np.concatenate(
+            [np.asarray(p) for p in jax.device_get(pend)]
+        ).astype(np.int64)
         return out
 
     def _prep(self, vectors: np.ndarray) -> np.ndarray:
@@ -666,6 +669,20 @@ class DeviceIVFIndex:
             else self.nlist_pad * self.lmax * self.dim * jnp.dtype(self.dtype).itemsize,
             "shards": self.n_shards,
         }
+
+
+@partial(jax.jit, static_argnames=("spill", "l2"))
+def _assign_spill_chunk(v, c, c_sq, spill, l2):
+    """Top-``spill`` centroid assignment for one row chunk, on device."""
+    scores = jnp.dot(
+        v, c.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if l2:
+        scores = 2.0 * scores - c_sq[None, :]
+    _, idx = jax.lax.top_k(scores, spill)
+    return idx.astype(jnp.int32)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))

@@ -150,6 +150,7 @@ def main() -> None:
     plain = RagPipeline(retriever=multi, top_k=args.k, recall_k=args.recall_k)
     bench(plain, "retrieve+rrf (no rerank)")
     bench_streamed(plain, "retrieve+rrf STREAMED (no rerank)")
+    bench_streamed(plain, "retrieve+rrf STREAMED x8 (no rerank)", n_batches=8)
     if args.no_rerank:
         return
 
