@@ -113,6 +113,7 @@ class Qwen3Attention(nn.Module):
         bias: jax.Array | None,
         positions: jax.Array,
         mask: jax.Array,
+        rope_cs: tuple[jax.Array, jax.Array] | None = None,
     ) -> jax.Array:
         cfg = self.cfg
         b, l, _ = x.shape
@@ -121,19 +122,39 @@ class Qwen3Attention(nn.Module):
         dense = lambda features, name: nn.Dense(  # noqa: E731
             features, use_bias=False, dtype=cfg.dtype, name=name
         )
-        q = dense(nh * hd, "q_proj")(x).reshape(b, l, nh, hd)
-        k = dense(nkv * hd, "k_proj")(x).reshape(b, l, nkv, hd)
-        v = dense(nkv * hd, "v_proj")(x).reshape(b, l, nkv, hd)
+        # ONE fused projection: separate q/k/v matmuls ran at 78-118
+        # TFLOP/s at these K=1024 shapes, the merged (1024, 4096) one at
+        # 146 (bench_results/rerank_probe_r05.txt stage A) — ~1 ms/layer.
+        # Column-identical math; the HF checkpoint converter concatenates.
+        qkv = dense(nh * hd + 2 * nkv * hd, "qkv_proj")(x)
+        q = qkv[..., : nh * hd].reshape(b, l, nh, hd)
+        k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, l, nkv, hd)
+        v = qkv[..., (nh + nkv) * hd :].reshape(b, l, nkv, hd)
         # Qwen3's per-head RMS normalization of q and k
         q = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="q_norm")(q)
         k = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="k_norm")(k)
-        q = rope(q.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
-        k = rope(k.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
-        v = v.transpose(0, 2, 1, 3)
-        group = nh // nkv  # grouped-query attention: repeat kv heads
-        k = jnp.repeat(k, group, axis=1)
-        v = jnp.repeat(v, group, axis=1)
-        if _flash_eligible(cfg, l):
+        use_flash = _flash_eligible(cfg, l)
+        if use_flash and rope_cs is not None:
+            # fused rope+transpose+GQA-repeat: ONE HBM pass per tensor
+            # (the XLA lowering of the else-branch was measured at ~195 ms
+            # of the 416 ms B=64 L=512 0.6B rerank forward —
+            # bench_results/rerank_probe_r05.txt)
+            from rag_arc_tpu.ops.rope_prep import rope_prep
+
+            q, k, v = rope_prep(
+                q.reshape(b, l, nh * hd),
+                k.reshape(b, l, nkv * hd),
+                v.reshape(b, l, nkv * hd),
+                rope_cs[0], rope_cs[1], nh=nh, nkv=nkv, d=hd,
+            )
+        else:
+            q = rope(q.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
+            k = rope(k.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
+            v = v.transpose(0, 2, 1, 3)
+            group = nh // nkv  # grouped-query attention: repeat kv heads
+            k = jnp.repeat(k, group, axis=1)
+            v = jnp.repeat(v, group, axis=1)
+        if use_flash:
             # Fused attention: never materializes the (B, H, L, L) scores/
             # probs in HBM — at the reranker shape (B=64, L=512, 28 layers)
             # that round-trip is ~GBs of traffic per layer. Padding is
@@ -184,13 +205,21 @@ class Qwen3Layer(nn.Module):
         bias: jax.Array | None,
         positions: jax.Array,
         mask: jax.Array,
+        rope_cs: tuple[jax.Array, jax.Array] | None = None,
     ) -> jax.Array:
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_layernorm")(x)
-        x = x + Qwen3Attention(cfg, name="self_attn")(h, bias, positions, mask)
+        x = x + Qwen3Attention(cfg, name="self_attn")(
+            h, bias, positions, mask, rope_cs
+        )
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attention_layernorm")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype, name="up_proj")(h)
+        # fused gate|up (same 135 -> 158 TFLOP/s merged-matmul win as qkv)
+        gu = nn.Dense(
+            2 * cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+            name="gateup_proj",
+        )(h)
+        gate = gu[..., : cfg.intermediate_size]
+        up = gu[..., cfg.intermediate_size :]
         down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="down_proj")(
             nn.silu(gate) * up
         )
@@ -225,13 +254,21 @@ class FlaxQwen3LM(nn.Module):
         positions = jnp.maximum(positions, 0)
         if _flash_eligible(self.cfg, l):
             bias = None  # flash path masks via segment ids, skip (B,1,L,L)
+            # rope tables are position-only: one (B, L, D) cos/sin pair
+            # feeds all layers' fused prep kernels (ops/rope_prep.py)
+            from rag_arc_tpu.ops.rope_prep import rope_cos_sin
+
+            rope_cs = rope_cos_sin(
+                positions, self.cfg.rope_theta, self.cfg.head_dim
+            )
         else:
+            rope_cs = None
             neg = jnp.asarray(-1e9, jnp.float32)
             causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, :, :]
             key_live = mask[:, None, None, :]
             bias = jnp.where(causal & key_live, 0.0, neg)
         for layer in self.layers:
-            x = layer(x, bias, positions, mask)
+            x = layer(x, bias, positions, mask, rope_cs)
         return self.norm(x)
 
     def embed(self, ids: jax.Array, mask: jax.Array) -> jax.Array:
@@ -288,21 +325,31 @@ def convert_torch_qwen3(state_dict: Dict[str, Any], cfg: Qwen3Config) -> Dict:
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense("lm_head")
+    def cat(*keys: str) -> Dict[str, np.ndarray]:
+        # HF stores separate q/k/v (gate/up) weights; the model fuses
+        # them into one projection (column-identical math, one matmul)
+        return {
+            "kernel": np.concatenate(
+                [_t(sd[f"{k}.weight"]).T for k in keys], axis=1
+            )
+        }
+
     for i in range(cfg.num_hidden_layers):
         lyr = f"layers.{i}"
         params[f"layers_{i}"] = {
             "self_attn": {
-                "q_proj": dense(f"{lyr}.self_attn.q_proj"),
-                "k_proj": dense(f"{lyr}.self_attn.k_proj"),
-                "v_proj": dense(f"{lyr}.self_attn.v_proj"),
+                "qkv_proj": cat(
+                    f"{lyr}.self_attn.q_proj",
+                    f"{lyr}.self_attn.k_proj",
+                    f"{lyr}.self_attn.v_proj",
+                ),
                 "o_proj": dense(f"{lyr}.self_attn.o_proj"),
                 "q_norm": norm(f"{lyr}.self_attn.q_norm"),
                 "k_norm": norm(f"{lyr}.self_attn.k_norm"),
             },
             "input_layernorm": norm(f"{lyr}.input_layernorm"),
             "post_attention_layernorm": norm(f"{lyr}.post_attention_layernorm"),
-            "gate_proj": dense(f"{lyr}.mlp.gate_proj"),
-            "up_proj": dense(f"{lyr}.mlp.up_proj"),
+            "gateup_proj": cat(f"{lyr}.mlp.gate_proj", f"{lyr}.mlp.up_proj"),
             "down_proj": dense(f"{lyr}.mlp.down_proj"),
         }
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}

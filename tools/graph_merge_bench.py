@@ -54,13 +54,160 @@ class VecEmbeddings:
         return {"kind": "planted", "dim": self.dim}
 
 
+def run_hard(args) -> None:
+    """Hard-corpus merge stress (VERDICT r4 #9). Geometry: orthogonal
+    noise of total norm t gives adjacent cosine ≈ 1/sqrt(1+t²); chains
+    random-walk, so cos(v0, v_k) ≈ 1/sqrt(1+k·t²) — at t=0.28 adjacent
+    pairs sit at ≈0.963 (merge) while 4+ steps apart drops under 0.95
+    (must still fold via union-find transitivity). Negatives use t=0.375
+    (cos≈0.936, > 4 bf16-scoring sigmas below the threshold)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    print(f"device: {jax.devices()[0]} (hard corpus)", flush=True)
+
+    from rag_arc_tpu.graph.schema import GraphEdge, GraphNode
+    from rag_arc_tpu.graph.store import ArrayGraphStore
+
+    rng = np.random.default_rng(0)
+    n, dim = args.n, args.dim
+    t_pos, t_neg = 0.28, 0.375
+
+    def walk(v0, steps, t):
+        out = [v0]
+        for _ in range(steps):
+            nxt = out[-1] + (t / np.sqrt(dim)) * rng.standard_normal(
+                dim
+            ).astype(np.float32)
+            out.append(nxt / np.linalg.norm(nxt))
+        return out
+
+    t0 = time.time()
+    vecs: list = []
+    names: list = []
+    clusters: list = []  # planted positive clusters (lists of names)
+    neg_pairs: list = []  # boundary negatives (must NOT merge)
+    i = 0
+    # ~20% of entities live in chained clusters, ~4% in negative pairs
+    n_cluster_rows = int(n * 0.20)
+    n_neg_rows = int(n * 0.04)
+    while sum(len(c) for c in clusters) < n_cluster_rows:
+        size = int(rng.integers(2, 9))
+        v0 = rng.standard_normal(dim).astype(np.float32)
+        v0 /= np.linalg.norm(v0)
+        chain = walk(v0, size - 1, t_pos)
+        members = []
+        for v in chain:
+            nm = f"c{len(clusters)}_m{len(members)}_{i}"
+            names.append(nm)
+            vecs.append(v)
+            members.append(nm)
+            i += 1
+        clusters.append(members)
+    for j in range(n_neg_rows // 2):
+        v0 = rng.standard_normal(dim).astype(np.float32)
+        v0 /= np.linalg.norm(v0)
+        _, v1 = walk(v0, 1, t_neg)
+        a, b = f"neg{j}_a_{i}", f"neg{j}_b_{i + 1}"
+        names += [a, b]
+        vecs += [v0, v1]
+        neg_pairs.append((a, b))
+        i += 2
+    while len(names) < n:
+        v = rng.standard_normal(dim).astype(np.float32)
+        names.append(f"bg_{i}")
+        vecs.append(v / np.linalg.norm(v))
+        i += 1
+    vec_arr = np.stack(vecs)
+    print(f"corpus built {time.time()-t0:.0f}s: {len(clusters)} clusters "
+          f"(sizes 2-8), {len(neg_pairs)} boundary negatives", flush=True)
+
+    store = ArrayGraphStore(embeddings=VecEmbeddings(
+        dict(zip(names, vec_arr))))
+    store.embed_batch = 8192
+    t0 = time.time()
+    for name in names:
+        store.upsert_node(GraphNode(key=name, kind="entity", content=name))
+    # ~2 relations/entity incl. intra-cluster edges (the migration load)
+    edge_count = 0
+    for members in clusters:
+        for a, b in zip(members, members[1:]):
+            if store.add_edge(GraphEdge(src=a, dst=b,
+                                        edge_type="ENTITY_RELATION")):
+                edge_count += 1
+    rnd = rng.integers(0, len(names), size=(2 * n - 2 * edge_count, 2))
+    for a_i, b_i in rnd:
+        if a_i != b_i and store.add_edge(GraphEdge(
+                src=names[a_i], dst=names[b_i],
+                edge_type="ENTITY_RELATION")):
+            edge_count += 1
+    upsert_s = time.time() - t0
+    t0 = time.time()
+    embedded = store.generate_embeddings()
+    embed_s = time.time() - t0
+    print(f"upsert+edges {upsert_s:.0f}s embed+index {embed_s:.0f}s "
+          f"({embedded} nodes, {edge_count} edges)", flush=True)
+
+    t0 = time.time()
+    merged = store.merge_duplicate_entities()
+    merge_s = time.time() - t0
+
+    # planted-cluster collapse: every chain must fold to ONE survivor
+    live = store.nodes["entity"]
+    fully, partial = 0, 0
+    for members in clusters:
+        remaining = sum(1 for m in members if m in live)
+        if remaining == 1:
+            fully += 1
+        elif remaining < len(members):
+            partial += 1
+    # boundary negatives must both survive
+    neg_ok = sum(1 for a, b in neg_pairs if a in live and b in live)
+    # migration correctness: no dangling edge endpoints, no entity
+    # self-loops
+    dangling = sum(
+        1 for e in store.edges if e.src not in live or e.dst not in live)
+    self_loops = sum(
+        1 for e in store.edges
+        if e.src == e.dst and e.edge_type == "ENTITY_RELATION")
+
+    print(json.dumps({
+        "mode": "hard", "n_entities": n,
+        "clusters": len(clusters),
+        "merge_wall_s": round(merge_s, 1),
+        "merged_entities": merged,
+        "clusters_fully_collapsed": fully,
+        "clusters_partial": partial,
+        "cluster_collapse_rate": round(fully / len(clusters), 4),
+        "boundary_negatives_preserved": f"{neg_ok}/{len(neg_pairs)}",
+        "dangling_edges": dangling,
+        "entity_self_loops": self_loops,
+        "edges_after": len(store.edges),
+        "entities_per_s_merge": round(n / merge_s, 1),
+    }), flush=True)
+    assert dangling == 0, "edge migration left dangling endpoints"
+    assert self_loops == 0, "merge left entity self-loops"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--dup-frac", type=float, default=0.10)
     ap.add_argument("--oracle-n", type=int, default=10_000)
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="hard corpus (VERDICT r4 #9): chained near-dup clusters of "
+        "size 2-8 whose ADJACENT cosines sit just above the 0.95 merge "
+        "threshold while distant chain members fall below it (stresses "
+        "union-find transitivity), boundary NEGATIVE pairs at cos≈0.936 "
+        "that must NOT merge, plus ~2 relations/entity whose endpoints "
+        "are asserted dangling-free after migration",
+    )
     args = ap.parse_args()
+    if args.hard:
+        return run_hard(args)
 
     import jax
 
