@@ -60,8 +60,13 @@ class RMSNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, scale_only: bool = False) -> jax.Array:
         scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        if scale_only:
+            # fused attention prep applies the norm inside its Pallas
+            # kernel; it only needs the scale param (declared here so the
+            # param tree is identical on every path)
+            return scale
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         out = x32 * jax.lax.rsqrt(var + self.eps)
@@ -130,14 +135,13 @@ class Qwen3Attention(nn.Module):
         q = qkv[..., : nh * hd].reshape(b, l, nh, hd)
         k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, l, nkv, hd)
         v = qkv[..., (nh + nkv) * hd :].reshape(b, l, nkv, hd)
-        # Qwen3's per-head RMS normalization of q and k
-        q = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="q_norm")(q)
-        k = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="k_norm")(k)
         use_flash = _flash_eligible(cfg, l)
+        qn = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="q_norm")
+        kn = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="k_norm")
         if use_flash and rope_cs is not None:
-            # fused rope+transpose+GQA-repeat: ONE HBM pass per tensor
-            # (the XLA lowering of the else-branch was measured at ~195 ms
-            # of the 416 ms B=64 L=512 0.6B rerank forward —
+            # fused qk-norm+rope+transpose+GQA-repeat: ONE HBM pass per
+            # tensor (the XLA lowering of the else-branch was measured at
+            # ~5.1 ms/layer vs 2.8 fused at B=64 L=512 —
             # bench_results/rerank_probe_r05.txt)
             from rag_arc_tpu.ops.rope_prep import rope_prep
 
@@ -145,9 +149,14 @@ class Qwen3Attention(nn.Module):
                 q.reshape(b, l, nh * hd),
                 k.reshape(b, l, nkv * hd),
                 v.reshape(b, l, nkv * hd),
-                rope_cs[0], rope_cs[1], nh=nh, nkv=nkv, d=hd,
+                rope_cs[0], rope_cs[1],
+                qs=qn(q, scale_only=True), ks=kn(k, scale_only=True),
+                eps=cfg.rms_norm_eps, nh=nh, nkv=nkv, d=hd,
             )
         else:
+            # Qwen3's per-head RMS normalization of q and k
+            q = qn(q)
+            k = kn(k)
             q = rope(q.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
             k = rope(k.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
             v = v.transpose(0, 2, 1, 3)

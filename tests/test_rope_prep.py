@@ -55,6 +55,57 @@ def test_kernel_matches_ref(nh, nkv):
     np.testing.assert_array_equal(np.asarray(vo), np.asarray(vr))
 
 
+def test_kernel_norm_folding_matches_ref():
+    """qs/ks given -> Qwen3 per-head RMS norm happens inside the kernel."""
+    rng = np.random.default_rng(7)
+    b, l, nh, nkv, d = 4, 64, 8, 4, 128
+    q, k, v = _mk(rng, b, l, nh, nkv, d)
+    qs = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    pos = _leftpad_positions(rng, b, l)
+    cos, sin = rope_cos_sin(pos, 1e6, d)
+    qo, ko, vo = rope_prep(q, k, v, cos, sin, qs, ks, nh=nh, nkv=nkv, d=d,
+                           interpret=True)
+    qr, kr, vr = rope_prep_ref(
+        q.reshape(b, l, nh, d), k.reshape(b, l, nkv, d),
+        v.reshape(b, l, nkv, d), cos, sin, qs, ks)
+    np.testing.assert_allclose(
+        np.asarray(qo, np.float32), np.asarray(qr, np.float32), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(ko, np.float32), np.asarray(kr, np.float32), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(vr))
+
+
+def test_norm_fold_matches_model_rmsnorm_then_rope():
+    """Folded norm+rope == the model's sequential RMSNorm -> rope chain
+    (f32 end-to-end; the sequential chain's intermediate bf16 rounding is
+    the only difference, bounded by one ulp)."""
+    import flax.linen as nn
+    from rag_arc_tpu.models.qwen3 import RMSNorm
+
+    rng = np.random.default_rng(8)
+    b, l, nh, nkv, d = 2, 32, 4, 2, 128
+    q, k, v = _mk(rng, b, l, nh, nkv, d)
+    qs = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    pos = _leftpad_positions(rng, b, l)
+    cos, sin = rope_cos_sin(pos, 1e6, d)
+    qr, kr, _ = rope_prep_ref(
+        q.reshape(b, l, nh, d), k.reshape(b, l, nkv, d),
+        v.reshape(b, l, nkv, d), cos, sin, qs, ks)
+
+    norm = RMSNorm(1e-6, jnp.float32)
+    qn = norm.apply({"params": {"weight": qs}}, q.reshape(b, l, nh, d))
+    kn = norm.apply({"params": {"weight": ks}}, k.reshape(b, l, nkv, d))
+    q_old = rope(qn.transpose(0, 2, 1, 3), pos, 1e6)
+    k_old = jnp.repeat(
+        rope(kn.transpose(0, 2, 1, 3), pos, 1e6), nh // nkv, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(qr, np.float32), np.asarray(q_old, np.float32), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(kr, np.float32), np.asarray(k_old, np.float32), atol=2e-2)
+
+
 def test_ref_matches_model_rope():
     """The roll/sign-fold formulation == models.qwen3.rope (the
     torch-parity-tested HF convention) + transpose + repeat."""
