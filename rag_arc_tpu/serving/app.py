@@ -117,7 +117,9 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 except ValueError as exc:
                     self._send(400, {"error": str(exc)})
                     return
-                results = self.pipeline.query_batch(queries, k=payload.get("k"))
+                results = self.pipeline.query_batch_shared(
+                    queries, k=payload.get("k")
+                )
                 self._send(
                     200,
                     {"results": [[ser(d) for d in docs] for docs in results]},

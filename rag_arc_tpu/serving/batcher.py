@@ -94,19 +94,61 @@ class QueryBatcher:
             raise pending.error
         return pending.result
 
+    def submit_many(self, queries: Sequence[str], **kwargs: Any) -> List[Any]:
+        """Blocking bulk submit: enqueue every query in ONE lock
+        acquisition so concurrent multi-query requests coalesce into
+        shared device batches (a 64-query HTTP request that ran as its
+        own device batch cost nearly as much chip time as a full 512
+        batch — serving_stage_timings r5: every /batch request became a
+        B=64 search). Full max_batch slices flush immediately; the
+        remainder waits for the coalescing window like any other request.
+        Results come back in query order; the first failed batch raises."""
+        kw = tuple(sorted(kwargs.items()))
+        try:
+            hash(kw)
+        except TypeError as exc:
+            raise TypeError(f"batcher kwargs must be hashable: {exc}") from exc
+        pendings = [_Pending(query=q, kwargs=kw) for q in queries]
+        if not pendings:
+            return []
+        with self._lock:
+            self._queue.extend(pendings)
+            self.stats["requests"] += len(pendings)
+            while len(self._queue) >= self.max_batch:
+                self._flush_locked(cap=self.max_batch)
+            if self._queue and (self._in_flight == 0):
+                self._flush_locked()
+            elif self._queue and self._flusher is None:
+                self._flusher_gen += 1
+                self._flusher = threading.Timer(
+                    self.max_wait_s, self._flush_timer,
+                    args=(self._flusher_gen,),
+                )
+                self._flusher.daemon = True
+                self._flusher.start()
+        for p in pendings:
+            p.event.wait()
+        for p in pendings:
+            if p.error is not None:
+                raise p.error
+        return [p.result for p in pendings]
+
     def _flush_timer(self, gen: int) -> None:
         with self._lock:
             if gen != self._flusher_gen:
                 return  # superseded: another flush consumed this window
             self._flush_locked()
 
-    def _flush_locked(self) -> None:
+    def _flush_locked(self, cap: Optional[int] = None) -> None:
         # invalidate ANY armed-or-fired timer for the window being flushed
         self._flusher_gen += 1
         if self._flusher is not None:
             self._flusher.cancel()
             self._flusher = None
-        batch, self._queue = self._queue, []
+        if cap is None or cap >= len(self._queue):
+            batch, self._queue = self._queue, []
+        else:
+            batch, self._queue = self._queue[:cap], self._queue[cap:]
         if not batch:
             return
         self.stats["batches"] += 1

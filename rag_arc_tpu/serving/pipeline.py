@@ -110,6 +110,18 @@ class RagPipeline:
         """Direct batched entry (bypasses the micro-batcher)."""
         return self._answer_batch(queries, k=k)
 
+    def query_batch_shared(
+        self, queries: Sequence[str], k: Optional[int] = None
+    ) -> List[List[Document]]:
+        """Batched entry through the SHARED micro-batcher: concurrent
+        requests' queries coalesce into device batches up to batch_max.
+        The r5 serving trace showed each 64-query HTTP request running as
+        its own B=64 device search costing nearly a full B=512 batch; the
+        serving app routes /batch through here so load turns into fewer,
+        fatter device dispatches. A lone request takes the batcher's idle
+        fast path (no coalescing wait)."""
+        return self.batcher.submit_many(queries, k=k)
+
     def query_batches(
         self, batches: Sequence[Sequence[str]], k: Optional[int] = None
     ) -> List[List[List[Document]]]:

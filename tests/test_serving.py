@@ -51,6 +51,56 @@ class TestBatcher:
         assert sum(batches) == 10
         assert max(batches) > 1  # at least some coalescing happened
 
+    def test_submit_many_coalesces_across_requests(self):
+        """Two concurrent multi-query requests share device batches
+        instead of each becoming its own (the r5 serving fix)."""
+        batches = []
+
+        def batch_fn(queries, **kw):
+            batches.append(len(queries))
+            time.sleep(0.02)
+            return [q.upper() for q in queries]
+
+        b = QueryBatcher(batch_fn, max_batch=64, max_wait_ms=30.0)
+        out = {}
+
+        def worker(cid):
+            qs = [f"c{cid}_q{i}" for i in range(16)]
+            out[cid] = b.submit_many(qs)
+
+        threads = [threading.Thread(target=worker, args=(c,)) for c in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for cid in range(4):
+            assert out[cid] == [f"C{cid}_Q{i}" for i in range(16)]  # order kept
+        assert sum(batches) == 64
+        assert max(batches) > 16  # cross-request coalescing happened
+
+    def test_submit_many_slices_at_max_batch(self):
+        batches = []
+
+        def batch_fn(queries, **kw):
+            batches.append(len(queries))
+            return list(queries)
+
+        b = QueryBatcher(batch_fn, max_batch=8, max_wait_ms=5.0)
+        res = b.submit_many([f"q{i}" for i in range(21)])
+        assert res == [f"q{i}" for i in range(21)]
+        assert max(batches) <= 8 and sum(batches) == 21
+
+    def test_submit_many_empty_and_error(self):
+        def batch_fn(queries, **kw):
+            raise RuntimeError("boom")
+
+        b = QueryBatcher(batch_fn, max_batch=8, max_wait_ms=5.0)
+        assert b.submit_many([]) == []
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            b.submit_many(["a", "b"])
+
     def test_unhashable_kwargs_rejected_at_submit(self):
         """Unhashable kwargs (e.g. JSON \"k\": [10]) must fail THE
         offending request at submit — inside the worker they killed the
