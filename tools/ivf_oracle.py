@@ -74,6 +74,12 @@ def main() -> None:
     ap.add_argument("--spills", type=str, default="1,2,4")
     ap.add_argument("--noise", type=float, default=0.3)
     ap.add_argument("--oracle-only", action="store_true")
+    ap.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
+                    help="our-IVF list dtype: bf16 is the production "
+                    "default; f32 isolates the IVF machinery from "
+                    "quantization on tight-cluster corpora whose "
+                    "intra-cluster score gaps (~1e-3) sit below bf16 "
+                    "resolution")
     args = ap.parse_args()
     nprobes = [int(s) for s in args.nprobes.split(",")]
 
@@ -157,12 +163,30 @@ def main() -> None:
 
     # ---- our IVF at the same operating points --------------------------
     import jax.numpy as jnp
+    from rag_arc_tpu.index.flat import DeviceFlatIndex
     from rag_arc_tpu.index.ivf import DeviceIVFIndex
+
+    # exhaustive flat at the same storage dtype: the quantization recall
+    # ceiling every IVF config is bounded by (tight clusters put
+    # intra-cluster score gaps near bf16 resolution)
+    dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    flat = DeviceFlatIndex(dim=args.d, metric="cosine", capacity=args.n,
+                           dtype=dt)
+    for s0 in range(0, args.n, 1 << 17):
+        flat.add(corpus[s0 : s0 + (1 << 17)])
+    _, fh = flat.search(q, args.k)
+    print(json.dumps({
+        "index": "flat_exhaustive", "dtype": args.dtype,
+        "recall": round(recall(fh), 4),
+        "note": "quantized-storage recall ceiling at 100% scan",
+    }), flush=True)
+    del flat
 
     for spill in [int(s) for s in args.spills.split(",")]:
         t0 = time.time()
+        dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
         ivf = DeviceIVFIndex.from_vectors(
-            corpus, nlist=args.nlist, metric="cosine", dtype=jnp.bfloat16,
+            corpus, nlist=args.nlist, metric="cosine", dtype=dt,
             spill=spill,
         )
         build_s = time.time() - t0
@@ -173,7 +197,8 @@ def main() -> None:
             # against the oracle is honest
             counts = np.asarray(ivf.counts) if hasattr(ivf, "counts") else None
             print(json.dumps({
-                "index": "rag_arc_ivf", "nlist": args.nlist, "spill": spill,
+                "index": "rag_arc_ivf", "dtype": args.dtype,
+                "nlist": args.nlist, "spill": spill,
                 "nprobe": nprobe,
                 "scan_frac_upper": round(nprobe * ivf.lmax / args.n, 4),
                 "recall": round(recall(got), 4),
